@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Race-time scalar functions (SURVEY.md §2.3 F1/F2).
+  *
+  * The reference parses `"H:MM:SS.mmm"` / `"M:SS.mmm"` / `"+gap"` /
+  * `"+M:SS.mmm"` / `"N/A"` lap- and finish-time strings driver-side in
+  * Python (`Lucas files/finalversion:33-53`) and formats seconds back to
+  * `"HH:MM:SS.ss"` (`finalversion:55-63`). Here both are distributed,
+  * codegen-friendly column functions:
+  *
+  *   - [[RaceTime.secondsCol]]: composed from built-in expressions only —
+  *     every operator stays inside whole-stage codegen.
+  *   - [[RaceTimeSeconds]]: the same semantics as a single native Catalyst
+  *     `Expression` with `doGenCode`, registered as SQL `race_time_seconds`.
+  *
+  * Unlike the reference (which raises `ValueError` on malformed input,
+  * `finalversion:52-53`), both return null for unparseable strings —
+  * at 100 TB a single bad row must not kill the job; nulls are filterable.
+  */
+object RaceTime {
+
+  /** `"M:SS.mmm" | "H:MM:SS.mmm" | "+gap" | "N/A"` → seconds (Double), built
+    * from built-in expressions only (fully codegen'd, no UDF).
+    */
+  def secondsCol(c: Column): Column = {
+    val t = ltrim(c, "+")
+    val parts = split(t, ":")
+    val n = size(parts)
+    val p = (i: Int) => element_at(parts, i).cast("double")
+    when(c.isNull || c === "N/A", lit(null).cast("double"))
+      .when(n === 3, p(1) * 3600 + p(2) * 60 + p(3))
+      .when(n === 2, p(1) * 60 + p(2))
+      .when(n === 1, p(1))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Seconds → `"HH:MM:SS.ss"` (reference `format_time`, finalversion:55-63). */
+  def formatCol(c: Column): Column =
+    format_string("%02d:%02d:%05.2f",
+      floor(c / 3600).cast("int"),
+      floor(pmod(c, lit(3600)) / 60).cast("int"),
+      pmod(c, lit(60)))
+
+  /** Register SQL functions backed by the native expressions below. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "race_time_seconds", exprs => RaceTimeSeconds(exprs.head), "built-in")
+}
+
+/** JVM-callable core shared by interpreted eval and generated code. */
+object RaceTimeParse {
+  def parseOrNull(s: UTF8String): java.lang.Double =
+    if (s == null) null else parseString(s.toString)
+
+  def parseString(raw: String): java.lang.Double = {
+    if (raw == null || raw == "N/A") return null
+    val str = if (raw.startsWith("+")) raw.substring(1) else raw
+    val parts = str.split(":", -1)
+    try {
+      parts.length match {
+        case 3 => java.lang.Double.valueOf(
+          parts(0).toDouble * 3600 + parts(1).toDouble * 60 + parts(2).toDouble)
+        case 2 => java.lang.Double.valueOf(parts(0).toDouble * 60 + parts(1).toDouble)
+        case 1 => java.lang.Double.valueOf(parts(0).toDouble)
+        case _ => null
+      }
+    } catch { case _: NumberFormatException => null }
+  }
+
+  def format(sec: Double): String = {
+    val h = math.floor(sec / 3600).toInt
+    val m = math.floor((sec % 3600) / 60).toInt
+    "%02d:%02d:%05.2f".formatLocal(java.util.Locale.ROOT, h, m, sec % 60)
+  }
+}
+
+/** Native Catalyst expression for race-time parsing (SURVEY.md §7.3): one
+  * null-safe place for the `'N/A'` sentinel, participates in whole-stage
+  * codegen via a static JVM call instead of falling back to interpreted eval.
+  */
+case class RaceTimeSeconds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "race_time_seconds"
+
+  override def nullSafeEval(input: Any): Any =
+    RaceTimeParse.parseOrNull(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("parsed")
+      s"""
+      java.lang.Double $tmp = graft.functions.RaceTimeParse.parseOrNull($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RaceTimeSeconds =
+    copy(child = newChild)
+}

@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.RaceTime
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's nine analytical queries (SURVEY.md §2.4-§2.8), re-keyed
+  * onto the driver's TPC-H-ish testdata (mapping table in FIXTURES.md §B).
+  * Reference citations `F` = `Lucas files/finalversion`,
+  * `LU` = `Lucas files/lastupdate1406`.
+  *
+  * Cross-engine float determinism: SUM/AVG over 2-decimal money doubles are
+  * computed as exact DECIMAL(18,2) sums (order-independent, so safe under
+  * shuffle/parallelism at any scale) then cast back to double; the DuckDB
+  * oracles spell the identical arithmetic. Every query ends in a total
+  * deterministic ORDER BY so row order can never diverge from the oracle.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact order-independent sum of a 2-decimal double column, as double. */
+  private def exactSum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact average: decimal sum / non-null count (both engines: double/int64). */
+  private def exactAvg(c: Column): Column = exactSum(c) / count(c)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** A1 (wins, F:329-335): filter → groupBy → count → global sort. */
+  val wins: Q = Q("wins",
+    """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS yr, count(*) AS wins
+      |FROM lineitem WHERE l_linenumber = 1
+      |GROUP BY l_returnflag, yr ORDER BY l_returnflag, yr""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("wins"))
+      .orderBy(col("l_returnflag"), col("yr"))
+  }
+
+  /** W1 (fastestlap, F:336-347): ROW_NUMBER top-1 per group. */
+  val fastestlap: Q = Q("fastestlap",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |                            ORDER BY l_extendedprice, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** A2 (filter, F:345-349): GROUP BY as dedup — `dropDuplicates` semantics. */
+  val filterDistinct: Q = Q("filter",
+    """SELECT DISTINCT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS yr
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus, yr""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("yr"))
+  }
+
+  /** A3 (weather, F:351-366): range filter + join + MIN/MAX/AVG multi-agg. */
+  val weather: Q = Q("weather",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE year(o_orderdate) >= 1998
+      |GROUP BY yr, nationkey ORDER BY yr, nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) >= 1998)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        exactAvg(col("o_totalprice")).as("avg_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("yr"), col("nationkey"))
+  }
+
+  /** J1+J2 (combine, F:283-293): multi-way equi-join enrichment. The dim
+    * tables (nation/region) are broadcast — no shuffle of the fact side for
+    * those joins at any scale; orders⋈customer stays a shuffled hash join
+    * (both sides scale with SF, AQE picks the strategy).
+    */
+  val combine: Q = Q("combine",
+    """SELECT o_orderkey, c_name, n_name, r_name, o_totalprice
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** U1 (union, F:268-271): N-way UNION ALL of per-slice frames (the
+    * reference unions 24 per-city weather frames; Catalyst's CombineUnions
+    * collapses the chain into one N-ary union, single stage).
+    */
+  val unionAllSlices: Q = Q("union", {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+    segs.map(g => s"SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_mktsegment = '$g'")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY c_custkey")
+  }) { (s, dir) =>
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+    val c = t(s, dir, "customer")
+    segs.map(g => c.filter(col("c_mktsegment") === g)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+      .reduce(_ unionAll _)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A4 (stats, LU:319-326): AVG/MAX/COUNT per key; MAX over a string column
+    * is lexicographic — a reference semantic preserved on purpose
+    * (SURVEY.md §4, `MAX(fastestLapTime)`).
+    */
+  val stats: Q = Q("stats",
+    """SELECT p_brand,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(p_retailprice) AS avg_price,
+      |  max(p_type) AS max_type, count(*) AS total
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        exactAvg(col("p_retailprice")).as("avg_price"),
+        max(col("p_type")).as("max_type"),
+        count(lit(1)).as("total"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** O3 (top10, LU:329-334): ORDER BY + LIMIT — plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort/shuffle of
+    * the full table; asserted in AnalyticsSpec).
+    */
+  val top10: Q = Q("top10",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** F4/W2 (evopoints, F:145-147 + F:367-372): running cumulative sum per
+    * key — the reference's driver-side Python dict, as a distributed window.
+    * Decimal window sum keeps the running total exact at any partition count.
+    */
+  val evopoints: Q = Q("evopoints",
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_points
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("total_points"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** F3/W3 (leader-relative reconstruction, F:152-165): `first` window value
+    * + delta — the reference's stateful per-race Python loop, distributed.
+    */
+  val leaderGap: Q = Q("leader_gap",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  first_value(l_extendedprice) OVER w AS leader_price,
+      |  l_extendedprice - first_value(l_extendedprice) OVER w AS gap
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin) { (s, dir) =>
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata; the extra
+    // l_extendedprice sort key makes the window total-ordered → deterministic.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("leader_price", first(col("l_extendedprice")).over(w))
+      .withColumn("gap", col("l_extendedprice") - col("leader_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+
+  /** F5 (pitstop counts, F:133-138 + F:188): per-key count joined back with
+    * a default of 0 for absent keys (`coalesce`), as the reference defaults
+    * missing pitstop counts.
+    */
+  val pitstop: Q = Q("pitstop",
+    """SELECT c_custkey, coalesce(n, 0) AS n_events
+      |FROM customer LEFT JOIN
+      |  (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) e
+      |ON c_custkey = user_id
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    t(s, dir, "customer")
+      .join(perUser, col("c_custkey") === col("user_id"), "left")
+      .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** O2 (F:376-384): ORDER BY a column that is not in the SELECT list —
+    * resolved against the child relation, exercised through `spark.sql`
+    * exactly like the reference's `sqlContext.sql` path (S9).
+    */
+  val orderByHidden: Q = Q("orderby_hidden",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_custkey, o_orderkey") { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql("SELECT o_orderkey, o_totalprice FROM graft_orders ORDER BY o_custkey, o_orderkey")
+  }
+
+  /** F1+F2 (racetime, F:33-63): parse + format race-time strings, both the
+    * composed-builtin pipeline and the native RaceTimeSeconds expression
+    * (`secs_native`), on strings constructed from testdata columns.
+    */
+  val racetime: Q = Q("racetime",
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    printf('%d:%02d.%03d', CAST(l_quantity AS INT) % 60,
+      |           CAST(l_orderkey % 60 AS INT), CAST((l_partkey % 100) * 10 AS INT)) AS t_str
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT l_orderkey, l_linenumber, t_str,
+      |    CAST(split_part(t_str, ':', 1) AS DOUBLE) * 60
+      |      + CAST(split_part(t_str, ':', 2) AS DOUBLE) AS secs
+      |  FROM t)
+      |SELECT l_orderkey, l_linenumber, t_str, secs, secs AS secs_native,
+      |  printf('%02d:%02d:%05.2f', CAST(floor(secs / 3600) AS INT),
+      |         CAST(floor(fmod(secs, 3600) / 60) AS INT), fmod(secs, 60)) AS fmt
+      |FROM p ORDER BY l_orderkey, l_linenumber, t_str""".stripMargin) { (s, dir) =>
+    RaceTime.register(s)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        format_string("%d:%02d.%03d",
+          col("l_quantity").cast("int") % 60,
+          (col("l_orderkey") % 60).cast("int"),
+          ((col("l_partkey") % 100) * 10).cast("int")).as("t_str"))
+      .withColumn("secs", RaceTime.secondsCol(col("t_str")))
+      .withColumn("secs_native", expr("race_time_seconds(t_str)"))
+      .withColumn("fmt", RaceTime.formatCol(col("secs")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("t_str"))
+  }
+
+  /** Batch analog of the streaming 5-minute windowed aggregation over
+    * `events` (SURVEY.md §2.9 notes the reference has no streaming; the
+    * Structured Streaming variant lives in graft.streaming.EventsStream).
+    */
+  val eventsWindow: Q = Q("events_window",
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(expr("(ts div 300000000000) * 300").cast("long").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(wins, fastestlap, filterDistinct, weather, combine,
+    unionAllSlices, stats, top10, evopoints, leaderGap, pitstop,
+    orderByHidden, racetime, eventsWindow)
+}

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit-schema parquet scans over the driver testdata tables.
+  *
+  * The reference infers schemas everywhere (`inferSchema=True` CSV at
+  * `Lucas files/finalversion:263`, dict-sampled `createDataFrame` at
+  * `finalversion:191`, self-describing parquet at `finalversion:288-289`).
+  * At 100 TB, inference means an extra full/partial pass and schema drift
+  * between runs, so this engine declares every schema up front (S3/S4 in
+  * SURVEY.md §2.1) and treats inference as a tested compatibility mode
+  * (see [[Ingest.csvInferred]]).
+  */
+object Tables {
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    // parquet TIMESTAMP(NANOS) — Spark's reader has no nanos timestamp type;
+    // read the raw int64 nanos (requires spark.sql.legacy.parquet.nanosAsLong)
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events,
+    "documents" -> documents, "embeddings" -> embeddings)
+
+  /** Parquet scan with declared schema (SURVEY.md S4). Declaring the schema
+    * skips footer-based merging across 100k+ files at scale and guarantees
+    * the analyzer's column pruning / filter pushdown target the right types.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+}
