@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the training-data-pipeline extensions beyond the reference's own surface
+  * (BASELINE.json north star). Exact dedup generalizes the reference's
+  * GROUP-BY-as-dedup (SURVEY.md A2, `finalversion:345-349`); the near-dup
+  * family (MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine) is what
+  * a 100 TB corpus needs where O(n²) comparison is impossible.
+  *
+  * Scale design: every pipeline here is shuffle-bounded by (band, key) or
+  * (word) cardinality — no cross join of the full corpus ever happens. The
+  * only quadratic step is within an LSH bucket / shared-token group, which
+  * banding parameters keep small. Hashes are xxhash64 (codegen'd, seeded by
+  * prefixing a literal), so results are deterministic across runs/clusters.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact dedup via content hash: one row per distinct text with copy
+    * count and the id to keep (min). Hash-groupBy — a single shuffle on
+    * md5(text); at 100 TB, group keys are 32-byte digests, not documents.
+    */
+  val exact: Q = Q("dedup_exact",
+    """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+      |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("text_hash"))
+  }
+
+  /** Token-set (1-gram) Jaccard similarity pairs over a deterministic 10%
+    * document sample — the exact pairwise baseline that the MinHash pipeline
+    * below approximates. Sampled because all-pairs is O(n²): this is the
+    * verification oracle for small n, NOT the scale path.
+    */
+  val ngramJaccard: Q = Q("dedup_ngram",
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+      |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY id1, id2)
+      |SELECT id1, id2, n_common,
+      |  CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+      |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+      |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    val words = docs(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = words.as("a"); val b = words.as("b")
+    val inter = a.join(b, col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("s1.n") + col("s2.n") - col("n_common"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"), col("n_common"), jac.as("jaccard"))
+      .filter(jac >= 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash + LSH banding: word-3-gram shingles → 16 minhashes (seeded
+    * xxhash64) → 4 bands of 4 → band-bucket self-join for candidate pairs.
+    * Output is one row per document (signature prefix + candidate count) so
+    * the pipeline is observable even when no near-dups exist.
+    *
+    * Scale: shingle explode is linear; the only join is on (band, bandKey)
+    * — candidate generation cost is Σ bucket², controlled by band width,
+    * never n². This is the standard web-scale near-dup layout.
+    */
+  val minhash: Q = Q.noOracle("dedup_minhash") { (s, dir) =>
+    val toks = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val shingled = toks.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
+      .distinct()
+    val minhashes = (0 until NumHashes).map(i =>
+      min(xxhash64(concat(lit(s"mh$i#"), col("sh")))).as(s"h$i"))
+    val sig = shingled.groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val perDoc = pairs.select(col("id1").as("doc_id"))
+      .unionAll(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash: 64-bit signature where bit j is the sign of Σ over distinct
+    * words of ±1 according to bit j of xxhash64(word). Near-dup candidates
+    * share a 16-bit band (Hamming-distance banding). Integer sums → fully
+    * deterministic under any partitioning.
+    */
+  val simhash: Q = Q.noOracle("dedup_simhash") { (s, dir) =>
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
+    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhashCol = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = sums.select(col("doc_id"), simhashCol.as("simhash"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val perDoc = pairs.select(col("id1").as("doc_id"))
+      .unionAll(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    sig.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup: LSH-bucketed (random hyperplanes, shared
+    * with [[Similarity]]), exact quantized-integer cosine within buckets,
+    * near-neighbor count per vector. The bucket join replaces the O(n²)
+    * all-pairs cosine — the scale path for embedding dedup.
+    */
+  val embed: Q = Q.noOracle("dedup_embed") { (s, dir) =>
+    val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
+    val withVec = sig.select(col("vec_id"), col("bucket"), col("qv"), col("nrm"))
+    val pairs = withVec.as("x").join(withVec.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        Similarity.cosine(col("x.qv"), col("x.nrm"), col("y.qv"), col("y.nrm")).as("cos"))
+      .filter(col("cos") >= 0.8)
+    val perVec = pairs.select(col("id1").as("vec_id"))
+      .unionAll(pairs.select(col("id2").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near"))
+    sig.select(col("vec_id"), col("bucket"))
+      .join(perVec, Seq("vec_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhash, simhash, embed)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the quality/filter stage of a
+  * training-data pipeline (extensions beyond the reference; BASELINE.json
+  * north star). Everything is built from codegen'd built-in expressions:
+  * one narrow projection pass over the corpus, no UDFs, no shuffle except
+  * where an aggregation is the point (wordfreq).
+  *
+  * Counting idiom: occurrences of a literal `s` in `text` are
+  * `(length(text) - length(replace(text, s, ''))) / length(s)` — `replace`
+  * is global in both Spark and DuckDB, so oracles match exactly without
+  * regex-dialect risk.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** #occurrences of literal `w` in `c` (both engines: global replace). */
+  private def occurrences(c: Column, w: String): Column =
+    (length(c) - length(replace(c, lit(w), lit("")))) / w.length
+
+  private def occSql(w: String): String =
+    s"(length(text) - length(replace(text, '$w', ''))) / ${w.length}"
+
+  /** Quality scoring (length / punctuation / stopword / token stats) —
+    * one projection, all integer arithmetic until the final ratios.
+    */
+  val stats: Q = Q("text_stats",
+    s"""SELECT doc_id,
+      |  length(text) AS n_chars2,
+      |  ${occSql(" ")} + 1 AS n_tokens,
+      |  CAST(${occSql(" the ")} AS BIGINT) AS n_stop,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+      |  CAST(length(text) - ${occSql(" ")} AS DOUBLE) / (${occSql(" ")} + 1) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val spaces = occurrences(col("text"), " ")
+    val nTokens = spaces + 1
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      nTokens.as("n_tokens"),
+      occurrences(col("text"), " the ").cast("long").as("n_stop"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("long").as("n_punct"),
+      ((length(col("text")) - spaces).cast("double") / nTokens).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " est "))
+
+  /** Language ID by stopword-marker scoring (n-gram heuristic): score per
+    * language = Σ occurrences of its marker words; argmax with a fixed
+    * preference order on ties. Pure integer arithmetic → the DuckDB oracle
+    * replays the identical decision function.
+    */
+  val langid: Q = Q("text_langid", {
+    val scores = LangMarkers.map { case (l, ms) =>
+      s"(${ms.map(occSql).mkString(" + ")}) AS score_$l"
+    }.mkString(",\n      ")
+    val argmax = LangMarkers.map(_._1).reverse
+      .foldLeft("'en'") { case (acc, l) =>
+        val others = LangMarkers.map(_._1).filter(_ != l)
+          .map(o => s"score_$l > score_$o").mkString(" AND ")
+        s"CASE WHEN $others THEN '$l' ELSE $acc END"
+      }
+    s"""WITH s AS (SELECT doc_id, lang,
+      |      $scores
+      |  FROM documents)
+      |SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+      |  $argmax AS pred_lang
+      |FROM s ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val scored = docs(s, dir).select(
+      Seq(col("doc_id"), col("lang")) ++
+        LangMarkers.map { case (l, ms) =>
+          ms.map(m => occurrences(col("text"), m)).reduce(_ + _).as(s"score_$l")
+        }: _*)
+    val pred = LangMarkers.map(_._1).reverse
+      .foldLeft(lit("en"): Column) { case (acc, l) =>
+        val beatsAll = LangMarkers.map(_._1).filter(_ != l)
+          .map(o => col(s"score_$l") > col(s"score_$o")).reduce(_ && _)
+        when(beatsAll, lit(l)).otherwise(acc)
+      }
+    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text —
+    * the canonical-form hash used for fuzzy-exact dedup of reformatted copies.
+    */
+  val fingerprint: Q = Q("text_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |  length(regexp_replace(text, '\s+', ' ', 'g')) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val norm = regexp_replace(col("text"), "\\s+", " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(lower(norm)).as("fp"),
+      length(norm).as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus term frequency: explode → hash-agg → top-100. The explode is
+    * map-side; the agg shuffles only (word, partial count) pairs — the
+    * classic scalable wordcount shape.
+    */
+  val wordfreq: Q = Q("text_wordfreq",
+    """SELECT w, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY n DESC, w LIMIT 100""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, wordfreq)
+}
