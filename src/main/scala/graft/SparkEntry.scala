@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All implemented capabilities (SURVEY.md §2 inventory + extensions). */
-  def registry: Seq[Q] = operators.Analytics.all
+  def registry: Seq[Q] =
+    operators.Analytics.all ++ operators.TextAnalysis.all ++
+      operators.Dedup.all ++ operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

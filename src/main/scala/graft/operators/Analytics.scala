@@ -271,8 +271,13 @@ object Analytics {
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
+    // Exact integer floor-division (pmod is the non-negative remainder, so
+    // (ts - pmod)/N rounds toward -inf like DuckDB's floor(epoch/300) —
+    // `div` would truncate toward zero for pre-1970 timestamps, and a double
+    // division would lose precision on nanosecond-scale longs).
     t(s, dir, "events")
-      .groupBy(expr("(ts div 300000000000) * 300").cast("long").as("bucket"),
+      .groupBy((expr("(ts - pmod(ts, 300000000000)) div 300000000000") * 300)
+          .cast("long").as("bucket"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))

@@ -86,7 +86,7 @@ object Similarity {
     val planes = s.range(SigBits.toLong * dims).select(
       (col("id") / dims).cast("int").as("b"),
       (col("id") % dims).cast("int").as("i"),
-      when(pmod(xxhash64(concat(lit("plane#"), col("id"))), 2) === 0, 1L).otherwise(-1L).as("sign"))
+      when(pmod(xxhash64(concat(lit("plane#"), col("id"))), lit(2)) === 0, 1L).otherwise(-1L).as("sign"))
     val base = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
