@@ -13,7 +13,8 @@ object SparkEntry {
   /** All implemented capabilities (SURVEY.md §2 inventory + extensions). */
   def registry: Seq[Q] =
     operators.Analytics.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,7 +33,10 @@ object RaceTime {
     val t = ltrim(c, "+")
     val parts = split(t, ":")
     val n = size(parts)
-    val p = (i: Int) => element_at(parts, i).cast("double")
+    // try_cast, not cast: under Spark 4's default ANSI mode a malformed
+    // fragment must yield null (the engine's documented lenient semantics),
+    // not kill the job.
+    val p = (i: Int) => element_at(parts, i).try_cast("double")
     when(c.isNull || c === "N/A", lit(null).cast("double"))
       .when(n === 3, p(1) * 3600 + p(2) * 60 + p(3))
       .when(n === 2, p(1) * 60 + p(2))

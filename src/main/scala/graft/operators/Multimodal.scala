@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata (BASELINE.json north star — the reference has no
+  * binary data; this is the training-data-pipeline extension).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything around it
+  * — the binary column schema, metadata struct, frame slicing, partitioned
+  * batch iteration through `mapPartitions`, feature-vector output shape —
+  * is real Spark plumbing, oracle-checked where SQL-expressible.
+  *
+  * Scale notes: payloads never shuffle except where an aggregation needs
+  * them; metadata-only queries prune the binary column at the scan
+  * (ReadSchema excludes `payload`). Frame slicing is a map-side
+  * posexplode — output rows ≈ payload_bytes / frame_size, linear.
+  */
+object Multimodal {
+
+  /** Synthetic media table derived deterministically from `documents`:
+    * payload = UTF-8 bytes of the text (stand-in for encoded media),
+    * media_type cycles image/audio/video, metadata struct carries the typed
+    * fields a real decoder would fill (dimensions, sample rate, frame size).
+    */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+      struct(
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        lit(64).as("frame_bytes")).as("meta"))
+
+  /** Metadata/shape query — binary length + typed metadata, no decode.
+    * The plan must NOT read text beyond the payload encode; at scale with a
+    * real binary column the scan prunes to (doc_id, payload-length) only.
+    */
+  val mediaMeta: Q = Q("media_meta",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(doc_id % 640 + 1 AS INT) AS width,
+      |  CAST(doc_id % 480 + 1 AS INT) AS height,
+      |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    media(s, dir).select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      ceil(length(col("payload")) / col("meta.frame_bytes").cast("double"))
+        .cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: slice the payload into fixed-size frames and keep every
+    * 4th (the video-keyframe pattern). Pure built-ins — substring on binary
+    * is codegen'd; the explode is map-side, no shuffle until the final sort.
+    */
+  val mediaFrames: Q = Q("media_frames",
+    """WITH f AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS frame_no
+      |  FROM documents)
+      |SELECT doc_id, frame_no,
+      |  least(CAST(64 AS BIGINT), n_bytes - frame_no * 64) AS frame_bytes
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+    media(s, dir)
+      .select(col("doc_id"), col("payload"), length(col("payload")).as("n_bytes"),
+        ceil(length(col("payload")) / lit(64.0)).cast("long").as("n_frames"))
+      .select(col("doc_id"), col("payload"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        least(lit(64L), col("n_bytes") - col("frame_no") * 64).as("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** One decoded media item: id + raw payload in, id + feature vector out —
+    * the batch shape a real extractor (JPEG decode → CNN features, audio →
+    * mel spectrogram) would use.
+    */
+  case class MediaItem(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** ======== STUB ========
+    * Deterministic fake "decode + feature-extract": 8 features, feature j =
+    * mean of payload bytes at positions ≡ j (mod 8). A real deployment
+    * swaps ONLY this function for a codec call (e.g. javax.imageio /
+    * ffmpeg-over-pipe); the per-partition batching, schema, and partitioning
+    * around it stay identical. Marked STUB per the build contract — the
+    * container ships no media codecs.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val sums = new Array[Long](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      val j = i % 8
+      sums(j) += payload(i) & 0xff
+      counts(j) += 1
+      i += 1
+    }
+    Array.tabulate(8)(j => if (counts(j) == 0) 0f else sums(j).toFloat / counts(j))
+  }
+
+  /** Distributed feature extraction: typed `mapPartitions` so a real decoder
+    * can amortize per-partition init (model load, codec context) across the
+    * rows of one partition — the Scala analog of a batched `mapInPandas`.
+    */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { batch =>
+      // real impl: open codec/model ONCE here, then stream the batch
+      batch.map(m => MediaFeatures(m.doc_id, decodeStub(m.payload)))
+    }
+  }
+
+  /** End-to-end features query (rows-only check: the stub's float output is
+    * engine-specific; determinism + shape are asserted in MultimodalSpec).
+    * Emits per-doc feature mean/min/max so the result is inspectable.
+    */
+  val mediaFeaturesQ: Q = Q.noOracle("media_features") { (s, dir) =>
+    import s.implicits._
+    val items = media(s, dir).select(col("doc_id"), col("payload")).as[MediaItem]
+    extractFeatures(items)
+      .select(col("doc_id"),
+        aggregate(col("features"), lit(0.0), (a, x) => a + x)
+          .divide(size(col("features"))).as("f_mean"),
+        array_min(col("features")).cast("double").as("f_min"),
+        array_max(col("features")).cast("double").as("f_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFrames, mediaFeaturesQ)
+}

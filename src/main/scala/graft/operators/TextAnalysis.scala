@@ -125,5 +125,23 @@ object TextAnalysis {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(stats, langid, fingerprint, wordfreq)
+  /** Token counting, whitespace + BPE-ish: the regex splits words, single
+    * digits, and punctuation into separate tokens — the pre-tokenization
+    * pass BPE vocabularies assume. Character classes only (no \s/\w) so the
+    * Java-regex and RE2 dialects agree byte-for-byte on ASCII corpora.
+    */
+  val tokens: Q = Q("text_tokens",
+    """SELECT doc_id,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, wordfreq, tokens)
 }

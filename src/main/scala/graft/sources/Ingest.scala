@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink operator family (SURVEY.md §2.1 S1–S8).
+  *
+  * The reference ingests over HTTP driver-side (`Lucas files/
+  * finalversion:65-105` Ergast JSON, `finalversion:221-251` Meteostat CSV)
+  * and lands files in a datalake; the engine proper starts at the landed
+  * files. Here every landed format has an explicit-schema reader (the
+  * 100 TB default) plus the reference's inference behavior as a tested
+  * compatibility mode.
+  */
+object Ingest {
+
+  /** S3 compatibility mode: header + schema inference, exactly the
+    * reference's `spark.read.csv(path, header=True, inferSchema=True)`
+    * (`finalversion:263`). Inference costs an extra pass over the data and
+    * can drift between runs — prefer [[csv]] with a declared schema.
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).option("inferSchema", true).csv(path)
+
+  /** S3 scale path: header CSV with a declared schema — single pass, stable
+    * types (e.g. the weather `date` column stays StringType so the
+    * (city,country,date) join key can never drift, SURVEY.md §7.4).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** S1 landed-file reader: newline-delimited JSON with a declared
+    * (possibly nested) schema — the distributed replacement for the
+    * reference's driver-side dict walking (`finalversion:130-170`).
+    * `multiLine=true` handles one-pretty-printed-object-per-file layouts
+    * like the reference's raw zone (one JSON document per race).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType,
+      multiLine: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiLine).schema(schema).json(path)
+
+  /** S4: parquet scan with declared schema (see [[Tables.load]]). */
+  def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** S5: in-memory rows → Dataset, the typed equivalent of the reference's
+    * `spark.createDataFrame(list_of_dicts)` (`finalversion:191`) — schema
+    * comes from the case-class Encoder, not sampling.
+    */
+  def fromRows[T: org.apache.spark.sql.Encoder](spark: SparkSession, rows: Seq[T]): Dataset[T] =
+    spark.createDataset(rows)
+
+  /** S6: the reference's single-file overwrite parquet sink
+    * (`df.coalesce(1).write.mode("overwrite").parquet`, `finalversion:192`).
+    * `coalesce(1)` funnels the whole job through one task — correct for a
+    * "one output file" contract, an anti-pattern at 100 TB; kept as an
+    * explicit option, never a default.
+    */
+  def writeParquetSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S6 scale path: parallel parquet write, optionally partitioned by
+    * columns (the datalake-zone layout the reference fakes with path
+    * conventions, `finalversion:192,272,292`).
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S7: CSV→Parquet zone converter (`finalversion:274-281`). */
+  def csvToParquet(spark: SparkSession, csvPath: String, parquetPath: String,
+      schema: StructType): Unit =
+    writeParquet(csv(spark, csvPath, schema), parquetPath)
+
+  /** S8 stand-in: the reference bulk-indexes result parquets into
+    * Elasticsearch as JSON documents (`Code Big Data Project.py:401-454`);
+    * without network egress the engine-side equivalent is the JSON-lines
+    * sink (same `{field: value}` documents elasticsearch-hadoop would POST).
+    */
+  def writeJsonDocs(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

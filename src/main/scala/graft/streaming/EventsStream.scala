@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table shape.
+  *
+  * The reference is pure batch (`@monthly` Airflow DAG,
+  * `Lucas files/finalversion:431`; SURVEY.md §2.9) — this module is the
+  * strictly-additive streaming surface: the same 5-minute windowed
+  * aggregation as the batch `events_window` query, plus per-user
+  * sessionization with custom state. Transform logic takes a DataFrame so
+  * the identical plan runs over `readStream` sources in production and
+  * `MemoryStream` in tests.
+  *
+  * Scale notes: the windowed agg shuffles on (window, event_type) with
+  * map-side partial aggregation; the watermark bounds state to 10 minutes of
+  * event-time per key. Sessionization state is one small struct per active
+  * user, dropped by processing-time timeout.
+  */
+object EventsStream {
+
+  /** Event row as arriving on the stream (ts is a real event-time column —
+    * the batch parquet's TIMESTAMP(NANOS) lands here as timestamp).
+    */
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
+      closed: Boolean)
+
+  // public: Catalyst's generated deserializer instantiates it reflectively
+  case class SessionState(n: Long, sum: Double)
+
+  /** 5-minute tumbling-window count/sum per event type with a 10-minute
+    * watermark — the streaming twin of the batch `events_window` query
+    * (graft.operators.Analytics.eventsWindow). Late rows beyond the
+    * watermark are dropped; state per (window, type) is evicted once the
+    * watermark passes the window end.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user running session state via mapGroupsWithState: accumulates
+    * event count + value sum per user, closing the session after 30 minutes
+    * of processing-time inactivity (SURVEY.md §2.9's "custom state" slot).
+    *
+    * `timeout` is injectable: production uses the default
+    * ProcessingTimeTimeout (idle sessions close + state is evicted — at
+    * scale unbounded state is a leak); tests pass NoTimeout because a
+    * pending timeout keeps the no-data micro-batch loop spinning, which
+    * deadlocks `processAllAvailable`.
+    */
+  def sessionize(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val usesTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.n, s.sum, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+            val (n, sum) = rows.foldLeft((prev.n, prev.sum)) {
+              case ((c, v), e) => (c + 1, v + e.value)
+            }
+            state.update(SessionState(n, sum))
+            if (usesTimeout) state.setTimeoutDuration("30 minutes")
+            SessionUpdate(userId, n, sum, closed = false)
+          }
+      }
+  }
+
+  /** Production wiring: stream the events directory as it grows (new parquet
+    * files per micro-batch), aggregate, write parquet with checkpointing.
+    * Returns the started query; callers own its lifecycle.
+    */
+  def run(spark: SparkSession, eventsDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val input = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(eventsDir)
+    windowedCounts(input).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

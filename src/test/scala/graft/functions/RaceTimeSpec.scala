@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** F1/F2 scalar semantics (SURVEY.md §2.3; cases from FIXTURES.md §A8). */
+class RaceTimeSpec extends SparkSpec {
+
+  private val cases: Seq[(String, Option[Double])] = Seq(
+    "1:37:33.584" -> Some(5853.584), // H:MM:SS.mmm
+    "1:34.570" -> Some(94.570), // M:SS.mmm
+    "+5.598" -> Some(5.598), // gap without colon
+    "+1:07.219" -> Some(67.219), // gap with colon
+    "N/A" -> None,
+    "not a time" -> None) // reference raises; engine yields null (doc'd)
+
+  private def viaSpark(expr: String => org.apache.spark.sql.Column,
+      inputs: Seq[String]): Seq[Option[Double]] = {
+    import spark.implicits._
+    // keep input order: parse alongside the input, collect pairs
+    val m = inputs.toDF("s").select(col("s"), expr("s").as("v"))
+      .as[(String, Option[Double])].collect().toMap
+    inputs.map(m)
+  }
+
+  private def assertCases(got: Seq[Option[Double]]): Unit =
+    got.zip(cases).foreach { case (g, (in, exp)) =>
+      exp match {
+        case Some(e) => assert(g.exists(v => math.abs(v - e) < 1e-9),
+          s"input $in: got $g expected $e")
+        case None => assert(g.isEmpty, s"input $in: got $g expected null")
+      }
+    }
+
+  test("composed-builtin parser matches the reference cases") {
+    assertCases(viaSpark(s => RaceTime.secondsCol(col(s)), cases.map(_._1)))
+  }
+
+  test("native RaceTimeSeconds expression matches the reference cases") {
+    RaceTime.register(spark)
+    assertCases(viaSpark(s => expr(s"race_time_seconds($s)"), cases.map(_._1)))
+  }
+
+  test("native expression and composed builtins agree on a generated grid") {
+    RaceTime.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val inputs = Seq.fill(200) {
+      rnd.nextInt(4) match {
+        case 0 => f"${rnd.nextInt(60)}%d:${rnd.nextInt(60)}%02d.${rnd.nextInt(1000)}%03d"
+        case 1 => f"+${rnd.nextInt(10)}%d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d.000"
+        case 2 => f"+${rnd.nextDouble() * 100}%.3f"
+        case _ => "N/A"
+      }
+    }
+    val df = inputs.toDF("s")
+      .select(RaceTime.secondsCol(col("s")).as("a"), expr("race_time_seconds(s)").as("b"))
+    assert(df.filter(!(col("a") <=> col("b"))).count() === 0)
+  }
+
+  test("format matches the reference zero-padded HH:MM:SS.ss shape") {
+    import spark.implicits._
+    // FIXTURES.md §A8: 5853.584 → "01:37:33.58"
+    val got = Seq(5853.584, 0.0, 59.999, 3661.0).toDF("x")
+      .select(RaceTime.formatCol(col("x"))).as[String].collect()
+    assert(got(0) === "01:37:33.58")
+    assert(got(1) === "00:00:00.00")
+    assert(got(3) === "01:01:01.00")
+  }
+
+  test("parse∘format round-trips to 2-decimal precision") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val secs = Seq.fill(200)(rnd.nextDouble() * 35999.99)
+    val rows = secs.toDF("x")
+      .select(col("x"), RaceTime.secondsCol(RaceTime.formatCol(col("x"))).as("rt"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (x, rt) =>
+      // %05.2f rounds to 2 decimals → max drift 0.005
+      assert(math.abs(x - rt) < 0.005 + 1e-9, s"$x → $rt")
+    }
+  }
+}

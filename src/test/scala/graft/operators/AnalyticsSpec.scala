@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape assertions (SURVEY.md §5): the queries must not just return
+  * the right rows — they must plan the way a 100 TB run needs. Row-level
+  * correctness is the driver's DuckDB oracle gate (tools/compare.py); these
+  * specs pin the physical-plan properties that gate scale.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("top10 plans as TakeOrderedAndProject (per-partition top-k, no global sort)") {
+    assert(plan("top10").contains("TakeOrderedAndProject"))
+  }
+
+  test("wins pushes the l_linenumber filter into the parquet scan") {
+    val p = plan("wins")
+    assert(p.contains("PushedFilters: [IsNotNull(l_linenumber), EqualTo(l_linenumber,1)]"), p)
+  }
+
+  test("wins prunes the scan to the 3 referenced lineitem columns") {
+    val p = plan("wins")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_shipdate") &&
+      read.contains("l_linenumber") && !read.contains("l_extendedprice"), read)
+  }
+
+  test("combine broadcasts the nation/region dimension joins") {
+    val p = plan("combine")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("combine: dims broadcast by hint, fact-fact join shuffles at scale") {
+    // At test SF everything fits under the broadcast threshold, so disable
+    // size-based broadcasting: what remains models the 100 TB planner state.
+    // The explicit broadcast() hints on nation/region must survive; the
+    // orders⋈customer fact-fact join (both sides grow with SF) must not.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pre = SparkEntry.queries("combine")(spark, sf("sf0.01"))
+        .queryExecution.sparkPlan.toString
+      assert(pre.contains("BroadcastHashJoin"), pre) // hinted dims
+      assert(pre.contains("SortMergeJoin") || pre.contains("ShuffledHashJoin"), pre)
+    }
+  }
+
+  private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("aggregations are two-phase (partial map-side, final after exchange)") {
+    val p = plan("wins")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // AQE finalizes the plan only on execution — run first, then inspect.
+    // "*(n)" is the WholeStageCodegen stage marker in the simple plan string;
+    // scan→filter→project→partial-agg must share stage 1.
+    val df = SparkEntry.queries("wins")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"), p)
+  }
+
+  test("every query is registered with a runnable plan and entry smoke-passes") {
+    assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

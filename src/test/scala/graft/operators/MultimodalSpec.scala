@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema/partitioning/batch shape are real even while
+  * the decode itself is the documented deterministic stub.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("media table exposes binary payload + typed metadata struct") {
+    val m = Multimodal.media(spark, dir)
+    val fields = m.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(fields("payload") === "binary")
+    assert(fields("meta") === "struct")
+    val row = m.select($"doc_id", length($"payload"), $"meta.frame_bytes").limit(1).collect()(0)
+    assert(row.getInt(2) === 64)
+  }
+
+  test("metadata-only query prunes the text/payload from the document scan") {
+    // media_meta needs byte length; width/height/media_type derive from
+    // doc_id only — the scan must not read lang/source/n_chars
+    val p = Multimodal.mediaMeta.run(spark, dir).queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("n_chars"), read)
+  }
+
+  test("decode stub is deterministic and preserves batch shape") {
+    val payloads = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9), Array.emptyByteArray)
+    payloads.foreach { p =>
+      val a = Multimodal.decodeStub(p)
+      val b = Multimodal.decodeStub(p)
+      assert(a.length === 8)
+      assert(a.toSeq === b.toSeq)
+    }
+    // feature 0 = mean of bytes at positions 0, 8: (1 + 9) / 2 = 5
+    assert(Multimodal.decodeStub(payloads.head)(0) === 5.0f)
+  }
+
+  test("extractFeatures runs distributed over partitions with stable output") {
+    val items = Multimodal.media(spark, dir)
+      .select($"doc_id", $"payload").as[Multimodal.MediaItem]
+      .repartition(4)
+    val out = Multimodal.extractFeatures(items)
+    assert(out.rdd.getNumPartitions === 4) // mapPartitions preserves partitioning
+    val feats = out.collect()
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.length === items.count())
+    // same input → identical features regardless of partitioning
+    val again = Multimodal.extractFeatures(items.repartition(2)).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) === f.features.toSeq))
+  }
+
+  test("frame sampling covers every 4th frame with correct tail size") {
+    val rows = Multimodal.mediaFrames.run(spark, dir)
+      .filter($"doc_id" === 0)
+      .select($"frame_no", $"frame_bytes").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    rows.init.foreach { case (_, b) => assert(b === 64L) }
+    assert(rows.map(_._1).forall(_ % 4 == 0))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming surface: the windowed agg + watermark and the
+  * stateful sessionization over MemoryStream micro-batches.
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowedCounts aggregates 5-minute tumbling windows under a watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+        EventsStream.Event(ts(2, 0), 2L, "click", 2.0),
+        EventsStream.Event(ts(6, 0), 1L, "view", 5.0))
+      query.processAllAvailable()
+      // advance event time past watermark (10:06 + 10min) to close 10:00 window
+      input.addData(EventsStream.Event(ts(20, 0), 3L, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"bucket_start", $"event_type", $"n", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(5), "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize keeps running per-user state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream
+      .sessionize(input.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0), 1L, "click", 1.0),
+        EventsStream.Event(ts(1), 1L, "click", 2.0),
+        EventsStream.Event(ts(1), 2L, "view", 7.0))
+      query.processAllAvailable()
+      input.addData(EventsStream.Event(ts(2), 1L, "view", 4.0))
+      query.processAllAvailable()
+      val byUser = spark.table("sess_out")
+        .as[EventsStream.SessionUpdate].collect()
+        .groupBy(_.user_id).view.mapValues(_.last).toMap
+      assert(byUser(1L).n_events === 3L) // state carried across batches
+      assert(byUser(1L).sum_value === 7.0)
+      assert(byUser(2L).n_events === 1L)
+      assert(!byUser(1L).closed)
+    } finally query.stop()
+  }
+}
