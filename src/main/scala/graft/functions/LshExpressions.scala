@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Random-hyperplane LSH signatures as a native Catalyst expression.
+  *
+  * The declarative formulation (one zip_with/aggregate fold per signature
+  * bit) evaluates higher-order lambdas interpreted — tables×bits×dims ≈ 4k
+  * interpreted ops per row dominated the similarity bench. This expression
+  * computes ALL table signatures in one JIT-compiled JVM call inside
+  * whole-stage codegen: the scan→quantize→sign stage stays one codegen
+  * stage with zero shuffles, which is what makes the signature pass
+  * embarrassingly parallel at 100 TB.
+  */
+object LshPlanes {
+  val NumTables = 8
+  val TableBits = 8
+  val Dims = 64
+
+  /** ±1 plane tensor flattened [t][b][i] — seeded PRNG: deterministic
+    * across runs, executors, and clusters; no stored model.
+    */
+  val signs: Array[Long] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumTables * TableBits * Dims)(if (rnd.nextBoolean()) 1L else -1L)
+  }
+
+  /** buckets(qv)[t] = Σ_b (sign(Σ_i qv[i]·±1) << (TableBits-1-b)). Exact
+    * integer arithmetic — identical buckets on any partitioning.
+    */
+  def buckets(qv: Array[Long]): Array[Long] = {
+    val out = new Array[Long](NumTables)
+    val d = math.min(qv.length, Dims)
+    var t = 0
+    while (t < NumTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < TableBits) {
+        val base = (t * TableBits + b) * Dims
+        var proj = 0L
+        var i = 0
+        while (i < d) {
+          proj += qv(i) * signs(base + i)
+          i += 1
+        }
+        bucket = (bucket << 1) | (if (proj > 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  /** JVM entry shared by interpreted eval and generated code. */
+  def bucketsData(qv: ArrayData): ArrayData =
+    new GenericArrayData(buckets(qv.toLongArray()))
+}
+
+/** `hyperplane_buckets(array<long>) -> array<long>` (one bucket per LSH
+  * table), registered as a SQL temp function like
+  * [[graft.functions.RaceTimeSeconds]].
+  */
+case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    LshPlanes.bucketsData(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshPlanes.bucketsData($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object LshExpressions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_buckets", exprs => HyperplaneBuckets(exprs.head), "built-in")
+}

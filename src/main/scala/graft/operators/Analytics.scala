@@ -59,6 +59,28 @@ object Analytics {
       .orderBy(col("l_orderkey"))
   }
 
+  /** W1 at scale: the same top-1-per-group as [[fastestlap]], reformulated
+    * as `min(struct(...))` hash aggregation. The window form shuffles every
+    * row then sorts each partition; this form combines map-side to one
+    * struct per group before the exchange — at 100 TB the shuffle carries
+    * |groups| rows instead of |input| rows. Same oracle: lexicographic
+    * struct min ≡ first row under ORDER BY (price, linenumber).
+    */
+  val fastestlapAgg: Q = Q("fastestlap_agg",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |                            ORDER BY l_extendedprice, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(col("l_extendedprice"), col("l_linenumber"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber").as("l_linenumber"),
+        col("m.l_extendedprice").as("l_extendedprice"))
+      .orderBy(col("l_orderkey"))
+  }
+
   /** A2 (filter, F:345-349): GROUP BY as dedup — `dropDuplicates` semantics. */
   val filterDistinct: Q = Q("filter",
     """SELECT DISTINCT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS yr
@@ -283,7 +305,7 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(wins, fastestlap, filterDistinct, weather, combine,
-    unionAllSlices, stats, top10, evopoints, leaderGap, pitstop,
-    orderByHidden, racetime, eventsWindow)
+  val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
+    weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
+    pitstop, orderByHidden, racetime, eventsWindow)
 }

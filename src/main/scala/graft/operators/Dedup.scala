@@ -162,16 +162,18 @@ object Dedup {
     */
   val embed: Q = Q.noOracle("dedup_embed") { (s, dir) =>
     val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
-    val withVec = sig.select(col("vec_id"), col("bucket"), col("qv"), col("nrm"))
-    val pairs = withVec.as("x").join(withVec.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    val entries = Similarity.bucketEntries(sig)
+    val pairs = entries.as("x").join(entries.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
         Similarity.cosine(col("x.qv"), col("x.nrm"), col("y.qv"), col("y.nrm")).as("cos"))
       .filter(col("cos") >= 0.8)
+      .distinct() // a pair co-bucketed in several tables counts once
     val perVec = pairs.select(col("id1").as("vec_id"))
       .unionAll(pairs.select(col("id2").as("vec_id")))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near"))
-    sig.select(col("vec_id"), col("bucket"))
+    sig.select(col("vec_id"))
       .join(perVec, Seq("vec_id"), "left")
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
       .orderBy(col("vec_id"))

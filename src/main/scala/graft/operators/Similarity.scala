@@ -68,54 +68,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** Signature width: 2^6 = 64 buckets. Sized for the test corpus (hundreds
-    * to thousands of vectors → ~n/64 candidates per probe); at real scale
-    * this widens with log2(n) and/or adds multi-probe — the plumbing is
-    * identical.
+  /** LSH layout (constants in [[graft.functions.LshPlanes]]): 8 independent
+    * tables × 8-bit signatures (256 buckets each). One table alone has poor
+    * recall (a true neighbor must match all bits at once); OR-amplification
+    * across tables lifts recall to 1-(1-p^bits)^tables while the candidate
+    * set stays ~tables·n/2^bits per probe. At real scale widen TableBits
+    * with log2(n); the plumbing is identical.
     */
-  private val SigBits = 6
 
-  /** Per-vector random-hyperplane signature: bit b = sign(Σᵢ qvᵢ·±1) where
-    * the ±1 planes are derived from xxhash64 (deterministic, no stored
-    * model). Exact integer sums → identical buckets on any cluster layout.
-    * Output carries the quantized vector + squared norm for downstream
+  /** Per-vector signatures for all tables, as `buckets: array<long>`: bit b
+    * of table t is sign(Σᵢ qvᵢ·±1) against a plan-time-fixed ±1 plane
+    * tensor. Exact integer sums → identical buckets on any cluster layout;
+    * output carries the quantized vector + squared norm for downstream
     * in-bucket exact rescoring.
+    *
+    * The signature is the native codegen'd [[graft.functions.HyperplaneBuckets]]
+    * expression — one JIT'd call per row, zero shuffles: at 100 TB this
+    * stage is embarrassingly parallel, vs. an explode→plane-join→2×groupBy
+    * layout that pushes n×dims×bits rows through two exchanges (and vs.
+    * interpreted higher-order-function folds, which benched 5× slower).
     */
   def hyperplaneSignatures(s: SparkSession, embeddings: DataFrame): DataFrame = {
-    val dims = 64
-    val planes = s.range(SigBits.toLong * dims).select(
-      (col("id") / dims).cast("int").as("b"),
-      (col("id") % dims).cast("int").as("i"),
-      when(pmod(xxhash64(concat(lit("plane#"), col("id"))), lit(2)) === 0, 1L).otherwise(-1L).as("sign"))
-    val base = embeddings
+    graft.functions.LshExpressions.register(s)
+    embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
-    val comps = base.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "v")))
-    val bits = comps.join(broadcast(planes), Seq("i"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum(col("v") * col("sign")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
-    val bucket = bits.groupBy(col("vec_id"))
-      .agg(sum(expr("shiftleft(bit, b)")).as("bucket"))
-    base.join(bucket, Seq("vec_id"))
+      .withColumn("buckets", expr("hyperplane_buckets(qv)"))
   }
 
-  /** ANN via LSH: signature bucketing + in-bucket exact cosine top-k for the
-    * same query set as [[knnBrute]] (so recall is directly comparable).
-    * Queries probe only their own bucket — at scale the candidate set is
-    * n/2^bits per bucket instead of n.
+  /** Exploded (vec_id, table, bucket) view for candidate joins. */
+  def bucketEntries(sig: DataFrame): DataFrame =
+    sig.select(col("vec_id"), col("qv"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+
+  /** ANN via multi-table LSH: candidates = union over tables of same-bucket
+    * vectors, dedup'd, then exact quantized-integer cosine rescoring and
+    * per-query top-10 (same query set as [[knnBrute]], so recall is directly
+    * comparable — asserted in DedupSimilaritySpec). Queries probe only
+    * their own buckets: per probe the candidate set is ~tables·n/2^bits
+    * instead of n.
     */
   val annLsh: Q = Q.noOracle("ann_lsh") { (s, dir) =>
-    val sig = hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
-    val queries = sig.filter(col("vec_id") < 5)
+    val entries = bucketEntries(hyperplaneSignatures(s, Tables.load(s, dir, "embeddings")))
+    val queries = entries.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+        col("nrm").as("q_nrm"), col("t").as("q_t"), col("bucket").as("q_bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    sig.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+    entries.join(broadcast(queries),
+        col("t") === col("q_t") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
+      .distinct() // a pair matching in several tables scores once
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
