@@ -80,4 +80,10 @@ object Ingest {
     */
   def writeJsonDocs(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** P8+P9: the reference's pre-indexing cleanup (`Martin files/elsastic
+    * parquet.py:22,26`) — zero-fill numeric nulls, drop unindexed columns.
+    */
+  def prepareForIndexing(df: DataFrame, dropCols: String*): DataFrame =
+    df.na.fill(0).drop(dropCols: _*)
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Source/sink family (SURVEY.md §2.1): round-trip each reader/writer
+  * through a temp dir, plus the inference-vs-declared-schema contrast and
+  * the pre-indexing cleanup.
+  */
+class IngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-ingest").toString
+
+  private val csvSchema = StructType(Seq(
+    StructField("date", StringType),
+    StructField("tavg", DoubleType),
+    StructField("prcp", DoubleType)))
+
+  test("csv with declared schema keeps date a string; inference drifts it") {
+    val p = s"$tmp/weather.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      "date,tavg,prcp\n2022-03-20,24.1,0.0\n2022-03-21,23.0,\n")
+    val declared = Ingest.csv(spark, p, csvSchema)
+    assert(declared.schema("date").dataType === StringType)
+    assert(declared.count() === 2)
+    // compat mode: inference turns date into DateType — exactly the drift
+    // that would silently empty the (city,country,date) join (SURVEY.md §7.4)
+    val inferred = Ingest.csvInferred(spark, p)
+    assert(inferred.schema("date").dataType === DateType)
+  }
+
+  test("parquet write → declared-schema read round-trips, partitioned layout works") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "k", "v")
+    Ingest.writeParquet(df, s"$tmp/part", partitionBy = Seq("k"))
+    val back = spark.read.parquet(s"$tmp/part")
+    assert(back.count() === 3)
+    assert(back.select("k").distinct().count() === 2)
+    // single-file variant (the reference's coalesce(1) contract)
+    Ingest.writeParquetSingleFile(df, s"$tmp/single")
+    val files = new java.io.File(s"$tmp/single").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 1)
+  }
+
+  test("csvToParquet converts a landed CSV into the formatted zone") {
+    val p = s"$tmp/w2.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      "date,tavg,prcp\n2022-03-20,24.1,0.0\n")
+    Ingest.csvToParquet(spark, p, s"$tmp/w2.parquet", csvSchema)
+    assert(spark.read.parquet(s"$tmp/w2.parquet").count() === 1)
+  }
+
+  test("writeJsonDocs emits one JSON document per row (ES bulk stand-in)") {
+    Ingest.writeJsonDocs(Seq((1L, "x")).toDF("id", "name"), s"$tmp/docs")
+    val lines = spark.read.textFile(s"$tmp/docs").collect()
+    assert(lines.length === 1)
+    assert(lines(0).contains("\"id\":1") && lines(0).contains("\"name\":\"x\""))
+  }
+
+  test("prepareForIndexing zero-fills numeric nulls and drops columns (P8/P9)") {
+    val df = Seq((1L, Some(2.5), "keep"), (2L, None, "keep"))
+      .toDF("id", "v", "extra")
+    val out = Ingest.prepareForIndexing(df, "extra")
+    assert(out.columns.toSeq === Seq("id", "v"))
+    assert(out.filter($"id" === 2).select("v").as[Double].head() === 0.0)
+  }
+
+  test("fromRows builds a typed Dataset with the Encoder's schema") {
+    val ds = Ingest.fromRows(spark, Seq(graft.streaming.EventsStream.Event(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0)))
+    assert(ds.schema.fieldNames.toSeq === Seq("ts", "user_id", "event_type", "value"))
+    assert(ds.count() === 1)
+  }
+}
