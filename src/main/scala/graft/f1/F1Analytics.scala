@@ -63,12 +63,15 @@ object F1Analytics {
       .orderBy(col("year"), col("date"), col("driverFullName"),
         col("totalPoints"), col("city"))
 
-  /** constructor points (`finalversion:373-378`). */
+  /** constructor points (`finalversion:373-378`). The output column is
+    * `ConstructorName` (capital C) — the reference's SELECT writes it that
+    * way and the golden parquet carries that exact casing.
+    */
   def evoPointsConstructor(races: DataFrame): DataFrame =
     races.select(col("year"), col("date"), col("driverFullName"),
-        col("constructorName"), col("totalPoints"), col("city"))
+        col("constructorName").as("ConstructorName"), col("totalPoints"), col("city"))
       .orderBy(col("year"), col("date"), col("driverFullName"),
-        col("constructorName"), col("totalPoints"), col("city"))
+        col("ConstructorName"), col("totalPoints"), col("city"))
 
   /** pitstop (O2, `finalversion:376-384`): ORDER BY `constructorName`, a
     * column not in the SELECT list — resolved against the child then dropped.

@@ -126,5 +126,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(knnBrute, annLsh)
+  /** ANN via IVF (inverted-file index): a K-centroid coarse quantizer
+    * partitions the corpus into inverted lists; each vector is assigned
+    * map-side to its nearest centroid via the native codegen'd
+    * [[graft.functions.CentroidSims]] expression (the centroid matrix is a
+    * plan literal — collecting K=16 tiny vectors to the driver is the
+    * quantizer's "model", not a data collect). Queries probe their NProbe
+    * closest centroids and rescore exactly inside those lists — per probe
+    * the candidate set is ~NProbe·n/K instead of n, and the only shuffle
+    * over the corpus is the final per-query top-k.
+    *
+    * At real scale the centroids come from an offline k-means sample and K
+    * grows with √n; the probe/assign/rescore plumbing here is unchanged.
+    */
+  val annIvf: Q = Q.noOracle("ann_ivf") { (s, dir) =>
+    import s.implicits._
+    graft.functions.IvfExpressions.register(s)
+    val K = 16
+    val NProbe = 4
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    // deterministic seed centroids (stand-in for an offline-trained quantizer)
+    val cents: Seq[Seq[Long]] = base.filter(col("vec_id") < K)
+      .orderBy(col("vec_id")).select(col("qv")).as[Seq[Long]].collect().toSeq
+    val centsLit = typedLit(cents)
+    val withSims = base.withColumn("sims",
+      call_function("centroid_sims", col("qv"), centsLit))
+    val assigned = withSims
+      .withColumn("cid",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
+    // top-NProbe centroid ids per query: sort (−sim, idx) structs, project idx
+    val probes = withSims.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"),
+        explode(expr(
+          s"""slice(transform(array_sort(zip_with(sims, sequence(0, ${K - 1}),
+             |(s, i) -> named_struct('negs', -s, 'i', i))), x -> x.i), 1, $NProbe)"""
+            .stripMargin.replace("\n", " "))).as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes),
+        assigned("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val all: Seq[Q] = Seq(knnBrute, annLsh, annIvf)
 }

@@ -30,6 +30,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits > 0, s"LSH recall is zero over ${lsh.length} candidates")
   }
 
+  test("ann_ivf probes recover brute-force neighbors") {
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n) => assert(q != n) }
+    val hits = ivf.count(brute.contains)
+    assert(hits > 0, s"IVF recall is zero over ${ivf.length} candidates")
+  }
+
   test("minhash assigns identical signatures to exact duplicate texts") {
     // plant duplicates: re-run signatures over documents ∪ copy of doc 0-4
     val docs = graft.sources.Tables.load(spark, dir, "documents")

@@ -39,6 +39,29 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("run() streams a growing parquet directory into aggregated parquet") {
+    import org.apache.spark.sql.functions.lit
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val eventsDir = s"$tmp/events"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
+    // land a first micro-batch file
+    Seq(EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+      EventsStream.Event(ts(2, 0), 2L, "click", 2.0))
+      .toDF().write.parquet(eventsDir)
+    val query = EventsStream.run(spark, eventsDir, outDir, ck)
+    try {
+      query.processAllAvailable()
+      // land a second file far past the watermark → closes the first window
+      Seq(EventsStream.Event(ts(20, 0), 3L, "view", 9.0))
+        .toDF().write.mode("append").parquet(eventsDir)
+      query.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.columns.toSeq ===
+        Seq("bucket_start", "event_type", "n", "sum_value"))
+      val closed = out.filter(lit(true)).collect()
+      assert(closed.exists(r => r.getString(1) == "click" && r.getLong(2) == 2L))
+    } finally query.stop()
+  }
+
   test("sessionize keeps running per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
