@@ -305,7 +305,26 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Skew-resilient aggregation: `event_type` has a handful of hot keys, so
+    * a direct groupBy sends each whole key to one reducer. The salted form
+    * splits every key 16 ways (phase 1), then combines the partials
+    * (phase 2) — the classic hot-key treatment when AQE's skew handling
+    * doesn't apply (it only splits join partitions). Decimal partials keep
+    * the two-phase sum bit-identical to the direct form at any parallelism.
+    */
+  val skewAgg: Q = Q("skew_agg",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val salted = t(s, dir, "events")
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("n0"), sum(dec(col("value"))).as("s0"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("n0")).as("n"), sum(col("s0")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
-    pitstop, orderByHidden, racetime, eventsWindow)
+    pitstop, orderByHidden, racetime, eventsWindow, skewAgg)
 }

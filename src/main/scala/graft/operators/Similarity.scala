@@ -176,5 +176,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(knnBrute, annLsh, annIvf)
+  /** Recall diagnostic: fraction of the exact brute-force top-10 that each
+    * approximate method (LSH, IVF) recovers, per query — the quality metric
+    * an ANN deployment tunes (tables/bits, K/NProbe) against. Rows-only
+    * check (the metric is engine-specific); recall > 0 is asserted in
+    * DedupSimilaritySpec.
+    */
+  val annRecall: Q = Q.noOracle("ann_recall") { (s, dir) =>
+    val brute = knnBrute.run(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      brute.join(approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+        .withColumn("method", lit(method))
+    recallOf("lsh", annLsh.run(s, dir))
+      .unionByName(recallOf("ivf", annIvf.run(s, dir)))
+      .select(col("method"), col("query_id"), col("recall"))
+      .orderBy(col("method"), col("query_id"))
+  }
+
+  val all: Seq[Q] = Seq(knnBrute, annLsh, annIvf, annRecall)
 }

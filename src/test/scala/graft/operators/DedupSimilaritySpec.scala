@@ -26,8 +26,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // recall: of the queries LSH answered, some overlap with exact top-10 —
     // random hyperplanes on 64 dims with 64 buckets keeps same-bucket
     // neighbors similar; assert non-zero recall rather than a brittle bound
+    // 16×6 multi-table layout measures ~0.5 mean recall on this corpus;
+    // assert a generous floor so tuning regressions surface without flaking
     val hits = lsh.count { case (q, n, _) => brute.contains((q, n)) }
-    assert(hits > 0, s"LSH recall is zero over ${lsh.length} candidates")
+    assert(hits >= 10, s"LSH recall ${hits}/50 below floor")
   }
 
   test("ann_ivf probes recover brute-force neighbors") {
@@ -37,8 +39,9 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
     assert(ivf.nonEmpty)
     ivf.foreach { case (q, n) => assert(q != n) }
+    // measured ~0.9 mean recall with K=16/NProbe=4; assert a generous floor
     val hits = ivf.count(brute.contains)
-    assert(hits > 0, s"IVF recall is zero over ${ivf.length} candidates")
+    assert(hits >= 25, s"IVF recall ${hits}/50 below floor")
   }
 
   test("minhash assigns identical signatures to exact duplicate texts") {
