@@ -100,4 +100,12 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+
+  /** S9 surface: register every table as a temp view so any reference-style
+    * `spark.sql` query runs directly (the reference's
+    * `createOrReplaceTempView("races")` + `sqlContext.sql` pattern,
+    * `finalversion:327-329`, generalized to the whole catalog).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    schemas.keys.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

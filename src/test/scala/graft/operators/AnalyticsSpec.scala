@@ -30,6 +30,11 @@ class AnalyticsSpec extends SparkSpec {
       read.contains("l_linenumber") && !read.contains("l_extendedprice"), read)
   }
 
+  test("weather pushes the sargable date-range predicate into the scan") {
+    val p = plan("weather")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("combine broadcasts the nation/region dimension joins") {
     val p = plan("combine")
     assert(p.contains("BroadcastHashJoin"), p)

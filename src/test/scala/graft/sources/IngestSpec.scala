@@ -70,6 +70,15 @@ class IngestSpec extends SparkSpec {
     assert(out.filter($"id" === 2).select("v").as[Double].head() === 0.0)
   }
 
+  test("registerAll exposes every table to spark.sql (S9 surface)") {
+    Tables.registerAll(spark, sf("sf0.001"))
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey")
+      .as[Long].head()
+    assert(n > 0)
+    assert(spark.sql("SELECT doc_id FROM documents LIMIT 1").count() === 1)
+  }
+
   test("fromRows builds a typed Dataset with the Encoder's schema") {
     val ds = Ingest.fromRows(spark, Seq(graft.streaming.EventsStream.Event(
       java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0)))
