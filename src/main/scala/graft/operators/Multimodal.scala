@@ -138,5 +138,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFrames, mediaFeaturesQ)
+  /** ======== STUB ========
+    * Deterministic fake "resize to half resolution": keep every 2nd payload
+    * byte. A real deployment swaps ONLY this function for a codec resample
+    * (bilinear/lanczos over decoded pixels); the typed batch shape and the
+    * metadata arithmetic around it are the real plumbing.
+    */
+  def resizeStub(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + 1) / 2)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * 2); i += 1 }
+    out
+  }
+
+  /** Half-resolution resize: payload downsampled per-partition (stub), typed
+    * metadata halved with ceiling semantics. The oracle checks the byte
+    * arithmetic the stub must satisfy — so the pipeline proves the payload
+    * actually shrank correctly, not just the metadata.
+    */
+  val mediaResize: Q = Q("media_resize",
+    """SELECT doc_id,
+      |  CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT) AS n_bytes,
+      |  CAST(floor((doc_id % 640 + 2) / 2.0) AS INT) AS width,
+      |  CAST(floor((doc_id % 480 + 2) / 2.0) AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val m = media(s, dir)
+    val resized = m.select(col("doc_id"), col("payload")).as[MediaItem]
+      .mapPartitions { batch =>
+        // real impl: open codec ONCE here, then resample each item
+        batch.map(x => MediaItem(x.doc_id, resizeStub(x.payload)))
+      }
+    resized.toDF()
+      .join(m.select(col("doc_id"), col("meta")), Seq("doc_id"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        floor((col("meta.width") + 1) / 2.0).cast("int").as("width"),
+        floor((col("meta.height") + 1) / 2.0).cast("int").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFrames, mediaFeaturesQ, mediaResize)
 }
