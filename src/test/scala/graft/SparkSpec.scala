@@ -22,5 +22,8 @@ object SparkSpec {
     .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static conf: bucketed-table specs write managed tables here
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 }

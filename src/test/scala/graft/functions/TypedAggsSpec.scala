@@ -1,0 +1,34 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The typed Aggregator must agree exactly with the DataFrame DECIMAL-sum
+  * formulation at any partitioning (merge-order independence).
+  */
+class TypedAggsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("typed moneyStats equals the untyped exact-decimal aggregation") {
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val typed = orders.select($"o_custkey", $"o_totalprice")
+      .as[(Long, Double)]
+      .repartition(7) // arbitrary partitioning must not change results
+      .groupByKey(_._1)
+      .agg(TypedAggs.moneyStats[(Long, Double)](_._2).toColumn.name("s"))
+      .select($"key".as("cust"), $"s.n".as("n"), $"s.sum".as("sum"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val untyped = orders.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("sum"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(typed.keySet === untyped.keySet)
+    typed.foreach { case (k, (n, s)) =>
+      assert(untyped(k)._1 === n, s"count for $k")
+      assert(math.abs(untyped(k)._2 - s) < 1e-9, s"sum for $k")
+    }
+  }
+}
