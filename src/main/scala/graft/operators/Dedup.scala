@@ -87,8 +87,12 @@ object Dedup {
     * — candidate generation cost is Σ bucket², controlled by band width,
     * never n². This is the standard web-scale near-dup layout.
     */
-  val minhash: Q = Q.noOracle("dedup_minhash") { (s, dir) =>
-    val toks = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** Candidate near-dup pairs for an arbitrary (doc_id, text) frame — the
+    * reusable core of [[minhash]], also exercised on planted near-dups in
+    * DedupSimilaritySpec.
+    */
+  def minhashCandidates(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val shingled = toks.select(col("doc_id"),
       explode(when(size(col("toks")) >= 3,
         expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
@@ -105,11 +109,27 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val pairs = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
+  }
+
+  /** Per-document signature prefix + LSH candidate count over `documents`. */
+  val minhash: Q = Q.noOracle("dedup_minhash") { (s, dir) =>
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val shingled = toks.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
+      .distinct()
+    val minhashes = (0 until NumHashes).map(i =>
+      min(xxhash64(concat(lit(s"mh$i#"), col("sh")))).as(s"h$i"))
+    val sig = shingled.groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail: _*)
+    val pairs = minhashCandidates(d)
     val perDoc = pairs.select(col("id1").as("doc_id"))
       .unionAll(pairs.select(col("id2").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))

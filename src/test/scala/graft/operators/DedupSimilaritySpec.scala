@@ -44,17 +44,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 25, s"IVF recall ${hits}/50 below floor")
   }
 
-  test("minhash assigns identical signatures to exact duplicate texts") {
-    // plant duplicates: re-run signatures over documents ∪ copy of doc 0-4
+  test("minhash LSH surfaces planted near-duplicates as candidate pairs") {
+    // exact copies AND a lightly-edited copy (one appended word): high
+    // shingle overlap → identical minhashes in ≥1 band → candidate pair
     val docs = graft.sources.Tables.load(spark, dir, "documents")
-    val planted = docs.limit(5).withColumn("doc_id", $"doc_id" + 1000000L)
-    val both = docs.unionByName(planted)
-    both.createOrReplaceTempView("graft_minhash_input")
-    // signatures of original vs planted copy must match on all 16 hashes →
-    // same band keys → candidate pair. Cheap proxy: group by md5(text),
-    // planted ids must collide with originals in dedup_exact semantics
-    val collisions = both.groupBy(md5($"text")).count().filter($"count" >= 2).count()
-    assert(collisions >= 5)
+      .select($"doc_id", $"text")
+    val copies = docs.filter($"doc_id" < 3).withColumn("doc_id", $"doc_id" + 1000000L)
+    val edited = docs.filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(2000000L))
+      .withColumn("text", concat($"text", lit(" tailword")))
+    val pairs = Dedup.minhashCandidates(docs.unionByName(copies).unionByName(edited))
+      .as[(Long, Long)].collect().toSet
+    (0L until 3L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000L)),
+        s"exact copy of doc $i not found; sample=${pairs.take(5)}")
+    }
+    assert(pairs.contains((0L, 2000000L)),
+      s"edited near-dup not found; sample=${pairs.take(10)}")
   }
 
   test("dedup_exact keeps the minimum doc_id per duplicate group") {
