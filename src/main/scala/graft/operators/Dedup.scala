@@ -182,14 +182,22 @@ object Dedup {
     */
   val embed: Q = Q.noOracle("dedup_embed") { (s, dir) =>
     val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
+    // pair generation over slim (vec_id, t, bucket) entries — the explode
+    // never copies vector payloads ×tables (see Similarity.bucketEntries)
     val entries = Similarity.bucketEntries(sig)
-    val pairs = entries.as("x").join(entries.as("y"),
+    val pairIds = entries.as("x").join(entries.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        Similarity.cosine(col("x.qv"), col("x.nrm"), col("y.qv"), col("y.nrm")).as("cos"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct() // a pair co-bucketed in several tables scores once
+    // fetch both sides' vectors for exact rescoring
+    val v = sig.select(col("vec_id"), col("qv"), col("nrm"))
+    val pairs = pairIds
+      .join(v.select(col("vec_id").as("id1"), col("qv").as("qv1"), col("nrm").as("nrm1")), Seq("id1"))
+      .join(v.select(col("vec_id").as("id2"), col("qv").as("qv2"), col("nrm").as("nrm2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("qv1"), col("nrm1"), col("qv2"), col("nrm2")).as("cos"))
       .filter(col("cos") >= 0.8)
-      .distinct() // a pair co-bucketed in several tables counts once
     val perVec = pairs.select(col("id1").as("vec_id"))
       .unionAll(pairs.select(col("id2").as("vec_id")))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near"))

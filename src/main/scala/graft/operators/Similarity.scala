@@ -96,31 +96,43 @@ object Similarity {
       .withColumn("buckets", expr("hyperplane_buckets(qv)"))
   }
 
-  /** Exploded (vec_id, table, bucket) view for candidate joins. */
+  /** Exploded (vec_id, table, bucket) entries, WITHOUT the vector payload —
+    * the explode multiplies rows ×tables, so carrying the 64-long vector
+    * through it would copy ~tables× the corpus bytes through the stage.
+    * Candidates fetch their vectors afterwards via a broadcast semi-join.
+    */
   def bucketEntries(sig: DataFrame): DataFrame =
-    sig.select(col("vec_id"), col("qv"), col("nrm"),
-      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    sig.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
 
   /** ANN via multi-table LSH: candidates = union over tables of same-bucket
     * vectors, dedup'd, then exact quantized-integer cosine rescoring and
     * per-query top-10 (same query set as [[knnBrute]], so recall is directly
-    * comparable — asserted in DedupSimilaritySpec). Queries probe only
-    * their own buckets: per probe the candidate set is ~tables·n/2^bits
-    * instead of n.
+    * comparable — floors asserted in DedupSimilaritySpec).
+    *
+    * Shuffle budget: signatures are map-side (native expression); the
+    * bucket match joins slim (vec_id, t, bucket) rows against broadcast
+    * query entries; the candidate pair set (~tables·n/2^bits per query) is
+    * dedup'd in one small shuffle, broadcast back to fetch neighbor
+    * vectors map-side, and only the scored candidates reach the final
+    * window. The corpus itself is never re-shuffled or duplicated ×tables.
     */
   val annLsh: Q = Q.noOracle("ann_lsh") { (s, dir) =>
-    val entries = bucketEntries(hyperplaneSignatures(s, Tables.load(s, dir, "embeddings")))
-    val queries = entries.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("t").as("q_t"), col("bucket").as("q_bucket"))
+    val sig = hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
+    val queries = sig.filter(col("vec_id") < 5)
+    val qEntries = bucketEntries(queries)
+      .withColumnRenamed("vec_id", "query_id")
+    val cands = bucketEntries(sig).join(broadcast(qEntries), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct() // a pair matching in several tables scores once
+    val qVecs = queries.select(col("vec_id").as("query_id"),
+      col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    entries.join(broadcast(queries),
-        col("t") === col("q_t") && col("bucket") === col("q_bucket") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    sig.join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
-      .distinct() // a pair matching in several tables scores once
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
