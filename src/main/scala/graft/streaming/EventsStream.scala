@@ -48,6 +48,17 @@ object EventsStream {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: first event per (user_id, event_type) within
+    * the watermark horizon survives; replays/duplicates are dropped with
+    * per-key state evicted as the watermark advances — the streaming twin
+    * of the batch dedup family (graft.operators.Dedup). At 100 TB/day the
+    * watermark bound is what keeps dedup state finite.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Per-user running session state via mapGroupsWithState: accumulates
     * event count + value sum per user, closing the session after 30 minutes
     * of processing-time inactivity (SURVEY.md §2.9's "custom state" slot).

@@ -39,6 +39,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream drops duplicate (user, type) events within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0), 1L, "click", 1.0),
+        EventsStream.Event(ts(1), 1L, "click", 2.0), // dup key → dropped
+        EventsStream.Event(ts(1), 1L, "view", 3.0),
+        EventsStream.Event(ts(2), 2L, "click", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select($"user_id", $"event_type").as[(Long, String)].collect()
+      assert(rows.length === 3)
+      assert(rows.toSet === Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally query.stop()
+  }
+
   test("run() streams a growing parquet directory into aggregated parquet") {
     import org.apache.spark.sql.functions.lit
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
