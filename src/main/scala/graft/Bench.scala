@@ -15,9 +15,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM once (codegen compiler, parquet reader, shuffle, join
-    // machinery) so the first timed query doesn't absorb session startup —
-    // the flagship entry touches all of them at the smallest SF.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // machinery) so the first timed query doesn't absorb session startup.
+    // Warm against the bench's OWN data dir — a hardcoded path could be
+    // absent and silently skip the warmup, skewing the first timed query.
+    try SparkEntry.queries("combine")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -26,9 +28,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // "sf" as the numeric scale factor when the dir encodes one (sf0.1 → 0.1)
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse(s""""$sfDir"""")
+    // "sf" as the numeric scale factor when the dir encodes one (sf0.1 →
+    // 0.1). The pattern requires a leading digit and at most one dot so a
+    // dir like sf0.1.bak can't produce invalid JSON; the quoted fallback
+    // escapes the path.
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }

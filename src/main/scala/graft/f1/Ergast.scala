@@ -144,10 +144,15 @@ object Ergast {
     val leaderSoFar = first(when(isAbsolute, secs), ignoreNulls = true).over(w)
     flat
       .withColumn("time",
-        when(isAbsolute, RaceTime.formatCol(secs))
-          .when(col("rawTime").startsWith("+") && leaderSoFar.isNotNull,
-            RaceTime.formatCol(leaderSoFar + secs))
-          .otherwise(lit("N/A")))
+        // outer coalesce: a MALFORMED absolute time parses to null secs →
+        // formatCol(null) is null — collapse that to the same 'N/A'
+        // sentinel every other failure path produces (one contract)
+        coalesce(
+          when(isAbsolute, RaceTime.formatCol(secs))
+            .when(col("rawTime").startsWith("+") && leaderSoFar.isNotNull,
+              RaceTime.formatCol(leaderSoFar + secs))
+            .otherwise(lit("N/A")),
+          lit("N/A")))
       .drop("rawTime")
   }
 
@@ -193,7 +198,6 @@ object Ergast {
         col("time"), col("fastestLapTime"),
         coalesce(col("pitStops"), lit(0L)).as("pitStops"),
         col("idx"))
-      .withColumn("pitStops", col("pitStops").cast("long"))
   }
 
   /** J1 (`finalversion:283-293`): inner equi-join of the F1 fact table with

@@ -44,12 +44,16 @@ object RaceTime {
       .otherwise(lit(null).cast("double"))
   }
 
-  /** Seconds → `"HH:MM:SS.ss"` (reference `format_time`, finalversion:55-63). */
+  /** Seconds → `"HH:MM:SS.ss"` (reference `format_time`, finalversion:55-63).
+    * Null-safe: format_string is NOT null-propagating (it would print the
+    * literal text "null:null:..."), so null seconds must short-circuit.
+    */
   def formatCol(c: Column): Column =
-    format_string("%02d:%02d:%05.2f",
-      floor(c / 3600).cast("int"),
-      floor(pmod(c, lit(3600)) / 60).cast("int"),
-      pmod(c, lit(60)))
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(format_string("%02d:%02d:%05.2f",
+        floor(c / 3600).cast("int"),
+        floor(pmod(c, lit(3600)) / 60).cast("int"),
+        pmod(c, lit(60))))
 
   /** Register SQL functions backed by the native expressions below. */
   def register(spark: SparkSession): Unit =

@@ -101,12 +101,12 @@ object Analytics {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE year(o_orderdate) >= 1998
       |GROUP BY yr, nationkey ORDER BY yr, nationkey""".stripMargin) { (s, dir) =>
-    // sargable form of `year(o_orderdate) >= 1998`: a function-wrapped
-    // column defeats parquet predicate pushdown; the equivalent range
-    // literal reaches the scan (PushedFilters gains GreaterThanOrEqual →
-    // row-group skipping at scale). Asserted in AnalyticsSpec.
+    // `year(o_orderdate) >= 1998` mirrors the oracle SQL verbatim; the
+    // session-wide SargableYearFilter rule (graft.plans) rewrites it into
+    // the pushable range predicate (PushedFilters gains GreaterThanOrEqual
+    // → row-group skipping at scale). Asserted in AnalyticsSpec.
     t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .filter(year(col("o_orderdate")) >= 1998)
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
         col("c_nationkey").cast("long").as("nationkey"))

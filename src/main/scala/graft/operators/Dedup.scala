@@ -87,11 +87,8 @@ object Dedup {
     * — candidate generation cost is Σ bucket², controlled by band width,
     * never n². This is the standard web-scale near-dup layout.
     */
-  /** Candidate near-dup pairs for an arbitrary (doc_id, text) frame — the
-    * reusable core of [[minhash]], also exercised on planted near-dups in
-    * DedupSimilaritySpec.
-    */
-  def minhashCandidates(documents: DataFrame): DataFrame = {
+  /** Per-document 16-hash MinHash signature over word-3-gram shingles. */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val shingled = toks.select(col("doc_id"),
       explode(when(size(col("toks")) >= 3,
@@ -100,8 +97,13 @@ object Dedup {
       .distinct()
     val minhashes = (0 until NumHashes).map(i =>
       min(xxhash64(concat(lit(s"mh$i#"), col("sh")))).as(s"h$i"))
-    val sig = shingled.groupBy(col("doc_id"))
-      .agg(minhashes.head, minhashes.tail: _*)
+    shingled.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
+    * — also exercised on planted near-dups in DedupSimilaritySpec.
+    */
+  def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
@@ -116,20 +118,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-document signature prefix + LSH candidate count over `documents`. */
+  /** Candidate pairs straight from (doc_id, text). */
+  def minhashCandidates(documents: DataFrame): DataFrame =
+    minhashCandidatesFromSig(minhashSignatures(documents))
+
+  /** Per-document signature prefix + LSH candidate count over `documents`.
+    * The signature frame feeds BOTH outputs (prefix + candidates) — one
+    * shingle/min-agg pass over the corpus, not two.
+    */
   val minhash: Q = Q.noOracle("dedup_minhash") { (s, dir) =>
-    val d = docs(s, dir)
-    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val shingled = toks.select(col("doc_id"),
-      explode(when(size(col("toks")) >= 3,
-        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
-      .distinct()
-    val minhashes = (0 until NumHashes).map(i =>
-      min(xxhash64(concat(lit(s"mh$i#"), col("sh")))).as(s"h$i"))
-    val sig = shingled.groupBy(col("doc_id"))
-      .agg(minhashes.head, minhashes.tail: _*)
-    val pairs = minhashCandidates(d)
+    val sig = minhashSignatures(docs(s, dir))
+    val pairs = minhashCandidatesFromSig(sig)
     val perDoc = pairs.select(col("id1").as("doc_id"))
       .unionAll(pairs.select(col("id2").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))

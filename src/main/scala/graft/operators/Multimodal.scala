@@ -76,7 +76,12 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), length(col("payload")).as("n_bytes"),
         ceil(length(col("payload")) / lit(64.0)).cast("long").as("n_frames"))
       .select(col("doc_id"), col("payload"), col("n_bytes"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_no"))
+        // empty payload → 0 frames → empty array (explode drops the row,
+        // matching the oracle's range(0, 0, 4)); a bare sequence(0, -1, 4)
+        // would throw on illegal boundaries
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0L), col("n_frames") - 1, lit(4L)))
+          .otherwise(array().cast("array<bigint>"))).as("frame_no"))
       .select(col("doc_id"), col("frame_no"),
         least(lit(64L), col("n_bytes") - col("frame_no") * 64).as("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_no"))

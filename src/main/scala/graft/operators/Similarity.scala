@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * Two paths, per the standard ANN playbook:
   *   - [[knnBrute]]: exact brute-force cosine top-k — the correctness
   *     baseline, O(|queries| × n), oracle-checked against DuckDB.
-  *   - [[annLsh]]: random-hyperplane LSH bucketing — the 100 TB path; the
-  *     only shuffle is a groupBy on the 16-bit bucket key.
+  *   - [[annLsh]]: multi-table random-hyperplane LSH — the 100 TB path;
+  *     signatures are map-side, candidates shuffle only the matched pairs.
+  *   - [[annIvf]]: inverted-file index — map-side centroid assignment,
+  *     probe-then-rescore.
   *
   * Cross-engine float determinism: embeddings are quantized to integers
   * (round(x·10⁴)) so dot products and norms are EXACT int64 arithmetic —
@@ -68,8 +70,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** LSH layout (constants in [[graft.functions.LshPlanes]]): 8 independent
-    * tables × 8-bit signatures (256 buckets each). One table alone has poor
+  /** LSH layout (constants in [[graft.functions.LshPlanes]]): 16 independent
+    * tables × 6-bit signatures (64 buckets each). One table alone has poor
     * recall (a true neighbor must match all bits at once); OR-amplification
     * across tables lifts recall to 1-(1-p^bits)^tables while the candidate
     * set stays ~tables·n/2^bits per probe. At real scale widen TableBits

@@ -37,9 +37,14 @@ object SargableYearFilter extends Rule[LogicalPlan] {
     }
   }
 
+  /** Integer literal within a safely-rewritable year range: both y and y+1
+    * must be representable as dates/parseable timestamps. Out-of-range
+    * years (year(d) > 2_000_000_000, negative years) simply keep the
+    * original predicate — correct, just not pushed.
+    */
   private object IntLit {
     def unapply(e: Expression): Option[Int] = e match {
-      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Int, IntegerType) if v >= 1 && v < 9998 => Some(v)
       case _ => None
     }
   }

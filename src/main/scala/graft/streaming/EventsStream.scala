@@ -97,12 +97,18 @@ object EventsStream {
   /** Production wiring: stream the events directory as it grows (new parquet
     * files per micro-batch), aggregate, write parquet with checkpointing.
     * Returns the started query; callers own its lifecycle.
+    *
+    * The engine's events parquet carries TIMESTAMP(NANOS), which the
+    * repo-wide `nanosAsLong` sessions read as raw int64 — so the stream
+    * schema declares BIGINT nanos and converts to a micros timestamp (the
+    * finest Spark TimestampType resolution) before watermarking.
     */
   def run(spark: SparkSession, eventsDir: String, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val input = spark.readStream
-      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .schema("ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     windowedCounts(input).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

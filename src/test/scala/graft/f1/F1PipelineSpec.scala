@@ -95,6 +95,19 @@ class F1PipelineSpec extends SparkSpec {
     assert(timeOf("2", "hamilton") === "01:30:10.50")
   }
 
+  test("malformed absolute time degrades to the 'N/A' sentinel, not null") {
+    val malformed = readJson(Ergast.resultsSchema,
+      raceJson(9, Seq(
+        resultJson("1", "25", "leclerc", "Charles", "Leclerc", "Ferrari",
+          Some("1:ab.c"), None), // unparseable absolute time
+        resultJson("2", "18", "verstappen", "Max", "Verstappen", "Red Bull",
+          Some("1:30:00.000"), None))))
+    val times = Ergast.withFormattedTime(Ergast.flattenResults(malformed))
+      .select($"driverId", $"time").as[(String, String)].collect().toMap
+    assert(times("leclerc") === "N/A") // one sentinel contract, never null
+    assert(times("verstappen") === "01:30:00.00")
+  }
+
   test("running points accumulate per driver across rounds in round order") {
     val tp = fact.select(col("round"), col("driverId"), col("totalPoints"))
       .as[(String, String, Double)].collect()

@@ -48,6 +48,16 @@ class SargableYearFilterSpec extends SparkSpec {
     assert(got("ge") > 0 && got("lt") > 0, "degenerate test data split")
   }
 
+  test("out-of-range year literals are left unrewritten and still run") {
+    // LocalDate.of(2000000000, ...) would throw during optimization if the
+    // rule rewrote these; they must keep the original (valid) predicate
+    assert(lineitem.filter(year(col("l_shipdate")) < 2000000000).count() ===
+      lineitem.count())
+    assert(lineitem.filter(year(col("l_shipdate")) > -500).count() ===
+      lineitem.count())
+    assert(lineitem.filter(year(col("l_shipdate")) === Int.MaxValue).count() === 0)
+  }
+
   test("extension-injected SQL functions resolve without manual registration") {
     import spark.implicits._
     val v = spark.sql("SELECT race_time_seconds('1:34.570') AS s").as[Double].head()

@@ -63,16 +63,20 @@ class EventsStreamSpec extends SparkSpec {
     import org.apache.spark.sql.functions.lit
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val eventsDir = s"$tmp/events"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
-    // land a first micro-batch file
-    Seq(EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
-      EventsStream.Event(ts(2, 0), 2L, "click", 2.0))
-      .toDF().write.parquet(eventsDir)
+    // land a first micro-batch file in the production layout: ts as int64
+    // NANOS (the engine's events.parquet carries TIMESTAMP(NANOS), read
+    // repo-wide as raw longs via nanosAsLong)
+    def landing(events: Seq[EventsStream.Event]) = events.toDF()
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+    landing(Seq(EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+      EventsStream.Event(ts(2, 0), 2L, "click", 2.0)))
+      .write.parquet(eventsDir)
     val query = EventsStream.run(spark, eventsDir, outDir, ck)
     try {
       query.processAllAvailable()
       // land a second file far past the watermark → closes the first window
-      Seq(EventsStream.Event(ts(20, 0), 3L, "view", 9.0))
-        .toDF().write.mode("append").parquet(eventsDir)
+      landing(Seq(EventsStream.Event(ts(20, 0), 3L, "view", 9.0)))
+        .write.mode("append").parquet(eventsDir)
       query.processAllAvailable()
       val out = spark.read.parquet(outDir)
       assert(out.columns.toSeq ===
