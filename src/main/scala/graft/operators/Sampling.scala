@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling / data-mixing operators over `documents` — how a training
+  * pipeline takes reproducible subsets and enforces per-source quotas at
+  * 100 TB. Everything is CONTENT-derived (md5) rather than RNG-based: the
+  * same rows are selected on any cluster, any partitioning, any run — and
+  * the DuckDB oracle replays the identical selection.
+  */
+object Sampling {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic ~1/16 sample: keep documents whose content digest starts
+    * with '0'. Map-side filter — no shuffle, no RNG state, stable across
+    * reruns and resumable pipelines (the property `sample()` lacks).
+    */
+  val deterministic: Q = Q("sample_det",
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(text), 1, 1) = '0'
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .filter(substring(md5(col("text")), 1, 1) === "0")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified per-source quota (data mixing): at most 5 documents per
+    * source, chosen by content digest so the quota is reproducible. The
+    * window shuffles on `source` — at scale the stratum key, not the
+    * corpus, bounds the exchange; per-stratum state is one counter.
+    */
+  val stratified: Q = Q("sample_stratified",
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Approximate distinct/percentile aggregates — the sketches that replace
+    * exact DISTINCT/median at 100 TB (HyperLogLog++ / KLL both merge
+    * associatively, so partial aggregation works map-side). Rows-only check
+    * (sketch internals are engine-specific); the error bound vs the exact
+    * answer is asserted in SamplingSpec.
+    */
+  val approx: Q = Q.noOracle("approx_stats") { (s, dir) =>
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"),
+        count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(deterministic, stratified, approx)
+}

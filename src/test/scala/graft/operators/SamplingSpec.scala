@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("deterministic sample selects the same rows on every run/partitioning") {
+    val a = Sampling.deterministic.run(spark, dir).select($"doc_id").as[Long].collect()
+    val b = Sampling.deterministic.run(spark, dir).select($"doc_id").as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    // ~1/16 of the corpus, loose bounds
+    val total = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(a.length > total / 64 && a.length < total / 4, s"${a.length} of $total")
+  }
+
+  test("stratified sample enforces the per-source quota exactly") {
+    val perSource = Sampling.stratified.run(spark, dir)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, n) => assert(n <= 5, s"$src quota exceeded: $n") }
+    // sources with ≥5 docs must fill their quota
+    val totals = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    totals.filter(_._2 >= 5).keys.foreach { src =>
+      assert(perSource(src) === 5L, s"$src under-filled: ${perSource.get(src)}")
+    }
+  }
+
+  test("approximate aggregates land within their error bounds") {
+    val approx = Sampling.approx.run(spark, dir)
+      .select($"lang", $"approx_distinct_texts", $"approx_median_chars")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(countDistinct($"text").as("d"),
+        expr("percentile(n_chars, 0.5)").as("m"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    exact.foreach { case (lang, (d, m)) =>
+      val (ad, am) = approx(lang)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"$lang distinct: $ad vs $d")
+      // percentile_approx with accuracy 1000 on small groups is near-exact
+      assert(math.abs(am - m) <= math.max(2.0, m * 0.05), s"$lang median: $am vs $m")
+    }
+  }
+}
