@@ -1,19 +1,8 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) — read as raw int64 nanos
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("graft-bench")
     // Warm the JVM once (codegen compiler, parquet reader, shuffle, join
     // machinery) so the first timed query doesn't absorb session startup.
     // Warm against the bench's OWN data dir — a hardcoded path could be
@@ -22,12 +11,16 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be VISIBLE as -1, not recorded as a plausible
+      // small time-to-failure
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // "sf" as the numeric scale factor when the dir encodes one (sf0.1 →
     // 0.1). The pattern requires a leading digit and at most one dot so a
     // dir like sf0.1.bak can't produce invalid JSON; the quoted fallback

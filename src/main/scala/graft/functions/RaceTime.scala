@@ -30,7 +30,10 @@ object RaceTime {
     * from built-in expressions only (fully codegen'd, no UDF).
     */
   def secondsCol(c: Column): Column = {
-    val t = ltrim(c, "+")
+    // exactly ONE leading '+' is the gap marker (finalversion:37) — ltrim
+    // would eat '++' typos that the native expression rejects, and the two
+    // paths must agree input-for-input (asserted in RaceTimeSpec)
+    val t = regexp_replace(c, "^\\+", "")
     val parts = split(t, ":")
     val n = size(parts)
     // try_cast, not cast: under Spark 4's default ANSI mode a malformed
@@ -66,19 +69,35 @@ object RaceTimeParse {
   def parseOrNull(s: UTF8String): java.lang.Double =
     if (s == null) null else parseString(s.toString)
 
+  /** Strict fragment parse aligned with Spark's string→double cast:
+    * trims, accepts sign/decimal/exponent — but no Java-ism suffixes
+    * ("23d"/"23f" parse in java.lang.Double yet are null under try_cast,
+    * and the composed and native paths must agree input-for-input).
+    */
+  private val NumRe = "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r
+
+  private def fragOrNull(raw: String): java.lang.Double = {
+    val s = raw.trim
+    if (NumRe.matches(s)) java.lang.Double.valueOf(s.toDouble) else null
+  }
+
   def parseString(raw: String): java.lang.Double = {
     if (raw == null || raw == "N/A") return null
     val str = if (raw.startsWith("+")) raw.substring(1) else raw
     val parts = str.split(":", -1)
-    try {
-      parts.length match {
-        case 3 => java.lang.Double.valueOf(
-          parts(0).toDouble * 3600 + parts(1).toDouble * 60 + parts(2).toDouble)
-        case 2 => java.lang.Double.valueOf(parts(0).toDouble * 60 + parts(1).toDouble)
-        case 1 => java.lang.Double.valueOf(parts(0).toDouble)
-        case _ => null
-      }
-    } catch { case _: NumberFormatException => null }
+    def frag(i: Int): java.lang.Double = fragOrNull(parts(i))
+    parts.length match {
+      case 3 =>
+        val (h, m, sec) = (frag(0), frag(1), frag(2))
+        if (h == null || m == null || sec == null) null
+        else java.lang.Double.valueOf(h * 3600 + m * 60 + sec)
+      case 2 =>
+        val (m, sec) = (frag(0), frag(1))
+        if (m == null || sec == null) null
+        else java.lang.Double.valueOf(m * 60 + sec)
+      case 1 => frag(0)
+      case _ => null
+    }
   }
 
   def format(sec: Double): String = {

@@ -263,7 +263,7 @@ object Analytics {
   val racetime: Q = Q("racetime",
     """WITH t AS (
       |  SELECT l_orderkey, l_linenumber,
-      |    printf('%d:%02d.%03d', CAST(l_quantity AS INT) % 60,
+      |    printf('%d:%02d.%03d', CAST(floor(l_quantity) AS INT) % 60,
       |           CAST(l_orderkey % 60 AS INT), CAST((l_partkey % 100) * 10 AS INT)) AS t_str
       |  FROM lineitem),
       |p AS (
@@ -278,8 +278,11 @@ object Analytics {
     RaceTime.register(s)
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
+        // floor, not bare cast: DuckDB's CAST(double AS INT) ROUNDS while
+        // Spark's truncates — floor first so both engines agree even if
+        // quantities were ever non-integral
         format_string("%d:%02d.%03d",
-          col("l_quantity").cast("int") % 60,
+          floor(col("l_quantity")).cast("int") % 60,
           (col("l_orderkey") % 60).cast("int"),
           ((col("l_partkey") % 100) * 10).cast("int")).as("t_str"))
       .withColumn("secs", RaceTime.secondsCol(col("t_str")))

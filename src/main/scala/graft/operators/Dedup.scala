@@ -118,6 +118,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-id candidate/near count: union both pair sides, hash-count, left
+    * join back with 0 default — shared by the minhash/simhash/embed outputs.
+    */
+  private def candidateCounts(ids: DataFrame, pairs: DataFrame,
+      idCol: String, outCol: String): DataFrame = {
+    val perId = pairs.select(col("id1").as(idCol))
+      .unionAll(pairs.select(col("id2").as(idCol)))
+      .groupBy(col(idCol)).agg(count(lit(1)).as(outCol))
+    ids.join(perId, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
+      .orderBy(col(idCol))
+  }
+
   /** Candidate pairs straight from (doc_id, text). */
   def minhashCandidates(documents: DataFrame): DataFrame =
     minhashCandidatesFromSig(minhashSignatures(documents))
@@ -128,14 +141,9 @@ object Dedup {
     */
   val minhash: Q = Q.noOracle("dedup_minhash") { (s, dir) =>
     val sig = minhashSignatures(docs(s, dir))
-    val pairs = minhashCandidatesFromSig(sig)
-    val perDoc = pairs.select(col("id1").as("doc_id"))
-      .unionAll(pairs.select(col("id2").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-    sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
-      .orderBy(col("doc_id"))
+    candidateCounts(
+      sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3")),
+      minhashCandidatesFromSig(sig), "doc_id", "n_candidates")
   }
 
   /** SimHash: 64-bit signature where bit j is the sign of Σ over distinct
@@ -166,12 +174,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-    val perDoc = pairs.select(col("id1").as("doc_id"))
-      .unionAll(pairs.select(col("id2").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-    sig.join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
-      .orderBy(col("doc_id"))
+    candidateCounts(sig, pairs, "doc_id", "n_candidates")
   }
 
   /** Embedding-cosine near-dup: LSH-bucketed (random hyperplanes, shared
@@ -197,13 +200,7 @@ object Dedup {
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("qv1"), col("nrm1"), col("qv2"), col("nrm2")).as("cos"))
       .filter(col("cos") >= 0.8)
-    val perVec = pairs.select(col("id1").as("vec_id"))
-      .unionAll(pairs.select(col("id2").as("vec_id")))
-      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near"))
-    sig.select(col("vec_id"))
-      .join(perVec, Seq("vec_id"), "left")
-      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
-      .orderBy(col("vec_id"))
+    candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhash, simhash, embed)

@@ -99,10 +99,12 @@ object TextAnalysis {
     */
   val fingerprint: Q = Q("text_fingerprint",
     """SELECT doc_id,
-      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
-      |  length(regexp_replace(text, '\s+', ' ', 'g')) AS norm_len
+      |  md5(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS fp,
+      |  length(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val norm = regexp_replace(col("text"), "\\s+", " ")
+    // explicit whitespace class, not \s: Java's \s includes \x0B, RE2's
+    // doesn't — the engines must normalize identically (see header rule)
+    val norm = regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")
     docs(s, dir).select(
       col("doc_id"),
       md5(lower(norm)).as("fp"),
