@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     operators.Analytics.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Multimodal.all ++ operators.Sampling.all
+      operators.Multimodal.all ++ operators.Sampling.all ++
+      operators.AsofJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -69,17 +69,15 @@ object RaceTimeParse {
   def parseOrNull(s: UTF8String): java.lang.Double =
     if (s == null) null else parseString(s.toString)
 
-  /** Strict fragment parse aligned with Spark's string→double cast:
-    * trims, accepts sign/decimal/exponent — but no Java-ism suffixes
-    * ("23d"/"23f" parse in java.lang.Double yet are null under try_cast,
-    * and the composed and native paths must agree input-for-input).
+  /** Fragment parse aligned with Spark's string→double cast, which is
+    * Java parseDouble on the trimmed string (accepts sign, exponent, and
+    * Java-ism suffixes like "23d" — verified empirically in RaceTimeSpec's
+    * adversarial-shapes test, where the composed try_cast path and this
+    * one must agree input-for-input).
     */
-  private val NumRe = "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r
-
-  private def fragOrNull(raw: String): java.lang.Double = {
-    val s = raw.trim
-    if (NumRe.matches(s)) java.lang.Double.valueOf(s.toDouble) else null
-  }
+  private def fragOrNull(raw: String): java.lang.Double =
+    try java.lang.Double.valueOf(raw.trim.toDouble)
+    catch { case _: NumberFormatException => null }
 
   def parseString(raw: String): java.lang.Double = {
     if (raw == null || raw == "N/A") return null

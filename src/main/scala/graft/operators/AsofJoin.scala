@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the canonical operator Spark's built-in
+  * join set lacks (SURVEY-adjacent extension; the brief's "compose existing
+  * ops if semantics allow" case). For every event, find the user's most
+  * recent order at or before the event time.
+  *
+  * Spark-first formulation: tag both sides, UNION them, and run ONE
+  * running-`last` window per key ordered by time — each event row picks up
+  * the latest order seen so far in its partition. Cost: a single shuffle
+  * on the join key + a per-partition sort, i.e. exactly a sort-merge
+  * join's exchange — no range-join explosion, no per-row subquery. This
+  * is the standard distributed as-of layout (same shape Flink/kdb use).
+  *
+  * The DuckDB oracle is the engine's native `ASOF LEFT JOIN` — an
+  * independent implementation of the same semantics. The matched ORDER
+  * DATE (not orderkey) is emitted so ties among same-timestamp orders
+  * can't make the comparison nondeterministic.
+  */
+object AsofJoin {
+
+  val asof: Q = Q("asof_join",
+    """SELECT e.event_id, e.user_id,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS matched_odate
+      |FROM events e ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    // common clock: microseconds since epoch (events carry int64 nanos —
+    // floor-divide via pmod so pre-1970 values round toward -inf)
+    val orders = Tables.load(s, dir, "orders").select(
+      col("o_custkey").as("key"),
+      unix_micros(col("o_orderdate")).as("t"),
+      lit(1).as("is_order"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+      lit(null).cast("long").as("event_id"))
+    val events = Tables.load(s, dir, "events").select(
+      col("user_id").as("key"),
+      expr("(ts - pmod(ts, 1000)) div 1000").as("t"),
+      lit(0).as("is_order"),
+      lit(null).cast("string").as("odate"),
+      col("event_id"))
+    // at equal t the order sorts FIRST (is_order desc) so `>=` semantics
+    // hold; within equal (t, is_order) the window then sees the latest
+    // odate-tagged row, but all such rows share the same date → the emitted
+    // value is deterministic
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("is_order").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("matched_odate",
+        last(when(col("is_order") === 1, col("odate")), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("key").as("user_id"), col("matched_odate"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(asof)
+}

@@ -58,6 +58,19 @@ class RaceTimeSpec extends SparkSpec {
     assert(df.filter(!(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("composed and native parsers agree on adversarial shapes") {
+    RaceTime.register(spark)
+    import spark.implicits._
+    // double '+', Java-suffix numbers, whitespace, exponent forms, empties
+    val inputs = Seq("+++1:23.000", "++5.5", "1:23d", "23f", " 23 ", "1e3",
+      "+1e2", "1:2:3:4", "", ":", "1:", ":5", "-5.0", "+-3", "1: 30.5")
+    val df = inputs.toDF("s")
+      .select(col("s"), RaceTime.secondsCol(col("s")).as("a"),
+        expr("race_time_seconds(s)").as("b"))
+    val diff = df.filter(!(col("a") <=> col("b"))).collect()
+    assert(diff.isEmpty, diff.mkString("; "))
+  }
+
   test("format matches the reference zero-padded HH:MM:SS.ss shape") {
     import spark.implicits._
     // FIXTURES.md §A8: 5853.584 → "01:37:33.58"
