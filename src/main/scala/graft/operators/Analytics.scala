@@ -331,7 +331,29 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** ROLLUP hierarchy aggregation (beyond the reference's plain GROUP BYs):
+    * subtotals per (flag, status), per flag, and grand total in one pass —
+    * Spark expands the grouping sets before the partial aggregate, so it
+    * still two-phases with map-side combine. Data contains no real NULL
+    * keys, so coalescing the rollup NULLs to 'ALL' is unambiguous.
+    */
+  val rollupAgg: Q = Q("rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
-    pitstop, orderByHidden, racetime, eventsWindow, skewAgg)
+    pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg)
 }

@@ -59,5 +59,34 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(asof)
+  /** Key + range join: per order, how many of the customer's events landed
+    * in the 24h after the order. Catalyst plans the equality on the key as
+    * the join (hash/sort-merge) and the time bounds as a residual filter —
+    * the scalable shape for range predicates WITH an equi-key. (A pure
+    * interval-overlap join with no key would need bucketing-by-time-chunk;
+    * the events side here is pre-bounded the same way.)
+    */
+  val rangeJoin: Q = Q("range_join",
+    """SELECT o.o_orderkey, count(e.event_id) AS n_events_24h
+      |FROM orders o LEFT JOIN events e
+      |  ON e.user_id = o.o_custkey
+      |  AND e.ts >= o.o_orderdate
+      |  AND e.ts < o.o_orderdate + INTERVAL 24 HOURS
+      |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      unix_micros(col("o_orderdate")).as("t0"))
+    val events = Tables.load(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      expr("(ts - pmod(ts, 1000)) div 1000").as("et"))
+    orders.join(events,
+        col("user_id") === col("o_custkey") &&
+          col("et") >= col("t0") && col("et") < col("t0") + 86400L * 1000000L,
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("event_id")).as("n_events_24h"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(asof, rangeJoin)
 }
