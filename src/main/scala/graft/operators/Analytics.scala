@@ -353,7 +353,64 @@ object Analytics {
       .orderBy(col("rf"), col("ls"))
   }
 
+  /** PIVOT: spread the status dimension into columns (fixed value list so
+    * the schema is static — at scale a dynamic pivot needs a values pass
+    * first; pinning the list keeps it one-pass). Oracle spells the same
+    * thing as conditional aggregation, which is also exactly how Spark
+    * rewrites pivot internally.
+    */
+  val pivotAgg: Q = Q("pivot",
+    """SELECT o_orderpriority,
+      |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS st_f,
+      |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS st_o,
+      |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS st_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("st_f"),
+        coalesce(col("O"), lit(0L)).as("st_o"),
+        coalesce(col("P"), lit(0L)).as("st_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The wider window-function family the reference never used (SURVEY.md
+    * §2.5 notes only ROW_NUMBER appears): lag/lead deltas, rank with ties,
+    * ntile quartiles, and an explicit sliding frame — all in one pass over
+    * one window partitioning, so the exchange is shared.
+    */
+  val windowFuncs: Q = Q("window_funcs",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  lead(o_orderkey) OVER w AS next_order,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        rank().over(wRank).cast("long").as("price_rank"),
+        ntile(4).over(w).as("quartile"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(-2, Window.currentRow))
+          .cast("double").as("sliding_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
-    pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg)
+    pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg,
+    pivotAgg, windowFuncs)
 }
