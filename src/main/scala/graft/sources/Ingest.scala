@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Source/sink operator family (SURVEY.md §2.1 S1–S8).
   *
@@ -38,6 +38,28 @@ object Ingest {
   def json(spark: SparkSession, path: String, schema: StructType,
       multiLine: Boolean = false): DataFrame =
     spark.read.option("multiLine", multiLine).schema(schema).json(path)
+
+  /** S1 robustness mode: JSON with malformed rows captured in a
+    * `_corrupt_record` column instead of failing the job (PERMISSIVE) —
+    * at 100 TB a handful of bad rows must be quarantined, not fatal.
+    * Returns (good rows, corrupt rows) so the caller can land the
+    * quarantine separately.
+    */
+  def jsonWithQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).json(path)
+      // Spark requires caching/materializing before filtering on the
+      // corrupt column (it is populated during parsing, not re-derivable)
+      .cache()
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
 
   /** S4: parquet scan with declared schema (see [[Tables.load]]). */
   def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =

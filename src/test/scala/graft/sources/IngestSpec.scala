@@ -70,6 +70,22 @@ class IngestSpec extends SparkSpec {
     assert(out.filter($"id" === 2).select("v").as[Double].head() === 0.0)
   }
 
+  test("jsonWithQuarantine separates malformed rows instead of failing") {
+    val p = s"$tmp/docs.jsonl"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"id": 1, "name": "ok"}
+        |{"id": broken!!
+        |{"id": 2, "name": "also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = Ingest.jsonWithQuarantine(spark, p, schema)
+    assert(good.count() === 2)
+    assert(good.columns.toSeq === Seq("id", "name"))
+    assert(bad.count() === 1)
+    assert(bad.head().getString(0).contains("broken"))
+  }
+
   test("registerAll exposes every table to spark.sql (S9 surface)") {
     Tables.registerAll(spark, sf("sf0.001"))
     val n = spark.sql(
