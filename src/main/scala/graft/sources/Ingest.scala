@@ -39,26 +39,40 @@ object Ingest {
       multiLine: Boolean = false): DataFrame =
     spark.read.option("multiLine", multiLine).schema(schema).json(path)
 
+  /** Result of a quarantining read: land both frames, then [[release]] the
+    * backing cache (required: Spark can't re-derive the corrupt column
+    * after parsing, so the split shares one cached parse — holding it for
+    * the session would accumulate executor memory across repeated ingests).
+    */
+  final case class QuarantinedRead(good: DataFrame, corrupt: DataFrame) {
+    private[sources] var backing: DataFrame = _
+    def release(): Unit = if (backing != null) { backing.unpersist(); backing = null }
+  }
+
   /** S1 robustness mode: JSON with malformed rows captured in a
     * `_corrupt_record` column instead of failing the job (PERMISSIVE) —
     * at 100 TB a handful of bad rows must be quarantined, not fatal.
-    * Returns (good rows, corrupt rows) so the caller can land the
-    * quarantine separately.
     */
-  def jsonWithQuarantine(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+  def jsonWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+      multiLine: Boolean = false): QuarantinedRead = {
     import org.apache.spark.sql.functions.col
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema already defines _corrupt_record — pass the data schema only")
     val withCorrupt = StructType(schema.fields :+
       StructField("_corrupt_record", StringType))
     val raw = spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", multiLine)
       .schema(withCorrupt).json(path)
-      // Spark requires caching/materializing before filtering on the
-      // corrupt column (it is populated during parsing, not re-derivable)
+      // Spark requires caching before filtering on the corrupt column
+      // (it is populated during parsing, not re-derivable)
       .cache()
-    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    val out = QuarantinedRead(
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+    out.backing = raw
+    out
   }
 
   /** S4: parquet scan with declared schema (see [[Tables.load]]). */

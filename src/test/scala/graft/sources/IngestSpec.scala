@@ -79,11 +79,18 @@ class IngestSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (good, bad) = Ingest.jsonWithQuarantine(spark, p, schema)
-    assert(good.count() === 2)
-    assert(good.columns.toSeq === Seq("id", "name"))
-    assert(bad.count() === 1)
-    assert(bad.head().getString(0).contains("broken"))
+    val read = Ingest.jsonWithQuarantine(spark, p, schema)
+    try {
+      assert(read.good.count() === 2)
+      assert(read.good.columns.toSeq === Seq("id", "name"))
+      assert(read.corrupt.count() === 1)
+      assert(read.corrupt.head().getString(0).contains("broken"))
+    } finally read.release()
+    // schemas that already carry the corrupt column are rejected loudly
+    intercept[IllegalArgumentException] {
+      Ingest.jsonWithQuarantine(spark, p, StructType(Seq(
+        StructField("_corrupt_record", StringType))))
+    }
   }
 
   test("registerAll exposes every table to spark.sql (S9 surface)") {
