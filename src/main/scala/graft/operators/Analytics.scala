@@ -409,8 +409,30 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Set operations beyond the reference's UNION ALL (SURVEY.md §2.7 notes
+    * it has no INTERSECT/EXCEPT): customers who ordered in 1997 but not
+    * 1998 (EXCEPT) and in both years (INTERSECT). Both plan as joins
+    * (left-anti / left-semi over distinct keys) — no full-table
+    * materialization of either side.
+    */
+  val setOps: Q = Q("setops",
+    """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |     y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+      |SELECT 'only_1997' AS grp, o_custkey FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+      |UNION ALL
+      |SELECT 'both_years' AS grp, o_custkey FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+      |ORDER BY grp, o_custkey""".stripMargin) { (s, dir) =>
+    def custsOf(year: Int) = t(s, dir, "orders")
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+      .select(col("o_custkey")).distinct()
+    val y97 = custsOf(1997); val y98 = custsOf(1998)
+    y97.except(y98).select(lit("only_1997").as("grp"), col("o_custkey"))
+      .unionAll(y97.intersect(y98).select(lit("both_years").as("grp"), col("o_custkey")))
+      .orderBy(col("grp"), col("o_custkey"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg,
-    pivotAgg, windowFuncs)
+    pivotAgg, windowFuncs, setOps)
 }
