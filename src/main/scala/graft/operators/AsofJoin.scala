@@ -38,12 +38,17 @@ object AsofJoin {
       lit(1).as("is_order"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
       lit(null).cast("long").as("event_id"))
+      .filter(col("key").isNotNull)
     val events = Tables.load(s, dir, "events").select(
       col("user_id").as("key"),
-      expr("(ts - pmod(ts, 1000)) div 1000").as("t"),
+      Tables.nanosToMicros("ts").as("t"),
       lit(0).as("is_order"),
       lit(null).cast("string").as("odate"),
       col("event_id"))
+      // NULL keys: the window would group them into one partition and
+      // match them against NULL-key orders, but the equi-join oracle never
+      // matches NULL = NULL — drop them like the join does
+      .filter(col("key").isNotNull)
     // at equal t the order sorts FIRST (is_order desc) so `>=` semantics
     // hold; within equal (t, is_order) the window then sees the latest
     // odate-tagged row, but all such rows share the same date → the emitted
@@ -78,7 +83,7 @@ object AsofJoin {
       unix_micros(col("o_orderdate")).as("t0"))
     val events = Tables.load(s, dir, "events").select(
       col("user_id"), col("event_id"),
-      expr("(ts - pmod(ts, 1000)) div 1000").as("et"))
+      Tables.nanosToMicros("ts").as("et"))
     orders.join(events,
         col("user_id") === col("o_custkey") &&
           col("et") >= col("t0") && col("et") < col("t0") + 86400L * 1000000L,

@@ -17,8 +17,10 @@ object Sampling {
     Tables.load(s, dir, "documents")
 
   /** Deterministic ~1/16 sample: keep documents whose content digest starts
-    * with '0'. Map-side filter — no shuffle, no RNG state, stable across
-    * reruns and resumable pipelines (the property `sample()` lacks).
+    * with '0'. The selection itself is a map-side filter with no RNG state,
+    * stable across reruns and resumable pipelines (the property `sample()`
+    * lacks); the trailing ORDER BY is presentation-only for the dumped
+    * result — drop it when the sample feeds a downstream stage.
     */
   val deterministic: Q = Q("sample_det",
     """SELECT doc_id, lang, source FROM documents
@@ -31,9 +33,12 @@ object Sampling {
   }
 
   /** Stratified per-source quota (data mixing): at most 5 documents per
-    * source, chosen by content digest so the quota is reproducible. The
-    * window shuffles on `source` — at scale the stratum key, not the
-    * corpus, bounds the exchange; per-stratum state is one counter.
+    * source, chosen by content digest so the quota is reproducible. NOTE
+    * the window form sorts each source's rows inside one task — fine when
+    * strata are many and modest; with few huge strata the scalable shape
+    * is a partial top-K aggregation (keep the K smallest digests map-side,
+    * merge partials — an `Aggregator` like graft.functions.TypedAggs) so
+    * only K rows per stratum per partition reach the exchange.
     */
   val stratified: Q = Q("sample_stratified",
     """SELECT source, doc_id FROM (

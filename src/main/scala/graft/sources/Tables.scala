@@ -101,6 +101,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
+  /** Floor-convert the events table's int64 NANOS (`nanosAsLong` read) to
+    * microseconds. pmod-based floor, NOT `div`: plain integer division
+    * truncates toward zero for pre-1970 values, which would diverge from
+    * DuckDB's nanos→micros truncation and shift window membership. Shared
+    * by every consumer (as-of/range joins, streaming) so the semantics
+    * can't drift per call site.
+    */
+  def nanosToMicrosSql(nanosCol: String): String =
+    s"($nanosCol - pmod($nanosCol, 1000)) div 1000"
+
+  def nanosToMicros(nanosCol: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(nanosToMicrosSql(nanosCol))
+
   /** S9 surface: register every table as a temp view so any reference-style
     * `spark.sql` query runs directly (the reference's
     * `createOrReplaceTempView("races")` + `sqlContext.sql` pattern,

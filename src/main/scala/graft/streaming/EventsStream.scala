@@ -108,10 +108,10 @@ object EventsStream {
     val input = spark.readStream
       .schema("ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(eventsDir)
-      // floor-division via pmod (not `div`, which truncates toward zero for
-      // pre-1970 nanos) — keeps window membership identical to the batch
-      // events_window bucketing
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      // shared floor-conversion (see Tables.nanosToMicros scaladoc) keeps
+      // window membership identical to the batch events_window bucketing
+      .withColumn("ts",
+        expr(s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql("ts")})"))
     windowedCounts(input).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
