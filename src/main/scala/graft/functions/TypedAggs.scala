@@ -33,4 +33,26 @@ object TypedAggs {
       override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       override def outputEncoder: Encoder[MoneyStats] = Encoders.product[MoneyStats]
     }
+
+  /** Partial top-K by (digest, id): the buffer never holds more than K
+    * pairs, so map-side combine ships K rows per group per partition — the
+    * scalable form of a per-stratum quota (vs. a window sort that funnels
+    * each stratum's full row set through one task; see
+    * graft.operators.Sampling.stratified). Selection order matches the
+    * window formulation exactly: ascending (digest, id).
+    */
+  def minKByDigest(k: Int): Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] =
+    new Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] {
+      override def zero: Seq[(String, Long)] = Nil
+      private def trim(b: Seq[(String, Long)]): Seq[(String, Long)] =
+        b.sorted.take(k)
+      override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
+        trim(b :+ a)
+      override def merge(x: Seq[(String, Long)], y: Seq[(String, Long)]): Seq[(String, Long)] =
+        trim(x ++ y)
+      override def finish(b: Seq[(String, Long)]): Seq[Long] = b.sorted.map(_._2)
+      override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+        Encoders.kryo[Seq[(String, Long)]]
+      override def outputEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    }
 }

@@ -36,9 +36,10 @@ object Sampling {
     * source, chosen by content digest so the quota is reproducible. NOTE
     * the window form sorts each source's rows inside one task — fine when
     * strata are many and modest; with few huge strata the scalable shape
-    * is a partial top-K aggregation (keep the K smallest digests map-side,
-    * merge partials — an `Aggregator` like graft.functions.TypedAggs) so
-    * only K rows per stratum per partition reach the exchange.
+    * is the partial top-K aggregation `graft.functions.TypedAggs.minKByDigest`
+    * (keeps the K smallest digests map-side, merges partials) so only K
+    * rows per stratum per partition reach the exchange — asserted equal to
+    * this window form in TypedAggsSpec.
     */
   val stratified: Q = Q("sample_stratified",
     """SELECT source, doc_id FROM (

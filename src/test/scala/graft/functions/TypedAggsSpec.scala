@@ -12,6 +12,24 @@ class TypedAggsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("partial top-K aggregator reproduces the window-based stratified sample") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val viaAgg = docs
+      .select($"source", md5($"text").as("dig"), $"doc_id")
+      .as[(String, String, Long)]
+      .repartition(7) // partial merges must not change the selection
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TypedAggs.minKByDigest(5).toColumn.name("ids"))
+      .flatMap { case (src, ids) => ids.map(src -> _) }
+      .collect().toSet
+    val viaWindow = graft.operators.Sampling.stratified.run(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("typed moneyStats equals the untyped exact-decimal aggregation") {
     val orders = Tables.load(spark, sf("sf0.001"), "orders")
     val typed = orders.select($"o_custkey", $"o_totalprice")
