@@ -431,8 +431,30 @@ object Analytics {
       .orderBy(col("grp"), col("o_custkey"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS subqueries — Catalyst's
+    * RewritePredicateSubquery turns both into left-semi / left-anti joins
+    * (no per-row subquery execution), exercised through the spark.sql
+    * surface like the reference's other SQL paths.
+    */
+  val existsQ: Q = Q("exists_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_sq_lineitem")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM graft_sq_orders o
+            |WHERE EXISTS (SELECT 1 FROM graft_sq_lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+            |  AND NOT EXISTS (SELECT 1 FROM graft_sq_lineitem l
+            |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg,
-    pivotAgg, windowFuncs, setOps)
+    pivotAgg, windowFuncs, setOps, existsQ)
 }
