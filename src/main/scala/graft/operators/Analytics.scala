@@ -376,6 +376,36 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic PIVOT: the two-pass form a real user needs when the pivot
+    * domain isn't known up front — pass 1 collects the DISTINCT values (a
+    * tiny driver-side list: the pivot output schema must fit in a schema
+    * anyway, so the domain is small by construction; Spark itself caps
+    * `pivot(col)` discovery at `spark.sql.pivotMaxValues`), pass 2 is the
+    * same one-shuffle conditional aggregation as [[pivotAgg]] with the
+    * discovered list pinned. Output columns are derived from the data
+    * (`st_<value>`); the DuckDB oracle spells the identical conditional
+    * aggregation over the same discovered domain.
+    */
+  val pivotDynamic: Q = Q("pivot_dynamic",
+    """SELECT o_orderpriority,
+      |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS st_f,
+      |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS st_o,
+      |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS st_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    // pass 1: discover the pivot domain (sorted for a deterministic schema)
+    val values = orders.select(col("o_orderstatus")).distinct()
+      .orderBy(col("o_orderstatus")).as[String].collect().toSeq
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", values)
+      .count()
+      .select(col("o_orderpriority") +:
+        values.map(v => coalesce(col(s"`$v`"), lit(0L)).as(s"st_${v.toLowerCase}")): _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** The wider window-function family the reference never used (SURVEY.md
     * §2.5 notes only ROW_NUMBER appears): lag/lead deltas, rank with ties,
     * ntile quartiles, and an explicit sliding frame — all in one pass over
@@ -456,5 +486,5 @@ object Analytics {
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg,
-    pivotAgg, windowFuncs, setOps, existsQ)
+    pivotAgg, pivotDynamic, windowFuncs, setOps, existsQ)
 }

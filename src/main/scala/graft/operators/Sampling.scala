@@ -32,28 +32,51 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  /** Stratified per-source quota (data mixing): at most 5 documents per
-    * source, chosen by content digest so the quota is reproducible. NOTE
-    * the window form sorts each source's rows inside one task — fine when
-    * strata are many and modest; with few huge strata the scalable shape
-    * is the partial top-K aggregation `graft.functions.TypedAggs.minKByDigest`
-    * (keeps the K smallest digests map-side, merges partials) so only K
-    * rows per stratum per partition reach the exchange — asserted equal to
-    * this window form in TypedAggsSpec.
-    */
-  val stratified: Q = Q("sample_stratified",
+  private val StratifiedOracle =
     """SELECT source, doc_id FROM (
       |  SELECT source, doc_id,
       |         row_number() OVER (PARTITION BY source
       |                            ORDER BY md5(text), doc_id) AS rn
       |  FROM documents) t
-      |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+
+  /** Stratified per-source quota (data mixing): at most 5 documents per
+    * source, chosen by content digest so the quota is reproducible. NOTE
+    * the window form sorts each source's rows inside one task — fine when
+    * strata are many and modest; with few huge strata the scalable shape
+    * is [[stratifiedAgg]] (same selection, partial top-K aggregation) —
+    * both gated on the identical DuckDB oracle, and asserted equal to each
+    * other in TypedAggsSpec.
+    */
+  val stratified: Q = Q("sample_stratified", StratifiedOracle) { (s, dir) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
     docs(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** The 100 TB form of [[stratified]]: per-stratum quota as a partial
+    * top-K aggregation (`graft.functions.TypedAggs.minKByDigest`). The
+    * typed buffer never holds more than K (digest, id) pairs, so map-side
+    * combine ships AT MOST K rows per stratum per partition into the
+    * exchange — a giant stratum costs the same as a small one, where the
+    * window form funnels each stratum's full row set through one task's
+    * sort. Same selection order (ascending digest, then id), same DuckDB
+    * oracle as the window form.
+    */
+  val stratifiedAgg: Q = Q("sample_stratified_agg", StratifiedOracle) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select(col("source"), md5(col("text")).as("dig"), col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.TypedAggs.minKByDigest(5).toColumn.name("ids"))
+      .flatMap { case (src, ids) => ids.map(src -> _) }
+      .toDF("source", "doc_id")
       .orderBy(col("source"), col("doc_id"))
   }
 
@@ -73,5 +96,5 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(deterministic, stratified, approx)
+  val all: Seq[Q] = Seq(deterministic, stratified, stratifiedAgg, approx)
 }

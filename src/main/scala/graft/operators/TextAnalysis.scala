@@ -58,10 +58,33 @@ object TextAnalysis {
     "es" -> Seq(" el ", " los ", " una "),
     "fr" -> Seq(" le ", " les ", " est "))
 
-  /** Language ID by stopword-marker scoring (n-gram heuristic): score per
-    * language = Σ occurrences of its marker words; argmax with a fixed
-    * preference order on ties. Pure integer arithmetic → the DuckDB oracle
-    * replays the identical decision function.
+  /** The language-ID decision function over any documents-shaped frame
+    * (doc_id, lang, text): score per language = Σ occurrences of its marker
+    * words; argmax with a fixed preference order on ties. Factored out of
+    * the [[langid]] query so its discriminative behavior is testable on a
+    * corpus with genuinely distinct per-language marker distributions
+    * (TextAnalysisSpec) — the synthetic testdata shares one vocabulary
+    * across `lang` labels, which exercises the arithmetic but not the
+    * classifier.
+    */
+  def langidOn(d: DataFrame): DataFrame = {
+    val scored = d.select(
+      Seq(col("doc_id"), col("lang")) ++
+        LangMarkers.map { case (l, ms) =>
+          ms.map(m => occurrences(col("text"), m)).reduce(_ + _).as(s"score_$l")
+        }: _*)
+    val pred = LangMarkers.map(_._1).reverse
+      .foldLeft(lit("en"): Column) { case (acc, l) =>
+        val beatsAll = LangMarkers.map(_._1).filter(_ != l)
+          .map(o => col(s"score_$l") > col(s"score_$o")).reduce(_ && _)
+        when(beatsAll, lit(l)).otherwise(acc)
+      }
+    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** Language ID by stopword-marker scoring (n-gram heuristic) over the
+    * corpus. Pure integer arithmetic → the DuckDB oracle replays the
+    * identical decision function.
     */
   val langid: Q = Q("text_langid", {
     val scores = LangMarkers.map { case (l, ms) =>
@@ -79,20 +102,7 @@ object TextAnalysis {
       |SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
       |  $argmax AS pred_lang
       |FROM s ORDER BY doc_id""".stripMargin
-  }) { (s, dir) =>
-    val scored = docs(s, dir).select(
-      Seq(col("doc_id"), col("lang")) ++
-        LangMarkers.map { case (l, ms) =>
-          ms.map(m => occurrences(col("text"), m)).reduce(_ + _).as(s"score_$l")
-        }: _*)
-    val pred = LangMarkers.map(_._1).reverse
-      .foldLeft(lit("en"): Column) { case (acc, l) =>
-        val beatsAll = LangMarkers.map(_._1).filter(_ != l)
-          .map(o => col(s"score_$l") > col(s"score_$o")).reduce(_ && _)
-        when(beatsAll, lit(l)).otherwise(acc)
-      }
-    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
-  }
+  }) { (s, dir) => langidOn(docs(s, dir)) }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercased text —
     * the canonical-form hash used for fuzzy-exact dedup of reformatted copies.

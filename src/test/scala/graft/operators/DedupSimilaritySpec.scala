@@ -23,13 +23,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // every LSH hit that claims top-10-worthy similarity must be a real pair
     // from the same table (sanity: ids exist, no self-pairs)
     lsh.foreach { case (q, n, _) => assert(q != n) }
-    // recall: of the queries LSH answered, some overlap with exact top-10 —
-    // random hyperplanes on 64 dims with 64 buckets keeps same-bucket
-    // neighbors similar; assert non-zero recall rather than a brittle bound
-    // 16×6 multi-table layout measures ~0.5 mean recall on this corpus;
-    // assert a generous floor so tuning regressions surface without flaking
+    // recall vs the exact top-10: the 16×6 multi-table layout alone measures
+    // ~0.5 on this corpus; multi-probe (each probe also checks its 6
+    // single-bit-flip neighbor buckets) lifts it to ~0.9. Floor at 0.8 so a
+    // probing regression surfaces without flaking on corpus noise.
     val hits = lsh.count { case (q, n, _) => brute.contains((q, n)) }
-    assert(hits >= 10, s"LSH recall ${hits}/50 below floor")
+    assert(hits >= 40, s"LSH recall ${hits}/50 below 0.8 floor")
   }
 
   test("ann_ivf probes recover brute-force neighbors") {
