@@ -122,4 +122,64 @@ object Ingest {
     */
   def prepareForIndexing(df: DataFrame, dropCols: String*): DataFrame =
     df.na.fill(0).drop(dropCols: _*)
+
+  /** Accounting from a [[bulkIndex]] run. `failedBatches`/`failedDocs`
+    * record batches that exhausted their attempts — the job completes and
+    * the caller decides whether a lossy index run is acceptable (the same
+    * quarantine-over-crash stance as [[jsonWithQuarantine]]).
+    */
+  final case class IndexReport(
+      docs: Long, batches: Long, retries: Long,
+      failedBatches: Long, failedDocs: Long)
+
+  /** S8 proper: `foreachPartition`-batched bulk indexing, the operational
+    * shape of the reference's Elasticsearch loader (`Code Big Data
+    * Project.py:401-454` builds `{"index": {}}`-framed bulk bodies of N
+    * docs and POSTs per chunk). Zero egress here, so the transport is an
+    * injectable `post: Seq[String] => Unit` (must be serializable — it
+    * ships to executors); rows are serialized to JSON documents with
+    * Spark's codegen'd `toJSON`, grouped into `batchSize` chunks inside
+    * each partition (never a driver-side collect), and each chunk retries
+    * up to `maxAttempts` before being counted as failed.
+    *
+    * Accounting uses Spark accumulators — at-least-once under task
+    * retries, which is the right fidelity for operational counters (the
+    * sink itself is as idempotent as the injected POST; ES bulk with
+    * explicit ids is).
+    */
+  def bulkIndex(df: DataFrame, batchSize: Int = 500, maxAttempts: Int = 3)(
+      post: Seq[String] => Unit): IndexReport = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(maxAttempts > 0, s"maxAttempts must be positive, got $maxAttempts")
+    val sc = df.sparkSession.sparkContext
+    val docs = sc.longAccumulator("graft.index.docs")
+    val batches = sc.longAccumulator("graft.index.batches")
+    val retries = sc.longAccumulator("graft.index.retries")
+    val failedBatches = sc.longAccumulator("graft.index.failedBatches")
+    val failedDocs = sc.longAccumulator("graft.index.failedDocs")
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      it.grouped(batchSize).foreach { batch =>
+        var attempt = 1
+        var done = false
+        while (!done) {
+          try {
+            post(batch)
+            done = true
+            batches.add(1)
+            docs.add(batch.size)
+          } catch {
+            case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
+              attempt += 1
+              retries.add(1)
+            case scala.util.control.NonFatal(_) =>
+              done = true
+              failedBatches.add(1)
+              failedDocs.add(batch.size)
+          }
+        }
+      }
+    }
+    IndexReport(docs.value, batches.value, retries.value,
+      failedBatches.value, failedDocs.value)
+  }
 }
