@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger test corpus from an existing scale-factor dir by
+  * replicating the per-row tables `factor`× with key offsets — the
+  * scale-up smoke harness (run `graft.Bench` against the output dir to
+  * check that no query's plan hides a driver-side or single-task
+  * bottleneck that only materializes beyond the shipped SFs).
+  *
+  * Replication preserves the properties the queries exercise:
+  *   - referential integrity: `l_orderkey`/`o_orderkey` are offset in
+  *     lockstep; `o_custkey`/`user_id` keep their domain so dimension
+  *     joins and group cardinalities stay realistic;
+  *   - replica 0 is byte-identical to the source, so fixed query sets
+  *     (knn/ANN probes on `vec_id < 5`, IVF seed centroids) still exist;
+  *   - documents get a per-replica suffix so near-dup structure grows
+  *     instead of collapsing into exact-duplicate groups ×factor;
+  *   - embeddings are rotated by the replica index — norms and pairwise
+  *     geometry within a replica are preserved, but replicas land in
+  *     different LSH buckets / IVF lists like genuinely new vectors.
+  *
+  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [factor]`.
+  */
+object ScaleUp {
+
+  private val KeyStride = 100000000L
+
+  /** Union of `factor` transformed replicas (replica 0 untransformed). */
+  private def replicate(df: DataFrame, factor: Int)(
+      transform: (DataFrame, Int) => DataFrame): DataFrame =
+    (1 until factor).foldLeft(df) { (acc, r) =>
+      acc.unionByName(transform(df, r))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/scaleup")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark: SparkSession = GraftSession.build("graft-scaleup")
+    def t(name: String): DataFrame = sources.Tables.load(spark, src, name)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dimensions: copy as-is (at real scale these grow far slower than facts)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(n => write(t(n), n))
+
+    write(replicate(t("orders"), factor) { (df, r) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * KeyStride))
+    }, "orders")
+
+    write(replicate(t("lineitem"), factor) { (df, r) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * KeyStride))
+    }, "lineitem")
+
+    write(replicate(t("events"), factor) { (df, r) =>
+      df.withColumn("event_id", col("event_id") + lit(r * KeyStride))
+    }, "events")
+
+    write(replicate(t("documents"), factor) { (df, r) =>
+      df.withColumn("doc_id", col("doc_id") + lit(r * KeyStride))
+        .withColumn("text", concat(col("text"), lit(s" replica$r")))
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+
+    val dims = 64
+    write(replicate(t("embeddings"), factor) { (df, r) =>
+      val k = r % dims
+      // rotate the vector left by k: norm-preserving, bucket-scattering
+      df.withColumn("vec_id", col("vec_id") + lit(r * KeyStride))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), k + 1, dims - k),
+            slice(col("embedding"), 1, k)))
+    }, "embeddings")
+
+    println(s"""{"scaled":"$out","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -36,15 +36,24 @@ object Dedup {
       .orderBy(col("text_hash"))
   }
 
-  /** Token-set (1-gram) Jaccard similarity pairs over a deterministic 10%
-    * document sample — the exact pairwise baseline that the MinHash pipeline
-    * below approximates. Sampled because all-pairs is O(n²): this is the
-    * verification oracle for small n, NOT the scale path.
+  private val NgramSampleSize = 200
+
+  /** Token-set (1-gram) Jaccard similarity pairs over a deterministic
+    * FIXED-SIZE document sample (the [[NgramSampleSize]] lowest content
+    * digests — a per-partition top-K TakeOrderedAndProject, then O(K²)
+    * pairs). The exact pairwise baseline that the MinHash pipeline below
+    * approximates: NOT the scale path, so its cost must be CONSTANT in
+    * corpus size — a fractional sample (the previous `doc_id % 10` form)
+    * grows quadratically with the corpus and was the one query that blew
+    * up in the 10× scale smoke (1.3 s → 100 s).
     */
   val ngramJaccard: Q = Q("dedup_ngram",
-    """WITH words AS (
+    s"""WITH sample AS (
+      |  SELECT doc_id, text FROM documents
+      |  ORDER BY md5(text), doc_id LIMIT $NgramSampleSize),
+      |words AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-      |  FROM documents WHERE doc_id % 10 = 0),
+      |  FROM sample),
       |sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
@@ -55,8 +64,11 @@ object Dedup {
       |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
       |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-    val words = docs(s, dir)
-      .filter(col("doc_id") % 10 === 0)
+    val sampled = docs(s, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+      .orderBy(col("dig"), col("doc_id"))
+      .limit(NgramSampleSize)
+    val words = sampled
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
     val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
