@@ -130,13 +130,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-id candidate/near count: union both pair sides, hash-count, left
+  /** Per-id candidate/near count: explode both pair sides, hash-count, left
     * join back with 0 default — shared by the minhash/simhash/embed outputs.
+    *
+    * `explode(array(id1, id2))`, not `select(id1) UNION ALL select(id2)`:
+    * Spark has no subtree reuse across union branches, so the union form
+    * evaluates the ENTIRE candidate-generation pipeline (signatures, band
+    * joins, cosine rescoring) twice — the explode counts both endpoints in
+    * one map-side pass over pairs computed once.
     */
   private def candidateCounts(ids: DataFrame, pairs: DataFrame,
       idCol: String, outCol: String): DataFrame = {
-    val perId = pairs.select(col("id1").as(idCol))
-      .unionAll(pairs.select(col("id2").as(idCol)))
+    val perId = pairs
+      .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as(outCol))
     ids.join(perId, Seq(idCol), "left")
       .withColumn(outCol, coalesce(col(outCol), lit(0L)))
@@ -211,7 +217,12 @@ object Dedup {
       .join(v.select(col("vec_id").as("id2"), col("qv").as("qv2"), col("nrm").as("nrm2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("qv1"), col("nrm1"), col("qv2"), col("nrm2")).as("cos"))
-      .filter(col("cos") >= 0.8)
+      // coalesce makes the threshold null-tolerant (null cos is excluded
+      // either way), so the optimizer cannot infer isnotnull(nrm)/
+      // isnotnull(qv) constraints — plain `>=` pushed those below the
+      // projections, re-evaluating the full dot-product `nrm` expression
+      // inside scan-side filters on every corpus row (2× per branch).
+      .filter(coalesce(col("cos") >= 0.8, lit(false)))
     candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
   }
 

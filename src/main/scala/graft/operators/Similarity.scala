@@ -211,8 +211,14 @@ object Similarity {
             .stripMargin.replace("\n", " "))).as("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // `<=>`, not `===`: plain equality lets the optimizer infer an
+    // isnotnull(cid) filter, and pushdown inlines the whole
+    // centroid_sims+array_position alias into it — the K×64 dot-product
+    // pass ends up evaluated 3× per corpus row (filter twice + project).
+    // cid is never null in practice (assignment of a non-null vector), so
+    // the null-safe key is row-for-row identical and hash-joins the same.
     assigned.join(broadcast(probes),
-        assigned("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+        assigned("cid") <=> probes("cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
