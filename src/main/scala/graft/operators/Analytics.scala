@@ -312,6 +312,54 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Gap-based sessionization as a batch query — the batch twin of
+    * `graft.streaming.EventsStream.sessionize` (same >30 min break rule):
+    * a break flag per event (lag window), a running break-count as the
+    * per-user session number, then one row per session with exact-decimal
+    * value sums. Both windows share ONE (user_id → ts) partitioning, so at
+    * scale there is a single exchange for the whole window stage, plus the
+    * final per-(user, session) hash aggregation. All time arithmetic is
+    * exact integer MICROseconds: `ts` is int64-nanos on the Spark side but
+    * DuckDB coerces the TIMESTAMP(NANOS) parquet column to µs-precision
+    * TIMESTAMP, so both engines truncate to µs (`ts div 1000` /
+    * `epoch_us`) before any comparison — no float epoch, no sub-µs
+    * divergence in gap decisions or session bounds.
+    */
+  val sessionize: Q = Q("events_sessionize",
+    """WITH d AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+      |s AS (SELECT user_id, tus, value,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |t AS (SELECT user_id, tus, value,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM s)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  min(tus) AS session_start, max(tus) AS session_end,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM t GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+    // positive epochs: integer `div` truncation == floor, same as DuckDB's
+    // µs coercion of the nanos column
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(tus)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("tus", tus)
+      .withColumn("brk",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("session_start"),
+        max(col("tus")).as("session_end"),
+        exactSum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   /** Skew-resilient aggregation: `event_type` has a handful of hot keys, so
     * a direct groupBy sends each whole key to one reducer. The salted form
     * splits every key 16 ways (phase 1), then combines the partials
@@ -485,6 +533,6 @@ object Analytics {
 
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
-    pitstop, orderByHidden, racetime, eventsWindow, skewAgg, rollupAgg,
-    pivotAgg, pivotDynamic, windowFuncs, setOps, existsQ)
+    pitstop, orderByHidden, racetime, eventsWindow, sessionize, skewAgg,
+    rollupAgg, pivotAgg, pivotDynamic, windowFuncs, setOps, existsQ)
 }

@@ -164,6 +164,68 @@ object Dedup {
       minhashCandidatesFromSig(sig), "doc_id", "n_candidates")
   }
 
+  /** Connected components over an undirected candidate-pair graph (id1,
+    * id2) by min-label propagation: every vertex repeatedly takes the
+    * minimum label in its closed neighborhood, converging in O(graph
+    * diameter) rounds — near-dup graphs are unions of small dense clusters,
+    * so a handful of rounds suffices (20 is a generous backstop).
+    *
+    * Scale layout: the driver loop only ORCHESTRATES; each round is one
+    * shuffle of (vertex, label) on vertex id joined against the persisted
+    * edge list, and the fixpoint probe is a LIMIT-1 aggregate, never a
+    * collect of data rows. `localCheckpoint` truncates the per-round
+    * lineage (the standard iterative-Spark pattern — without it, round N
+    * re-plans N joined copies of the whole pipeline).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dst_label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("changed"))
+        .localCheckpoint() // eager: materializes the round, cuts lineage
+      converged = updated.filter(col("changed")).limit(1).count() == 0L
+      labels = updated.select(col("id"), col("label"))
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clustering end-to-end: MinHash+LSH candidate pairs →
+    * connected components → one cluster id (the minimum member doc_id) per
+    * document, with the cluster size alongside — the "keep one canonical
+    * doc per duplicate group" primitive a training pipeline actually
+    * executes. Documents with no near-dup candidates are their own
+    * singleton cluster.
+    */
+  val clusters: Q = Q.noOracle("dedup_clusters") { (s, dir) =>
+    val d = docs(s, dir)
+    val comp = connectedComponents(minhashCandidates(d))
+      .select(col("id").as("doc_id"), col("label"))
+    d.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .drop("label")
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash: 64-bit signature where bit j is the sign of Σ over distinct
     * words of ±1 according to bit j of xxhash64(word). Near-dup candidates
     * share a 16-bit band (Hamming-distance banding). Integer sums → fully
@@ -226,5 +288,5 @@ object Dedup {
     candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
   }
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhash, simhash, embed)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhash, simhash, embed, clusters)
 }

@@ -233,17 +233,24 @@ object Similarity {
     * DedupSimilaritySpec.
     */
   val annRecall: Q = Q.noOracle("ann_recall") { (s, dir) =>
+    import s.implicits._
+    // Evaluate each pipeline subtree ONCE: the per-method union tags the
+    // approximate results, and the brute baseline is cross-joined against
+    // the (tiny) method list instead of appearing in one union branch per
+    // method — Spark has no subtree reuse across union branches, so the
+    // per-method `recallOf(brute, ...)` form ran the exact brute-force
+    // scan twice.
     val brute = knnBrute.run(s, dir)
       .select(col("query_id"), col("neighbor_id"))
-    def recallOf(method: String, approx: DataFrame): DataFrame =
-      brute.join(approx.select(col("query_id"), col("neighbor_id"))
-            .withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
-        .withColumn("method", lit(method))
-    recallOf("lsh", annLsh.run(s, dir))
-      .unionByName(recallOf("ivf", annIvf.run(s, dir)))
+    def tagged(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"), lit(method).as("method"))
+    val approx = tagged("lsh", annLsh.run(s, dir))
+      .unionByName(tagged("ivf", annIvf.run(s, dir)))
+      .withColumn("hit", lit(1))
+    brute.crossJoin(Seq("lsh", "ivf").toDF("method"))
+      .join(approx, Seq("method", "query_id", "neighbor_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
       .select(col("method"), col("query_id"), col("recall"))
       .orderBy(col("method"), col("query_id"))
   }

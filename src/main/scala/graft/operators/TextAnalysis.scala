@@ -137,6 +137,34 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** Per-document keyword extraction: top-3 terms by term frequency
+    * (ties broken alphabetically — fully deterministic). Explode is
+    * map-side, the (doc, term) counts two-phase aggregate, and the top-3
+    * is a WindowGroupLimit (partial per-partition top-K before the
+    * exchange) — the per-doc quota never funnels a document's full term
+    * list through the final window sort.
+    */
+  val keywords: Q = Q("text_keywords",
+    """WITH tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY doc_id, w),
+      |r AS (SELECT doc_id, w, tf,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS rn
+      |  FROM tf)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn, w, tf FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("w"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("w"), col("tf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Token counting, whitespace + BPE-ish: the regex splits words, single
     * digits, and punctuation into separate tokens — the pre-tokenization
     * pass BPE vocabularies assume. Character classes only (no \s/\w) so the
@@ -155,5 +183,5 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(stats, langid, fingerprint, wordfreq, tokens)
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, wordfreq, keywords, tokens)
 }

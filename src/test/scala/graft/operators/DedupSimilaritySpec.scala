@@ -71,6 +71,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(total === graft.sources.Tables.load(spark, dir, "documents").count())
   }
 
+  test("connectedComponents collapses chains and keeps separate clusters apart") {
+    // 1-2-3-4-5-6 is a 6-vertex CHAIN (diameter 5): min-label propagation
+    // needs multiple rounds to flood label 1 to vertex 6 — exercises the
+    // iteration, not just one hop. 10-11 is a separate component.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 6L).foreach(v => assert(labels(v) === 1L, s"vertex $v"))
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+  }
+
+  test("dedup_clusters groups planted near-dups and leaves the rest singleton-consistent") {
+    val base = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    // copy of doc 0 plus a lightly-edited copy: both must land in doc 0's
+    // cluster through the minhash-candidate graph
+    val copies = base.filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(1000000L))
+      .unionByName(base.filter($"doc_id" === 0)
+        .withColumn("doc_id", lit(2000000L))
+        .withColumn("text", concat($"text", lit(" tailword"))))
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashCandidates(base.unionByName(copies)))
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1000000L) === comp.getOrElse(0L, 0L))
+    assert(comp(2000000L) === comp.getOrElse(0L, 0L))
+    // the registered query covers every document exactly once, and every
+    // cluster id is a member of its own cluster (a valid canonical choice)
+    val out = Dedup.clusters.run(spark, dir)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === base.count())
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.exists(_._1 === cid), s"cluster $cid lost its canonical doc")
+      members.foreach { case (_, _, size) => assert(size === members.length) }
+    }
+  }
+
   test("simhash signatures are identical for identical texts, differ across corpus") {
     val sig = Dedup.simhash.run(spark, dir).select($"doc_id", $"simhash")
     val distinct = sig.select($"simhash").distinct().count()
