@@ -94,6 +94,34 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: every `click` joins the same user's
+    * `purchase` events that arrive within the 10 minutes AFTER the click —
+    * the attribution join a real event pipeline runs continuously. Both
+    * sides carry watermarks and the join condition bounds purchase time
+    * relative to click time, so Spark can size and EVICT both state
+    * buffers (state ≈ one watermark horizon per side per user); without
+    * the time bound + watermarks, a stream-stream inner join must buffer
+    * both streams forever — the canonical streaming state leak at scale.
+    * Self-joining one filtered source stream twice is the supported
+    * append-mode layout.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** Production wiring: stream the events directory as it grows (new parquet
     * files per micro-batch), aggregate, write parquet with checkpointing.
     * Returns the started query; callers own its lifecycle.

@@ -62,6 +62,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("text_keywords top-3 plans as WindowGroupLimit (partial per-partition top-K)") {
+    val p = plan("text_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("events_sessionize shares one user_id exchange across both windows and the agg") {
+    // lag + running-sum windows and the per-(user, session) aggregation all
+    // key on user_id — one hash exchange must feed the whole stage; the
+    // only other exchange is the final presentation sort.
+    val p = plan("events_sessionize")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
   test("aggregations are two-phase (partial map-side, final after exchange)") {
     val p = plan("wins")
     assert(p.contains("partial_count"), p)

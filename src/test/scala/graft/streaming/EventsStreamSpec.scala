@@ -86,6 +86,34 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("clickPurchaseJoin attributes purchases within 10 minutes of a click") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0), 1L, "click", 1.0),
+        EventsStream.Event(ts(5), 1L, "purchase", 50.0), // within 10 min → joins
+        EventsStream.Event(ts(12), 1L, "purchase", 70.0), // >10 min after → no
+        EventsStream.Event(ts(5), 2L, "purchase", 9.0), // no click for user 2
+        EventsStream.Event(ts(6), 3L, "click", 1.0)) // click without purchase
+      query.processAllAvailable()
+      // advance both watermarks so the joined result is emitted in Append mode
+      input.addData(
+        EventsStream.Event(ts(40), 9L, "click", 0.0),
+        EventsStream.Event(ts(40), 9L, "purchase", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select($"user_id", $"purchase_value")
+        .as[(Long, Double)].collect().toSet
+      assert(rows.contains((1L, 50.0)), s"attributed purchase missing: $rows")
+      assert(!rows.contains((1L, 70.0)), "out-of-horizon purchase joined")
+      assert(!rows.exists(_._1 == 2L), "purchase without click joined")
+    } finally query.stop()
+  }
+
   test("sessionize keeps running per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
