@@ -67,7 +67,7 @@ class F1DifferentialSpec extends SparkSpec {
           out += Expected(year.toLong, race.round.toString, r.driverId,
             cumulative(r.driverId), formatted,
             pitCounts.getOrElse(r.driverId, 0).toLong, r.position,
-            r.flap.getOrElse("N/A"))
+            r.flap.getOrElse("N/A"), r.cons)
         }
       }
     }
@@ -84,12 +84,17 @@ class F1DifferentialSpec extends SparkSpec {
       ("verstappen", "Max", "Verstappen", "Red Bull"),
       ("norris", "Lando", "Norris", "McLaren"),
       ("gasly", "Pierre", "Gasly", "Alpine"))
-    for {
-      year <- Seq(2022, 2023)
-      round <- 1 to 4
-    } yield {
+    Seq(2022, 2023).flatMap { year =>
+      // mid-season constructor swaps: ~1 in 3 drivers changes team from a
+      // random round on — per-driver cumulative points must be indifferent
+      // to the team change while the output row carries the NEW team
+      val swapAt: Map[String, Int] = drivers.map { case (id, _, _, _) =>
+        id -> (if (rnd.nextInt(3) == 0) 2 + rnd.nextInt(3) else Int.MaxValue)
+      }.toMap
+      (1 to 4).map { round =>
       val field = rnd.shuffle(drivers).take(3 + rnd.nextInt(3))
-      val results = field.zipWithIndex.map { case ((id, g, f, c), i) =>
+      val results = field.zipWithIndex.map { case ((id, g, f, c0), i) =>
+        val c = if (round >= swapAt(id)) s"Swap-$id" else c0
         val position = if (rnd.nextInt(10) == 0) "N/A" else (i + 1).toString
         val time: Option[String] = i match {
           case 0 => if (rnd.nextBoolean())
@@ -109,6 +114,7 @@ class F1DifferentialSpec extends SparkSpec {
       val pits = field.filter(_ => rnd.nextBoolean())
         .map { case (id, _, _, _) => id -> (1 + rnd.nextInt(3)) }
       GenRace(year, round, results, pits)
+      }
     }
   }
 
@@ -154,7 +160,7 @@ class F1DifferentialSpec extends SparkSpec {
         spark.read.schema(Ergast.pitstopsSchema).json(spark.createDataset(pitJson)))
       val got = fact.select(col("year"), col("round"), col("driverId"),
           col("totalPoints"), col("time"), col("pitStops"), col("position"),
-          col("fastestLapTime"))
+          col("fastestLapTime"), col("constructorName").as("cons"))
         .as[Expected].collect()
         .map(e => (e.year, e.round, e.driverId) -> e).toMap
       val expected = referenceModel(races)
@@ -166,6 +172,7 @@ class F1DifferentialSpec extends SparkSpec {
         assert(g.pitStops === e.pitStops, s"seed $seed $e: pitStops")
         assert(g.position === e.position, s"seed $seed $e: position")
         assert(g.fastestLapTime === e.fastestLapTime, s"seed $seed $e: flap")
+        assert(g.cons === e.cons, s"seed $seed $e: constructor (mid-season swap)")
       }
     }
   }
@@ -180,5 +187,5 @@ object F1DifferentialSpec {
   // top-level: Encoders can't reach inner classes of the suite
   case class Expected(year: Long, round: String, driverId: String,
       totalPoints: Double, time: String, pitStops: Long, position: String,
-      fastestLapTime: String)
+      fastestLapTime: String, cons: String)
 }
