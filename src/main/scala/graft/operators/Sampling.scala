@@ -80,6 +80,28 @@ object Sampling {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (~8/2/6 of 16 digest buckets):
+    * assignment is a pure map over the content digest's first hex char —
+    * no RNG state, no shuffle (the presentation sort is the only
+    * exchange), and any engine reproduces the identical split, which is
+    * what makes dataset versioning and leakage audits possible at 100 TB.
+    * Comparing hex CHARACTERS ('0'-'7' / '8'-'9','a'-'b' / rest) keeps the
+    * rule engine-portable without hex→int casts.
+    */
+  val split: Q = Q("sample_split",
+    """SELECT doc_id, source,
+      |  CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND '7' THEN 'train'
+      |       WHEN substr(md5(text), 1, 1) BETWEEN '8' AND 'b' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val h = substring(md5(col("text")), 1, 1)
+    docs(s, dir).select(col("doc_id"), col("source"),
+        when(h.between("0", "7"), "train")
+          .when(h.between("8", "b"), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Approximate distinct/percentile aggregates — the sketches that replace
     * exact DISTINCT/median at 100 TB (HyperLogLog++ / KLL both merge
     * associatively, so partial aggregation works map-side). Rows-only check
@@ -96,5 +118,5 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(deterministic, stratified, stratifiedAgg, approx)
+  val all: Seq[Q] = Seq(deterministic, stratified, stratifiedAgg, split, approx)
 }
