@@ -68,11 +68,15 @@ object ScaleUp {
     val dims = 64
     write(replicate(t("embeddings"), factor) { (df, r) =>
       val k = r % dims
-      // rotate the vector left by k: norm-preserving, bucket-scattering
+      // rotate the vector left by k — norm-preserving, bucket-scattering —
+      // and REVERSE it for replicas ≥ dims: rotation alone aliases at
+      // r = dims (replica 64 would be byte-identical to replica 0),
+      // reversal doubles the distinct-transform budget to 2·dims replicas
+      val rotated = concat(slice(col("embedding"), k + 1, dims - k),
+        slice(col("embedding"), 1, k))
       df.withColumn("vec_id", col("vec_id") + lit(r * KeyStride))
         .withColumn("embedding",
-          concat(slice(col("embedding"), k + 1, dims - k),
-            slice(col("embedding"), 1, k)))
+          if ((r / dims) % 2 == 1) reverse(rotated) else rotated)
     }, "embeddings")
 
     println(s"""{"scaled":"$out","factor":$factor}""")

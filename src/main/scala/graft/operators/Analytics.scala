@@ -340,9 +340,11 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM t GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
-    // positive epochs: integer `div` truncation == floor, same as DuckDB's
-    // µs coercion of the nanos column
-    val tus = expr("ts div 1000")
+    // the SHARED nanos→micros floor conversion (Tables.nanosToMicros):
+    // plain `div` truncates toward zero for pre-1970 nanos and would
+    // diverge from DuckDB's µs coercion exactly where eventsWindow's
+    // bucketing already had to solve this — one helper, one semantics
+    val tus = Tables.nanosToMicros("ts")
     val w = Window.partitionBy(col("user_id")).orderBy(tus)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
@@ -442,8 +444,12 @@ object Analytics {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     import s.implicits._
     val orders = t(s, dir, "orders")
-    // pass 1: discover the pivot domain (sorted for a deterministic schema)
+    // pass 1: discover the pivot domain (sorted for a deterministic
+    // schema). NULL can't become a column name — rows with a NULL pivot
+    // value simply contribute to no value column, exactly what the
+    // conditional-aggregation form does with `CASE WHEN status = v`.
     val values = orders.select(col("o_orderstatus")).distinct()
+      .filter(col("o_orderstatus").isNotNull)
       .orderBy(col("o_orderstatus")).as[String].collect().toSeq
     orders
       .groupBy(col("o_orderpriority"))

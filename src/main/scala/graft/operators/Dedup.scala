@@ -192,16 +192,34 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
           Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("dst_label")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // eager checkpoint: materialized once, then read twice by the jump
+      // self-join below (and lineage is cut per round)
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("changed"))
-        .localCheckpoint() // eager: materializes the round, cuts lineage
-      converged = updated.filter(col("changed")).limit(1).count() == 0L
-      labels = updated.select(col("id"), col("label"))
+        .localCheckpoint()
+      // pointer jumping: follow the label one more hop (label := label of
+      // label) — with it, label distance-to-root roughly halves per round,
+      // so convergence is O(log diameter) and maxRounds=20 covers any
+      // realistic component (a plain one-hop loop is O(diameter) and could
+      // silently time out on a long edit-chain)
+      val jumped = propagated.as("v")
+        .join(propagated.select(col("id").as("label"),
+          col("label").as("jump")).as("p"), Seq("label"), "left")
+        .select(col("id"), coalesce(col("jump"), col("label")).as("label"),
+          col("changed"))
+        .localCheckpoint()
+      converged = jumped.filter(col("changed")).limit(1).count() == 0L
+      labels.unpersist() // release the previous round's checkpoint blocks
+      propagated.unpersist()
+      labels = jumped.select(col("id"), col("label"))
       round += 1
     }
     edges.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds — " +
+        "component diameter exceeds 2^rounds; raise maxRounds")
     labels
   }
 

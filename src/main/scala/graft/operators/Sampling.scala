@@ -80,7 +80,8 @@ object Sampling {
       .orderBy(col("source"), col("doc_id"))
   }
 
-  /** Deterministic train/val/test split (~8/2/6 of 16 digest buckets):
+  /** Deterministic train/val/test split (8/4/4 of 16 digest buckets —
+    * 50% / 25% / 25%):
     * assignment is a pure map over the content digest's first hex char —
     * no RNG state, no shuffle (the presentation sort is the only
     * exchange), and any engine reproduces the identical split, which is
