@@ -83,6 +83,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(10L) === 10L && labels(11L) === 10L)
   }
 
+  test("connectedComponents fails loudly when maxRounds is too small, not silently wrong") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("id1", "id2")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxRounds = 1)
+    }
+    // with pointer jumping, an 8-vertex chain needs only ~log2(7) rounds
+    val labels = Dedup.connectedComponents(chain, maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    (1L to 8L).foreach(v => assert(labels(v) === 1L, s"vertex $v"))
+  }
+
   test("dedup_clusters groups planted near-dups and leaves the rest singleton-consistent") {
     val base = graft.sources.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text")
