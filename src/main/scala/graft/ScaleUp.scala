@@ -65,7 +65,7 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")))
     }, "documents")
 
-    val dims = 64
+    val dims = graft.functions.LshPlanes.Dims // single source of truth
     write(replicate(t("embeddings"), factor) { (df, r) =>
       val k = r % dims
       // rotate the vector left by k — norm-preserving, bucket-scattering —

@@ -312,8 +312,12 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
-  /** Gap-based sessionization as a batch query — the batch twin of
-    * `graft.streaming.EventsStream.sessionize` (same >30 min break rule):
+  /** Gap-based sessionization as a batch query — the batch counterpart of
+    * `graft.streaming.EventsStream.sessionize` (same session concept,
+    * different clock: the streaming form closes a session after 30 min of
+    * PROCESSING-time inactivity via state timeout, this batch form splits
+    * on >30 min EVENT-time gaps — replaying history through both is not
+    * expected to yield identical boundaries):
     * a break flag per event (lag window), a running break-count as the
     * per-user session number, then one row per session with exact-decimal
     * value sums. Both windows share ONE (user_id → ts) partitioning, so at
@@ -433,8 +437,11 @@ object Analytics {
     * `pivot(col)` discovery at `spark.sql.pivotMaxValues`), pass 2 is the
     * same one-shuffle conditional aggregation as [[pivotAgg]] with the
     * discovered list pinned. Output columns are derived from the data
-    * (`st_<value>`); the DuckDB oracle spells the identical conditional
-    * aggregation over the same discovered domain.
+    * (`st_<value>`); the DuckDB oracle hardcodes the domain the discovery
+    * pass finds on the GATE corpora ({F, O, P} at every shipped SF) — a
+    * static oracle cannot follow a truly novel domain, so on data with
+    * different statuses only the Spark side adapts (that adaptability is
+    * the point of the query; the oracle pins it for the corpora tested).
     */
   val pivotDynamic: Q = Q("pivot_dynamic",
     """SELECT o_orderpriority,

@@ -211,8 +211,13 @@ object Dedup {
           col("changed"))
         .localCheckpoint()
       converged = jumped.filter(col("changed")).limit(1).count() == 0L
-      labels.unpersist() // release the previous round's checkpoint blocks
-      propagated.unpersist()
+      // deterministic release of the previous round's checkpoint blocks:
+      // Dataset.unpersist is a no-op for localCheckpoint'd data (it only
+      // clears CacheManager entries), so unpersist the checkpointed RDD
+      // itself — otherwise every round leaves a dead (vertex, label)
+      // snapshot in executor storage until driver GC
+      releaseCheckpoint(labels)
+      releaseCheckpoint(propagated)
       labels = jumped.select(col("id"), col("label"))
       round += 1
     }
@@ -223,12 +228,31 @@ object Dedup {
     labels
   }
 
+  /** Unpersist the RDD backing a `localCheckpoint`'d Dataset (the final
+    * round's labels stay live for the caller; intermediate rounds are
+    * released eagerly rather than waiting for the ContextCleaner).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    // traverse: the label frame is a projection OVER its checkpoint's
+    // LogicalRDD, not the LogicalRDD itself. Safe by construction: the
+    // next round's frame is already eagerly materialized when this runs.
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Near-dup clustering end-to-end: MinHash+LSH candidate pairs →
     * connected components → one cluster id (the minimum member doc_id) per
     * document, with the cluster size alongside — the "keep one canonical
     * doc per duplicate group" primitive a training pipeline actually
     * executes. Documents with no near-dup candidates are their own
     * singleton cluster.
+    *
+    * NOTE: unlike every other registered query, CONSTRUCTING this frame
+    * executes the iterative component search (the driver loop must run its
+    * per-round jobs to know the final labels) — plan-only consumers pay
+    * the full search, which is inherent to any fixpoint iteration
+    * expressed over DataFrames.
     */
   val clusters: Q = Q.noOracle("dedup_clusters") { (s, dir) =>
     val d = docs(s, dir)

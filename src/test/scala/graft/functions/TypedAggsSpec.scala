@@ -12,22 +12,30 @@ class TypedAggsSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("partial top-K aggregator reproduces the window-based stratified sample") {
+  test("the REGISTERED stratifiedAgg query equals the window-based stratified sample") {
+    // exercises the exact operator SparkEntry registers, not a spec-local
+    // re-implementation that could drift from it
+    val viaAgg = graft.operators.Sampling.stratifiedAgg.run(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toSet
+    val viaWindow = graft.operators.Sampling.stratified.run(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("minKByDigest selection is independent of partitioning/merge order") {
     import org.apache.spark.sql.functions.md5
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
-    val viaAgg = docs
+    def select(parts: Int): Set[(String, Long)] = docs
       .select($"source", md5($"text").as("dig"), $"doc_id")
       .as[(String, String, Long)]
-      .repartition(7) // partial merges must not change the selection
+      .repartition(parts) // partial merges must not change the selection
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(TypedAggs.minKByDigest(5).toColumn.name("ids"))
       .flatMap { case (src, ids) => ids.map(src -> _) }
       .collect().toSet
-    val viaWindow = graft.operators.Sampling.stratified.run(spark, sf("sf0.001"))
-      .as[(String, Long)].collect().toSet
-    assert(viaAgg === viaWindow)
-    assert(viaAgg.nonEmpty)
+    assert(select(1) === select(7))
   }
 
   test("typed moneyStats equals the untyped exact-decimal aggregation") {
