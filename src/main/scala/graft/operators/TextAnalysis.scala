@@ -166,24 +166,27 @@ object TextAnalysis {
   }
 
   /** TF-IDF-weighted terms: top-3 per document by `tf · (N / df)` — term
-    * frequency from one (doc, term) aggregation, document frequency from a
-    * second distinct-based aggregation over the same exploded pass, joined
-    * on the term. The idf is the RATIONAL form (no logarithm): tf, N and
-    * df are exact integers, so one IEEE double division gives bit-identical
-    * scores in both engines — a deployment wanting `ln(N/df)` damping swaps
-    * one expression, the plan shape (two shuffles on term-sized keys + a
-    * WindowGroupLimit top-K) is what matters at 100 TB.
+    * frequency from one (doc, term) aggregation; document frequency as a
+    * WINDOW count over that same tf frame (tf rows are distinct per
+    * (doc, term), so `count(*) over (partition by term)` IS the document
+    * frequency) — the corpus is exploded and aggregated exactly once by
+    * construction, no second scan, no tf⋈df join. The idf is the RATIONAL
+    * form (no logarithm): tf, N and df are exact integers, so one IEEE
+    * double division gives bit-identical scores in both engines — a
+    * deployment wanting `ln(N/df)` damping swaps one expression; the plan
+    * shape (one corpus pass, a term-keyed window, a WindowGroupLimit
+    * top-K) is what matters at 100 TB.
     */
   val tfidf: Q = Q("text_tfidf",
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
-      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |tfdf AS (SELECT doc_id, w, tf, count(*) OVER (PARTITION BY w) AS df FROM tf),
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (
-      |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
-      |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
-      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+      |  SELECT doc_id, w, tf, df,
+      |    CAST(tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+      |  FROM tfdf CROSS JOIN n),
       |r AS (SELECT doc_id, w, tf, df, tfidf,
       |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
       |  FROM scored)
@@ -192,23 +195,19 @@ object TextAnalysis {
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    // df straight from tf (tf rows are distinct per (doc, w) by
-    // construction): no second explode/distinct pass over the corpus, and
-    // both branches now share an identical (doc_id, w) exchange that
-    // Spark's ReuseExchange collapses to one corpus scan at runtime
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
     // N as a broadcast 1-row aggregate, not a driver-side count(): the
     // whole query stays one lazy plan, and the cross join is a
     // BroadcastNestedLoopJoin against a single row
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
-    tf.join(df, Seq("w"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
       .drop("n_docs")
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("w"), col("tf"), col("df"), col("tfidf"))
       .orderBy(col("doc_id"), col("rn"))

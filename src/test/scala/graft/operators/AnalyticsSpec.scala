@@ -77,6 +77,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("text_tfidf explodes and aggregates the corpus exactly once") {
+    // df is a window count over the tf frame, so term frequencies and
+    // document frequencies come out of ONE corpus pass — exactly one
+    // Generate(explode) may appear in the physical plan (the only other
+    // documents scan is the pruned-to-nothing count for N)
+    val df = SparkEntry.queries("text_tfidf")(spark, dir)
+    df.collect()
+    // AQE prints the final plan followed by "== Initial Plan ==" — only
+    // count operators in the final section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.linesIterator.count(_.contains("Generate explode")) === 1, p)
+  }
+
   test("aggregations are two-phase (partial map-side, final after exchange)") {
     val p = plan("wins")
     assert(p.contains("partial_count"), p)
