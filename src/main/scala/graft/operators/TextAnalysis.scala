@@ -166,27 +166,35 @@ object TextAnalysis {
   }
 
   /** TF-IDF-weighted terms: top-3 per document by `tf · (N / df)` — term
-    * frequency from one (doc, term) aggregation; document frequency as a
-    * WINDOW count over that same tf frame (tf rows are distinct per
-    * (doc, term), so `count(*) over (partition by term)` IS the document
-    * frequency) — the corpus is exploded and aggregated exactly once by
-    * construction, no second scan, no tf⋈df join. The idf is the RATIONAL
-    * form (no logarithm): tf, N and df are exact integers, so one IEEE
-    * double division gives bit-identical scores in both engines — a
-    * deployment wanting `ln(N/df)` damping swaps one expression; the plan
-    * shape (one corpus pass, a term-keyed window, a WindowGroupLimit
-    * top-K) is what matters at 100 TB.
+    * frequency from a (doc, term) aggregation, document frequency from a
+    * second TWO-PHASE aggregation over the tf frame (tf rows are distinct
+    * per (doc, term), so counting them per term IS df), broadcast-joined
+    * back on the term (a vocabulary fits in a broadcast at any corpus
+    * size that has one).
+    *
+    * Deliberately NOT `count(*) OVER (PARTITION BY w)` on the tf frame:
+    * that is one corpus pass instead of two, but a window partition holds
+    * ALL rows of a term in one task — a stopword present in every document
+    * funnels n_docs rows through a single window buffer, the classic
+    * hot-key bottleneck. Two skew-resistant passes (map-side partial
+    * counts both times) beat one skewed pass at 100 TB; scans are the
+    * cheap part.
+    *
+    * The idf is the RATIONAL form (no logarithm): tf, N and df are exact
+    * integers, so one IEEE double division gives bit-identical scores in
+    * both engines — a deployment wanting `ln(N/df)` damping swaps one
+    * expression without changing the plan shape.
     */
   val tfidf: Q = Q("text_tfidf",
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
-      |tfdf AS (SELECT doc_id, w, tf, count(*) OVER (PARTITION BY w) AS df FROM tf),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (
-      |  SELECT doc_id, w, tf, df,
-      |    CAST(tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
-      |  FROM tfdf CROSS JOIN n),
+      |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
       |r AS (SELECT doc_id, w, tf, df, tfidf,
       |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
       |  FROM scored)
@@ -195,14 +203,14 @@ object TextAnalysis {
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // N as a broadcast 1-row aggregate, not a driver-side count(): the
     // whole query stays one lazy plan, and the cross join is a
     // BroadcastNestedLoopJoin against a single row
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(broadcast(df), Seq("w"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))

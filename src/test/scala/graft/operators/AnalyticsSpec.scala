@@ -77,17 +77,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
-  test("text_tfidf explodes and aggregates the corpus exactly once") {
-    // df is a window count over the tf frame, so term frequencies and
-    // document frequencies come out of ONE corpus pass — exactly one
-    // Generate(explode) may appear in the physical plan (the only other
-    // documents scan is the pruned-to-nothing count for N)
+  test("text_tfidf joins df by broadcast and keeps no skewed term window") {
+    // df must reach tf via a broadcast hash join (a vocabulary is
+    // broadcast-sized at any corpus scale) and the plan must contain NO
+    // window partitioned by the term — `count(*) over (partition by w)`
+    // would funnel every occurrence of a hot term through one task
     val df = SparkEntry.queries("text_tfidf")(spark, dir)
     df.collect()
-    // AQE prints the final plan followed by "== Initial Plan ==" — only
-    // count operators in the final section
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p.linesIterator.count(_.contains("Generate explode")) === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("[w#")), s"term-keyed window found:\n$p")
   }
 
   test("aggregations are two-phase (partial map-side, final after exchange)") {
