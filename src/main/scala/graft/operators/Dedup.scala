@@ -268,6 +268,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The deduplicated corpus itself: keep exactly the canonical document
+    * of every near-dup cluster (cluster_id == doc_id) — the materialization
+    * step that actually shrinks the training set after [[clusters]] has
+    * decided group membership. Output is the kept doc ids with how many
+    * documents each one represents.
+    */
+  val keepCanonical: Q = Q.noOracle("dedup_keep") { (s, dir) =>
+    clusters.run(s, dir)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("cluster_size").as("represents"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash: 64-bit signature where bit j is the sign of Σ over distinct
     * words of ±1 according to bit j of xxhash64(word). Near-dup candidates
     * share a 16-bit band (Hamming-distance banding). Integer sums → fully
@@ -330,5 +343,6 @@ object Dedup {
     candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
   }
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhash, simhash, embed, clusters)
+  val all: Seq[Q] =
+    Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical)
 }

@@ -122,6 +122,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-gate filter (the Gopher-style rule stage of a training
+    * pipeline): per-document signals → boolean rules → keep verdict, one
+    * codegen'd projection pass with the same integer counting idioms as
+    * [[stats]]. Emits the failing documents WITH their rule flags (the
+    * audit view a data curator actually inspects); the keep rate is what
+    * a pipeline monitors per source.
+    */
+  val qualityFilter: Q = Q("text_quality",
+    s"""WITH s AS (SELECT doc_id, source,
+      |    length(text) AS n_chars,
+      |    ${occSql(" ")} + 1 AS n_tokens,
+      |    CAST(${occSql(" the ")} AS BIGINT) AS n_stop,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  n_chars >= 120 AS len_ok,
+      |  n_tokens >= 20 AS tok_ok,
+      |  n_stop >= 1 AS stop_ok,
+      |  n_punct * 10 <= n_tokens AS punct_ok,
+      |  (n_chars >= 120 AND n_tokens >= 20 AND n_stop >= 1
+      |   AND n_punct * 10 <= n_tokens) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val spaces = occurrences(col("text"), " ")
+    val nTokens = spaces + 1
+    val nChars = length(col("text"))
+    val nStop = occurrences(col("text"), " the ").cast("long")
+    val nPunct = (nChars -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val lenOk = nChars >= 120
+    val tokOk = nTokens >= 20
+    val stopOk = nStop >= 1
+    val punctOk = nPunct * 10 <= nTokens
+    docs(s, dir).select(
+      col("doc_id"), col("source"),
+      lenOk.as("len_ok"), tokOk.as("tok_ok"), stopOk.as("stop_ok"),
+      punctOk.as("punct_ok"),
+      (lenOk && tokOk && stopOk && punctOk).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus term frequency: explode → hash-agg → top-100. The explode is
     * map-side; the agg shuffles only (word, partial count) pairs — the
     * classic scalable wordcount shape.
@@ -239,5 +279,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens)
+  val all: Seq[Q] =
+    Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens, qualityFilter)
 }

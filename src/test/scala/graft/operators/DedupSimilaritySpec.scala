@@ -123,6 +123,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep canonicals partition the corpus: represents sums to corpus size") {
+    val kept = Dedup.keepCanonical.run(spark, dir)
+      .as[(Long, Long)].collect()
+    val corpus = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(kept.map(_._2).sum === corpus,
+      "every document must be represented by exactly one canonical")
+    assert(kept.length <= corpus)
+  }
+
   test("simhash signatures are identical for identical texts, differ across corpus") {
     val sig = Dedup.simhash.run(spark, dir).select($"doc_id", $"simhash")
     val distinct = sig.select($"simhash").distinct().count()
