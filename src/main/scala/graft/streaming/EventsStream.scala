@@ -122,6 +122,23 @@ object EventsStream {
         col("click_value"), col("purchase_value"))
   }
 
+  /** `foreachBatch` sink wiring: each micro-batch arrives as a plain
+    * DataFrame plus a monotonically increasing `batchId` — the pattern for
+    * sinks Spark has no native connector for (JDBC upsert, bulk indexers
+    * like [[graft.sources.Ingest.bulkIndex]]). Exactly-once lands on the
+    * CALLER's idempotence: after a crash the engine replays the last
+    * uncommitted batch with the SAME batchId, so a writer that keys on
+    * (batchId) or upserts by natural key deduplicates the replay — that
+    * contract is what the batchId parameter exists for.
+    */
+  def runForeachBatch(events: DataFrame, checkpointDir: String)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(events).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(write)
+      .start()
+
   /** Production wiring: stream the events directory as it grows (new parquet
     * files per micro-batch), aggregate, write parquet with checkpointing.
     * Returns the started query; callers own its lifecycle.

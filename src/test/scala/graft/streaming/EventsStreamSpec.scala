@@ -9,6 +9,13 @@ import org.apache.spark.sql.streaming.OutputMode
 /** Structured Streaming surface: the windowed agg + watermark and the
   * stateful sessionization over MemoryStream micro-batches.
   */
+object EventsStreamSpec {
+  // foreachBatch closures run on query-execution threads (same JVM in
+  // local mode); a static concurrent collection observes their calls
+  val batches =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(String, Long)])]()
+}
+
 class EventsStreamSpec extends SparkSpec {
 
   import spark.implicits._
@@ -111,6 +118,31 @@ class EventsStreamSpec extends SparkSpec {
       assert(rows.contains((1L, 50.0)), s"attributed purchase missing: $rows")
       assert(!rows.contains((1L, 70.0)), "out-of-horizon purchase joined")
       assert(!rows.exists(_._1 == 2L), "purchase without click joined")
+    } finally query.stop()
+  }
+
+  test("runForeachBatch hands closed windows to the sink with increasing batch ids") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val ck = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val query = EventsStream.runForeachBatch(input.toDF(), ck) { (df, id) =>
+      val rows = df.select("event_type", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      EventsStreamSpec.batches.add(id -> rows)
+    }
+    try {
+      input.addData(
+        EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+        EventsStream.Event(ts(2, 0), 2L, "click", 2.0))
+      query.processAllAvailable()
+      // advance past the watermark so the 10:00 window closes and is emitted
+      input.addData(EventsStream.Event(ts(20, 0), 3L, "view", 9.0))
+      query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val seen = EventsStreamSpec.batches.asScala.toSeq.sortBy(_._1)
+      assert(seen.map(_._1) === seen.map(_._1).sorted, "batch ids increase")
+      assert(seen.flatMap(_._2).contains(("click", 2L)),
+        s"closed click window not delivered: $seen")
     } finally query.stop()
   }
 
