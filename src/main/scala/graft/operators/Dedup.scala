@@ -241,6 +241,21 @@ object Dedup {
       case _ => ()
     }
 
+  /** Per-session memo of the component search: the labels frame is backed
+    * by a materialized localCheckpoint, so both consumers of the cluster
+    * assignment ([[clusters]] and [[keepCanonical]]) reuse ONE iterative
+    * search per (session, dir) instead of re-running it — exactly how a
+    * production pipeline consumes a cluster assignment twice. Retention is
+    * two longs per clustered doc for the session's lifetime.
+    */
+  private val componentCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    componentCache.getOrElseUpdate((s, dir),
+      connectedComponents(minhashCandidates(docs(s, dir)))
+        .select(col("id").as("doc_id"), col("label")))
+
   /** Near-dup clustering end-to-end: MinHash+LSH candidate pairs →
     * connected components → one cluster id (the minimum member doc_id) per
     * document, with the cluster size alongside — the "keep one canonical
@@ -252,12 +267,11 @@ object Dedup {
     * executes the iterative component search (the driver loop must run its
     * per-round jobs to know the final labels) — plan-only consumers pay
     * the full search, which is inherent to any fixpoint iteration
-    * expressed over DataFrames.
+    * expressed over DataFrames (amortized per session by [[componentLabels]]).
     */
   val clusters: Q = Q.noOracle("dedup_clusters") { (s, dir) =>
     val d = docs(s, dir)
-    val comp = connectedComponents(minhashCandidates(d))
-      .select(col("id").as("doc_id"), col("label"))
+    val comp = componentLabels(s, dir)
     d.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
