@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * Scale design: every pipeline here is shuffle-bounded by (band, key) or
   * (word) cardinality — no cross join of the full corpus ever happens. The
   * only quadratic step is within an LSH bucket / shared-token group, which
-  * banding parameters keep small. Hashes are xxhash64 (codegen'd, seeded by
-  * prefixing a literal), so results are deterministic across runs/clusters.
+  * banding parameters keep small. Hashes are seeded md5 digests (codegen'd
+  * built-ins): deterministic across runs/clusters AND bit-identical in
+  * DuckDB, so every hash-driven pipeline here is fully oracle-checked —
+  * signatures, candidate graphs, and the connected-component clustering
+  * are replayed in SQL, not just rows-counted.
   */
 object Dedup {
 
@@ -90,8 +93,8 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash + LSH banding: word-3-gram shingles → 16 minhashes (seeded
-    * xxhash64) → 4 bands of 4 → band-bucket self-join for candidate pairs.
+  /** MinHash + LSH banding: word-3-gram shingles → 16 minhashes (md5
+    * chunks) → 4 bands of 4 → band-bucket self-join for candidate pairs.
     * Output is one row per document (signature prefix + candidate count) so
     * the pipeline is observable even when no near-dups exist.
     *
@@ -99,7 +102,17 @@ object Dedup {
     * — candidate generation cost is Σ bucket², controlled by band width,
     * never n². This is the standard web-scale near-dup layout.
     */
-  /** Per-document 16-hash MinHash signature over word-3-gram shingles. */
+  /** Per-document 16-hash MinHash signature over word-3-gram shingles.
+    *
+    * Hash family: 4 seeded md5 digests per shingle, each split into four
+    * 8-hex-char chunks → 16 independent 32-bit hashes, held AS hex strings
+    * (min over fixed-width hex == min over the underlying value). md5 is
+    * the one digest Spark and DuckDB compute identically, which makes the
+    * whole near-dup pipeline — signatures, bands, candidate pairs,
+    * connected components — replayable as a SQL oracle instead of a
+    * rows-only check. Cost per shingle is 4 codegen'd md5 calls (vs 16
+    * xxhash64 before): same single pass, same shuffle shape.
+    */
   def minhashSignatures(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val shingled = toks.select(col("doc_id"),
@@ -107,9 +120,41 @@ object Dedup {
         expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
       .distinct()
+    val digests = (0 until NumHashes / 4).map(k =>
+      md5(concat(lit(s"mh$k#"), col("sh"))).as(s"d$k"))
+    val withDigests = shingled.select(col("doc_id") +: digests: _*)
     val minhashes = (0 until NumHashes).map(i =>
-      min(xxhash64(concat(lit(s"mh$i#"), col("sh")))).as(s"h$i"))
-    shingled.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+      min(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+    withDigests.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  /** DuckDB CTE chain replicating [[minhashSignatures]] +
+    * [[minhashCandidatesFromSig]] — kept adjacent to the Spark code so the
+    * seeds, chunk layout, and band grouping cannot drift apart. Ends with
+    * `sig` (doc_id, h0..h15) and `pairs` (id1 < id2).
+    */
+  private val minhashPairsSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(substr(d${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
+    val bandKeys = (0 until Bands)
+      .map(b => (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString("||"))
+      .zipWithIndex
+      .map { case (k, b) => s"WHEN $b THEN $k" }
+      .mkString(" ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+       |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+       |shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+       |digs AS (SELECT doc_id, md5('mh0#' || sh) AS d0, md5('mh1#' || sh) AS d1,
+       |                md5('mh2#' || sh) AS d2, md5('mh3#' || sh) AS d3 FROM shd),
+       |sig AS (SELECT doc_id, $mins FROM digs GROUP BY doc_id),
+       |bands AS (SELECT doc_id, u.b, CASE u.b $bandKeys END AS bkey
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }
 
   /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
@@ -118,7 +163,10 @@ object Dedup {
   def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+      // band key = concat of the band's 4 fixed-width hex minhashes (32
+      // chars): equality on the concat IS equality on the tuple, and the
+      // key stays engine-portable (no re-hashing the oracle can't replay)
+      struct(lit(b).as("band"), concat(cols: _*).as("bkey"))
     }
     val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
@@ -155,9 +203,16 @@ object Dedup {
 
   /** Per-document signature prefix + LSH candidate count over `documents`.
     * The signature frame feeds BOTH outputs (prefix + candidates) — one
-    * shingle/min-agg pass over the corpus, not two.
+    * shingle/min-agg pass over the corpus, not two. Fully oracle-checked:
+    * the md5-chunk hash family is replayed in DuckDB ([[minhashPairsSql]]).
     */
-  val minhash: Q = Q.noOracle("dedup_minhash") { (s, dir) =>
+  val minhash: Q = Q("dedup_minhash",
+    s"""WITH $minhashPairsSql,
+       |cnt AS (SELECT doc_id, count(*) AS n_candidates FROM (
+       |    SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) e
+       |  GROUP BY doc_id)
+       |SELECT s.doc_id, h0, h1, h2, h3, coalesce(c.n_candidates, 0) AS n_candidates
+       |FROM sig s LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sig = minhashSignatures(docs(s, dir))
     candidateCounts(
       sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3")),
@@ -269,7 +324,27 @@ object Dedup {
     * the full search, which is inherent to any fixpoint iteration
     * expressed over DataFrames (amortized per session by [[componentLabels]]).
     */
-  val clusters: Q = Q.noOracle("dedup_clusters") { (s, dir) =>
+  /** DuckDB replay of candidate graph → connected components → cluster
+    * assignment: transitive closure as a recursive CTE (UNION dedups, so
+    * it terminates), label = min reachable id. Tractable at oracle scale
+    * (closure is |component|² rows per component); the Spark side is the
+    * scalable pointer-jumping search. Ends with `asg` (doc_id, cluster_id).
+    */
+  private val clustersSql: String =
+    s"""$minhashPairsSql,
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2 AS a, id1 AS b FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS lbl FROM reach GROUP BY a),
+       |asg AS (SELECT d.doc_id, least(coalesce(l.lbl, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN labels l USING (doc_id))""".stripMargin
+
+  val clusters: Q = Q("dedup_clusters",
+    s"""WITH RECURSIVE $clustersSql
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM asg ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val d = docs(s, dir)
     val comp = componentLabels(s, dir)
     d.select(col("doc_id"))
@@ -288,33 +363,85 @@ object Dedup {
     * decided group membership. Output is the kept doc ids with how many
     * documents each one represents.
     */
-  val keepCanonical: Q = Q.noOracle("dedup_keep") { (s, dir) =>
+  val keepCanonical: Q = Q("dedup_keep",
+    s"""WITH RECURSIVE $clustersSql
+       |SELECT doc_id, cluster_size AS represents FROM (
+       |  SELECT doc_id, cluster_id,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM asg)
+       |WHERE cluster_id = doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     clusters.run(s, dir)
       .filter(col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("cluster_size").as("represents"))
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash: 64-bit signature where bit j is the sign of Σ over distinct
-    * words of ±1 according to bit j of xxhash64(word). Near-dup candidates
-    * share a 16-bit band (Hamming-distance banding). Integer sums → fully
-    * deterministic under any partitioning.
+  private val SimhashBits = 60
+  private val SimhashBandBits = SimhashBits / 4
+
+  /** DuckDB replay of the simhash pipeline. The 60-bit word hash is built
+    * by positional nibble arithmetic over the same md5 hex that Spark's
+    * `conv(substr(md5(w), 1, 15), 16, 10)` parses; everything downstream
+    * (bit sums, sign bits, bands, candidate counts) is integer-exact.
     */
-  val simhash: Q = Q.noOracle("dedup_simhash") { (s, dir) =>
+  private val simhashOracleSql: String = {
+    val hExpr = (1 to 15)
+      .map(k => s"(strpos('0123456789abcdef', substr(d, $k, 1)) - 1)::BIGINT" +
+        s" * (1::BIGINT << ${4 * (15 - k)})")
+      .mkString(" + ")
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val shCol = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    val mask = (1L << SimhashBandBits) - 1
+    s"""WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |words AS (SELECT DISTINCT doc_id, w FROM w0),
+       |wh AS (SELECT doc_id, ($hExpr) AS h
+       |  FROM (SELECT doc_id, md5(w) AS d FROM words)),
+       |sums AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($shCol) AS simhash FROM sums),
+       |bands AS (SELECT doc_id, u.b,
+       |    (simhash >> (u.b * $SimhashBandBits)) & $mask AS bkey
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n_candidates FROM (
+       |    SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) e
+       |  GROUP BY doc_id)
+       |SELECT s.doc_id, simhash, coalesce(c.n_candidates, 0) AS n_candidates
+       |FROM sig s LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash: 60-bit signature where bit j is the sign of Σ over distinct
+    * words of ±1 according to bit j of the word's hash. Near-dup candidates
+    * share a 15-bit band (Hamming-distance banding). Integer sums → fully
+    * deterministic under any partitioning.
+    *
+    * The word hash is the first 15 hex chars of md5 parsed as a 60-bit int
+    * (`conv` base-16) — engine-portable, so the DuckDB oracle re-derives
+    * the identical signatures, bands, and candidate counts (the oracle
+    * builds the same value by positional nibble arithmetic; both sides
+    * read the SAME md5 hex).
+    */
+  val simhash: Q = Q("dedup_simhash", simhashOracleSql) { (s, dir) =>
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
     val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhashCol = (0 until 64).map { j =>
-      when(col(s"s$j") > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    val simhashCol = (0 until SimhashBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = sums.select(col("doc_id"), simhashCol.as("simhash"))
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("bkey"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))

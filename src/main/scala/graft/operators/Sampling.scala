@@ -105,17 +105,32 @@ object Sampling {
 
   /** Approximate distinct/percentile aggregates — the sketches that replace
     * exact DISTINCT/median at 100 TB (HyperLogLog++ / KLL both merge
-    * associatively, so partial aggregation works map-side). Rows-only check
-    * (sketch internals are engine-specific); the error bound vs the exact
-    * answer is asserted in SamplingSpec.
+    * associatively, so partial aggregation works map-side). Sketch
+    * internals are engine-specific, so the oracle checks the sketch's
+    * CONTRACT instead of its value: the query emits the exact answers plus
+    * error-bound verdicts (HLL within ±5% of exact distinct; approximate
+    * median inside the exact interquartile range), and the DuckDB side
+    * recomputes the exact answers with literal TRUE verdicts — any sketch
+    * drifting out of bounds breaks the hash match. Tighter bounds are
+    * asserted in SamplingSpec.
     */
-  val approx: Q = Q.noOracle("approx_stats") { (s, dir) =>
+  val approx: Q = Q("approx_stats",
+    """SELECT lang, count(*) AS n, count(DISTINCT text) AS exact_distinct_texts,
+      |  TRUE AS distinct_ok, TRUE AS median_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     docs(s, dir)
       .groupBy(col("lang"))
       .agg(
-        approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
-        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        countDistinct(col("text")).as("exact_distinct_texts"),
+        approx_count_distinct(col("text"), 0.02).as("ad"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.75)").as("p75"))
+      .select(col("lang"), col("n"), col("exact_distinct_texts"),
+        (abs(col("ad") - col("exact_distinct_texts")) <=
+          col("exact_distinct_texts") * 0.05).as("distinct_ok"),
+        col("am").between(col("p25"), col("p75")).as("median_ok"))
       .orderBy(col("lang"))
   }
 
