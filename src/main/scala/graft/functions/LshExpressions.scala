@@ -25,13 +25,23 @@ object LshPlanes {
   val TableBits = 6
   val Dims = 64
 
-  /** ±1 plane tensor flattened [t][b][i] — seeded PRNG: deterministic
-    * across runs, executors, and clusters; no stored model.
+  /** ±1 plane tensor flattened [t][b][i] — md5-derived: sign(t,b,i) is the
+    * parity of the first hex nibble of md5("pl#t#b#i"). Deterministic
+    * across runs, executors, and clusters (no stored model), and — unlike
+    * a seeded JVM PRNG — reproducible in ANY engine with an md5 function,
+    * which is what lets the DuckDB oracle rebuild the identical tensor and
+    * replay the whole LSH pipeline (Similarity.lshBucketsSql).
     */
-  val signs: Array[Long] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumTables * TableBits * Dims)(if (rnd.nextBoolean()) 1L else -1L)
-  }
+  val signs: Array[Long] =
+    Array.tabulate(NumTables * TableBits * Dims) { idx =>
+      val t = idx / (TableBits * Dims)
+      val b = (idx / Dims) % TableBits
+      val i = idx % Dims
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pl#$t#$b#$i".getBytes("UTF-8"))
+      // first hex char of the digest = high nibble of byte 0
+      if (((digest(0) >> 4) & 1) == 1) 1L else -1L
+    }
 
   /** buckets(qv)[t] = Σ_b (sign(Σ_i qv[i]·±1) << (TableBits-1-b)). Exact
     * integer arithmetic — identical buckets on any partitioning.

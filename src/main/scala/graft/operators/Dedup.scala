@@ -458,7 +458,20 @@ object Dedup {
     * near-neighbor count per vector. The bucket join replaces the O(n²)
     * all-pairs cosine — the scale path for embedding dedup.
     */
-  val embed: Q = Q.noOracle("dedup_embed") { (s, dir) =>
+  val embed: Q = Q("dedup_embed",
+    s"""WITH ${Similarity.quantizedSql},
+       |${Similarity.lshBucketsSql},
+       |prs AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |near AS (SELECT id1, id2 FROM prs p
+       |  JOIN nz a ON a.vec_id = p.id1 JOIN nz b ON b.vec_id = p.id2
+       |  WHERE ${Similarity.cosSql("a.qv", "a.nrm", "b.qv", "b.nrm")} >= 0.8),
+       |cnt AS (SELECT vec_id, count(*) AS n_near FROM (
+       |    SELECT id1 AS vec_id FROM near UNION ALL SELECT id2 FROM near) e
+       |  GROUP BY vec_id)
+       |SELECT n.vec_id, coalesce(c.n_near, 0) AS n_near
+       |FROM nz n LEFT JOIN cnt c USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
     // pair generation over slim (vec_id, t, bucket) entries — the explode
     // never copies vector payloads ×tables (see Similarity.bucketEntries)

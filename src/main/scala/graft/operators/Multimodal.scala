@@ -127,11 +127,39 @@ object Multimodal {
     }
   }
 
-  /** End-to-end features query (rows-only check: the stub's float output is
-    * engine-specific; determinism + shape are asserted in MultimodalSpec).
+  /** DuckDB replay of [[decodeStub]] + the summary projection: the payload
+    * is UTF-8 text (ASCII in this corpus), so byte values are `unicode()`
+    * of each char; per-position-class sums/counts divide in REAL (float32,
+    * matching the stub's `Float` division bit-for-bit) and the mean folds
+    * left-to-right in DOUBLE exactly like `aggregate(features, 0.0, +)`.
+    */
+  private val mediaFeaturesOracle: String = {
+    val perJ = (0 until 8).map { j =>
+      s"""CASE WHEN count(v) FILTER (WHERE j = $j) = 0 THEN CAST(0 AS REAL)
+         |       ELSE CAST(sum(v) FILTER (WHERE j = $j) AS REAL)
+         |            / CAST(count(v) FILTER (WHERE j = $j) AS REAL) END AS f$j""".stripMargin
+    }.mkString(",\n  ")
+    val fs = (0 until 8).map(j => s"f$j")
+    s"""WITH pos AS (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents),
+       |b AS (SELECT doc_id, CAST(i % 8 AS INT) AS j,
+       |    unicode(substr(text, CAST(i + 1 AS INT), 1)) AS v FROM pos),
+       |fj AS (SELECT doc_id,
+       |  $perJ
+       |  FROM b GROUP BY doc_id)
+       |SELECT doc_id,
+       |  (${fs.map(f => s"CAST($f AS DOUBLE)").mkString(" + ")}) / 8 AS f_mean,
+       |  CAST(least(${fs.mkString(", ")}) AS DOUBLE) AS f_min,
+       |  CAST(greatest(${fs.mkString(", ")}) AS DOUBLE) AS f_max
+       |FROM fj ORDER BY doc_id""".stripMargin
+  }
+
+  /** End-to-end features query. The stub's float output is deterministic
+    * and — because the fake decode is pure byte arithmetic — replayable in
+    * SQL, so even this mapPartitions pipeline is hash-gated
+    * ([[mediaFeaturesOracle]]); shape/determinism also in MultimodalSpec.
     * Emits per-doc feature mean/min/max so the result is inspectable.
     */
-  val mediaFeaturesQ: Q = Q.noOracle("media_features") { (s, dir) =>
+  val mediaFeaturesQ: Q = Q("media_features", mediaFeaturesOracle) { (s, dir) =>
     import s.implicits._
     val items = media(s, dir).select(col("doc_id"), col("payload")).as[MediaItem]
     extractFeatures(items)

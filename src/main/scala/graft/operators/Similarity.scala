@@ -24,6 +24,45 @@ object Similarity {
 
   private val Scale = 10000
 
+  /** Shared DuckDB CTEs: quantized vectors + exact integer squared norms —
+    * the same arithmetic [[quantize]]/[[dotQ]] perform (products of ≤10⁴
+    * ints summed over 64 dims stay far below 2⁵³, so double vs int64
+    * accumulation is identical). Ends with `nz` (vec_id, qv, nrm).
+    */
+  private[operators] val quantizedSql: String =
+    """qz AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |nz AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM qz)""".stripMargin
+
+  /** Exact-int cosine in SQL, same association as [[cosine]]. */
+  private[operators] def cosSql(aQv: String, aNrm: String, bQv: String, bNrm: String): String =
+    s"CAST(list_dot_product($aQv, $bQv) AS DOUBLE) / " +
+      s"(sqrt(CAST($aNrm AS DOUBLE)) * sqrt(CAST($bNrm AS DOUBLE)))"
+
+  /** DuckDB replay of [[graft.functions.LshPlanes]] + the signature pass:
+    * rebuilds the md5-derived ±1 plane tensor in SQL, projects every
+    * quantized vector onto it, and packs sign bits MSB-first — ends with
+    * `buckets` (vec_id, t, bucket) matching `hyperplane_buckets` exactly.
+    * Requires `nz` ([[quantizedSql]]) upstream.
+    */
+  private[operators] val lshBucketsSql: String = {
+    import graft.functions.LshPlanes.{Dims, NumTables, TableBits}
+    s"""planes AS (SELECT t.r AS t, b.r AS b, i.r AS i,
+       |    CASE WHEN (strpos('0123456789abcdef', substr(md5('pl#' || CAST(t.r AS VARCHAR) || '#' || CAST(b.r AS VARCHAR) || '#' || CAST(i.r AS VARCHAR)), 1, 1)) - 1) & 1 = 1
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range($NumTables)) AS r) t,
+       |       (SELECT unnest(range($TableBits)) AS r) b,
+       |       (SELECT unnest(range($Dims)) AS r) i),
+       |elems AS (SELECT vec_id, i.r AS i, qv[i.r + 1] AS x
+       |  FROM nz, (SELECT unnest(range($Dims)) AS r) i),
+       |projs AS (SELECT e.vec_id, p.t, p.b, sum(e.x * p.sgn) AS proj
+       |  FROM elems e JOIN planes p ON p.i = e.i GROUP BY e.vec_id, p.t, p.b),
+       |buckets AS (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (${TableBits - 1} - b)) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM projs GROUP BY vec_id, t)""".stripMargin
+  }
+
   /** Quantized embedding: round(x·10⁴) per element, as bigint. */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * Scale).cast("long"))
@@ -41,13 +80,10 @@ object Similarity {
     * oracle replicates the identical quantized-integer arithmetic in DuckDB.
     */
   val knnBrute: Q = Q("knn_brute",
-    """WITH qz AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-      |  FROM embeddings),
-      |nz AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM qz),
+    s"""WITH $quantizedSql,
       |p AS (
       |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-      |    CAST(list_dot_product(q.qv, t.qv) AS DOUBLE) / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))) AS cos_sim
+      |    ${cosSql("q.qv", "q.nrm", "t.qv", "t.nrm")} AS cos_sim
       |  FROM nz q JOIN nz t ON q.vec_id < 5 AND t.vec_id != q.vec_id),
       |r AS (
       |  SELECT query_id, neighbor_id, cos_sim,
@@ -148,7 +184,35 @@ object Similarity {
     * the scored candidates reach the final window. The corpus itself is
     * never re-shuffled or duplicated ×tables.
     */
-  val annLsh: Q = Q.noOracle("ann_lsh") { (s, dir) =>
+  /** The multi-probe flip set as SQL literals: the untouched bucket (0)
+    * plus each single-bit mask, XOR'd onto query buckets.
+    */
+  private val probeFlips: String = {
+    import graft.functions.LshPlanes.TableBits
+    (Seq(0L) ++ (0 until TableBits).map(b => 1L << b)).mkString(", ")
+  }
+
+  private val annLshOracle: String =
+    s"""WITH $quantizedSql,
+       |$lshBucketsSql,
+       |probes AS (SELECT qb.vec_id AS query_id, qb.t,
+       |    CAST(xor(qb.bucket, CAST(f.v AS BIGINT)) AS BIGINT) AS bucket
+       |  FROM buckets qb, (SELECT unnest([$probeFlips]) AS v) f
+       |  WHERE qb.vec_id < 5),
+       |cands AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN buckets c ON c.t = p.t AND c.bucket = p.bucket
+       |  WHERE c.vec_id != p.query_id),
+       |scored AS (SELECT ca.query_id, ca.neighbor_id,
+       |    ${cosSql("q.qv", "q.nrm", "n.qv", "n.nrm")} AS cos_sim
+       |  FROM cands ca JOIN nz q ON q.vec_id = ca.query_id
+       |  JOIN nz n ON n.vec_id = ca.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+
+  val annLsh: Q = Q("ann_lsh", annLshOracle) { (s, dir) =>
     val sig = hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
     val queries = sig.filter(col("vec_id") < 5)
     val qEntries = multiProbe(bucketEntries(queries)
@@ -183,11 +247,47 @@ object Similarity {
     * At real scale the centroids come from an offline k-means sample and K
     * grows with √n; the probe/assign/rescore plumbing here is unchanged.
     */
-  val annIvf: Q = Q.noOracle("ann_ivf") { (s, dir) =>
+  private val IvfK = 16
+  private val IvfNProbe = 4
+
+  /** DuckDB replay of the IVF pipeline: same deterministic seed centroids
+    * (the first K vec_ids, list position = centroid id), same
+    * sim-desc/first-index tie-break for assignment and probe ranking, same
+    * exact-int cosine rescore — so the approximate index's OUTPUT is
+    * hash-gated, not just row-counted.
+    */
+  private val annIvfOracle: String =
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    qv AS cqv, nrm AS cnrm FROM nz WHERE vec_id < $IvfK),
+       |sims AS (SELECT v.vec_id, c.cid,
+       |    CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
+       |         ELSE ${cosSql("v.qv", "v.nrm", "c.cqv", "c.cnrm")} END AS sim
+       |  FROM nz v CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sims WHERE vec_id < 5) WHERE rn <= $IvfNProbe),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("q.qv", "q.nrm", "n.qv", "n.nrm")} AS cos_sim
+       |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id != p.query_id
+       |  JOIN nz q ON q.vec_id = p.query_id
+       |  JOIN nz n ON n.vec_id = a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+
+  val annIvf: Q = Q("ann_ivf", annIvfOracle) { (s, dir) =>
     import s.implicits._
     graft.functions.IvfExpressions.register(s)
-    val K = 16
-    val NProbe = 4
+    val K = IvfK
+    val NProbe = IvfNProbe
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
@@ -232,7 +332,29 @@ object Similarity {
     * check (the metric is engine-specific); recall > 0 is asserted in
     * DedupSimilaritySpec.
     */
-  val annRecall: Q = Q.noOracle("ann_recall") { (s, dir) =>
+  /** The recall diagnostic's oracle nests each method's FULL oracle (brute,
+    * LSH, IVF — all hash-gated above) as subqueries and recomputes the
+    * same hit fraction: with every input replayable in SQL, the metric
+    * itself is too.
+    */
+  private val annRecallOracle: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${knnBrute.oracle.get})),
+       |lsh AS (SELECT query_id, neighbor_id FROM ($annLshOracle)),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($annIvfOracle)),
+       |approx AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+       |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+       |recall AS (SELECT m.method, b.query_id,
+       |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) AS recall
+       |  FROM brute b
+       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf']) AS method) m
+       |  LEFT JOIN approx a ON a.method = m.method
+       |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY m.method, b.query_id)
+       |SELECT method, query_id, recall FROM recall
+       |ORDER BY method, query_id""".stripMargin
+
+  val annRecall: Q = Q("ann_recall", annRecallOracle) { (s, dir) =>
     import s.implicits._
     // Evaluate each pipeline subtree ONCE: the per-method union tags the
     // approximate results, and the brute baseline is cross-joined against
