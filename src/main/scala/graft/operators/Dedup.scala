@@ -254,26 +254,34 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("changed"))
         .localCheckpoint()
-      // pointer jumping: follow the label one more hop (label := label of
-      // label) — with it, label distance-to-root roughly halves per round,
-      // so convergence is O(log diameter) and maxRounds=20 covers any
-      // realistic component (a plain one-hop loop is O(diameter) and could
-      // silently time out on a long edit-chain)
-      val jumped = propagated.as("v")
-        .join(propagated.select(col("id").as("label"),
-          col("label").as("jump")).as("p"), Seq("label"), "left")
-        .select(col("id"), coalesce(col("jump"), col("label")).as("label"),
-          col("changed"))
-        .localCheckpoint()
-      converged = jumped.filter(col("changed")).limit(1).count() == 0L
-      // deterministic release of the previous round's checkpoint blocks:
-      // Dataset.unpersist is a no-op for localCheckpoint'd data (it only
-      // clears CacheManager entries), so unpersist the checkpointed RDD
-      // itself — otherwise every round leaves a dead (vertex, label)
-      // snapshot in executor storage until driver GC
+      // probe BEFORE jumping: on the final (confirming) round nothing
+      // changed, so the pointer-jump would be a no-op — skipping it saves
+      // one checkpoint job per search (near-dup graphs are clique-heavy,
+      // so most searches converge in two rounds and the saving is ~1/5 of
+      // the round budget)
+      converged = propagated.filter(col("changed")).limit(1).count() == 0L
       releaseCheckpoint(labels)
-      releaseCheckpoint(propagated)
-      labels = jumped.select(col("id"), col("label"))
+      if (converged) {
+        labels = propagated.select(col("id"), col("label"))
+      } else {
+        // pointer jumping: follow the label one more hop (label := label
+        // of label) — label distance-to-root roughly halves per round, so
+        // convergence is O(log diameter) and maxRounds=20 covers any
+        // realistic component (a plain one-hop loop is O(diameter) and
+        // could silently time out on a long edit-chain)
+        val jumped = propagated.as("v")
+          .join(propagated.select(col("id").as("label"),
+            col("label").as("jump")).as("p"), Seq("label"), "left")
+          .select(col("id"), coalesce(col("jump"), col("label")).as("label"))
+          .localCheckpoint()
+        // deterministic release of the round's checkpoint blocks:
+        // Dataset.unpersist is a no-op for localCheckpoint'd data (it only
+        // clears CacheManager entries), so unpersist the checkpointed RDD
+        // itself — otherwise every round leaves a dead (vertex, label)
+        // snapshot in executor storage until driver GC
+        releaseCheckpoint(propagated)
+        labels = jumped
+      }
       round += 1
     }
     edges.unpersist()
