@@ -312,6 +312,34 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Semi-structured extraction: parse the `props` JSON string column with
+    * an explicit schema (`from_json` + field projection — the Spark-native
+    * form: the parse is a codegen'd expression, the schema is declared, and
+    * malformed/missing keys become NULLs instead of errors) and aggregate
+    * the extracted value per event type. The reference ingests nested JSON
+    * driver-side (SURVEY.md P2); this is the same capability pushed into
+    * the distributed scan-side projection, which is how a 100 TB event log
+    * with a JSON payload column actually gets queried.
+    */
+  val eventsJson: Q = Q("events_json",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Gap-based sessionization as a batch query — the batch counterpart of
     * `graft.streaming.EventsStream.sessionize` (same session concept,
     * different clock: the streaming form closes a session after 30 min of
@@ -405,6 +433,28 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("sum_qty"))
       .orderBy(col("rf"), col("ls"))
+  }
+
+  /** CUBE: all 2² grouping combinations in one pass, disambiguated by
+    * GROUPING_ID (0 = both keys live, 3 = grand total) — the generalization
+    * of [[rollupAgg]]'s hierarchy to every subset. One two-phase hash
+    * aggregation: Spark expands the grouping sets map-side, so the shuffle
+    * carries |groups| partial rows per set, never the input ×4.
+    */
+  val cubeAgg: Q = Q("cube_agg",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        exactSum(col("o_totalprice")).as("total"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n"), col("total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
   }
 
   /** PIVOT: spread the status dimension into columns (fixed value list so
@@ -546,6 +596,7 @@ object Analytics {
 
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
-    pitstop, orderByHidden, racetime, eventsWindow, sessionize, skewAgg,
-    rollupAgg, pivotAgg, pivotDynamic, windowFuncs, setOps, existsQ)
+    pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
+    skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
+    setOps, existsQ)
 }

@@ -279,6 +279,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Redaction/scrubbing: mask every digit run in the `props` payload and
+    * report how many characters were masked — the shape of a PII-scrub
+    * pass over a training corpus (emails/phones/ids are the same
+    * regexp_replace with richer patterns; the pattern here is
+    * character-class-only so the Java and RE2 regex dialects agree
+    * byte-for-byte). Pure codegen'd projection: no shuffle except the
+    * presentation sort, linear at any corpus size.
+    */
+  val scrub: Q = Q("text_scrub",
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS props_scrubbed,
+      |  CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_digits_masked
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").select(
+      col("event_id"),
+      regexp_replace(col("props"), "[0-9]+", "[NUM]").as("props_scrubbed"),
+      size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0)))
+        .cast("long").as("n_digits_masked"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens, qualityFilter)
+    Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
+      qualityFilter, scrub)
 }

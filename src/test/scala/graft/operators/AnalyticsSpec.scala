@@ -105,6 +105,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"), p)
   }
 
+  test("cube_agg: the grand-total row (gid=3) equals the orders row count") {
+    import spark.implicits._
+    val out = SparkEntry.queries("cube_agg")(spark, dir)
+    val total = out.filter($"gid" === 3L).select($"n").as[Long].collect()
+    assert(total.toSeq === Seq(
+      graft.sources.Tables.load(spark, dir, "orders").count()))
+    // every grouping set partitions the same universe
+    val perGid = out.groupBy($"gid").agg(org.apache.spark.sql.functions.sum($"n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perGid.values.toSet.size === 1, s"grouping sets disagree: $perGid")
+  }
+
+  test("events_json extracts k from every well-formed props payload") {
+    import spark.implicits._
+    val out = SparkEntry.queries("events_json")(spark, dir)
+      .select($"n", $"n_with_k").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // the synthetic props are all {"k": int} — extraction must never drop
+    out.foreach { case (n, withK) => assert(n === withK) }
+  }
+
+  test("text_scrub masks every digit and accounts for each masked char") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_scrub")(spark, dir)
+      .select($"props_scrubbed", $"n_digits_masked").as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scrubbed, n) =>
+      assert(!scrubbed.exists(_.isDigit), s"digit survived scrub: $scrubbed")
+      assert(n > 0, "synthetic props always carry a numeric value")
+    }
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
