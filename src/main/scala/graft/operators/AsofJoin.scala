@@ -93,5 +93,55 @@ object AsofJoin {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(asof, rangeJoin)
+  private val BandSeconds = 600L
+  private val BandMicros = BandSeconds * 1000000L
+
+  /** Banded (bucketed) interval join — the scale path for a time-proximity
+    * join with NO equi-key: for every event, count the other events within
+    * ±10 minutes. Naively this is a pure inequality join, which Spark can
+    * only plan as a nested-loop over the full cross product (O(n²) at any
+    * cluster size). The composed-operator rewrite quantizes time into
+    * fixed ±window-width bands: each probe row explodes to its ≤3
+    * overlapping band ids (map-side, slim rows), the build side keys on
+    * its single band, and the band equi-join + residual |Δt| ≤ W filter
+    * recovers exactly the interval semantics — a true pair shares exactly
+    * one build-side band, so no dedup pass is needed. Shuffle budget: one
+    * hash exchange on band id carrying ~3n slim rows; per-band work is
+    * (band population)², bounded by time density × W, never n². This is
+    * the standard bin-packed range-join optimization, here as a
+    * composition of explode + equi-join (the brief's "compose existing
+    * ops" preference) rather than a custom strategy.
+    */
+  val bandJoin: Q = Q("band_join",
+    s"""WITH near AS (
+       |  SELECT a.event_id AS id, count(*) AS n_near
+       |  FROM events a JOIN events b
+       |    ON b.ts BETWEEN a.ts - INTERVAL $BandSeconds SECOND
+       |                AND a.ts + INTERVAL $BandSeconds SECOND
+       |   AND b.event_id != a.event_id
+       |  GROUP BY a.event_id)
+       |SELECT e.event_id, coalesce(n.n_near, 0) AS n_near
+       |FROM events e LEFT JOIN near n ON n.id = e.event_id
+       |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), Tables.nanosToMicros("ts").as("t"))
+    // all timestamps here are positive (µs since epoch, 2024 corpus), so
+    // `div`'s truncation IS floor; a pre-1970 corpus would need the pmod
+    // floor-division trick used by events_window
+    val probes = ev.select(col("event_id"), col("t"),
+      explode(sequence(
+        expr(s"(t - ${BandMicros}L) div ${BandMicros}L"),
+        expr(s"(t + ${BandMicros}L) div ${BandMicros}L"))).as("band"))
+    val build = ev.select(col("event_id").as("b_id"), col("t").as("b_t"),
+      expr(s"t div ${BandMicros}L").as("band"))
+    val counts = probes.join(build, Seq("band"))
+      .filter(col("b_id") =!= col("event_id") &&
+        abs(col("b_t") - col("t")) <= BandMicros)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_near"))
+    ev.select(col("event_id")).join(counts, Seq("event_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(asof, rangeJoin, bandJoin)
 }

@@ -88,4 +88,27 @@ class AsofJoinSpec extends SparkSpec {
       .collect().toMap
     assert(got === expect)
   }
+
+  test("band_join plans as an equi-join on bands, never a nested loop") {
+    val df = AsofJoin.bandJoin.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banding failed to produce an equi-join plan:\n$p")
+  }
+
+  test("band_join matches a direct inequality self-join") {
+    // the O(n²) formulation Spark would otherwise plan — fine at test SF,
+    // and an in-engine independent check of the banded rewrite
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", graft.sources.Tables.nanosToMicros("ts").as("t"))
+    val w = 600L * 1000000L
+    val expect = ev.as("a").join(ev.as("b"),
+        $"b.event_id" =!= $"a.event_id" &&
+          org.apache.spark.sql.functions.abs($"b.t" - $"a.t") <= w)
+      .groupBy($"a.event_id").count()
+      .as[(Long, Long)].collect().toMap
+    val got = AsofJoin.bandJoin.run(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, n) => assert(n === expect.getOrElse(id, 0L), s"event $id") }
+  }
 }
