@@ -300,7 +300,100 @@ object TextAnalysis {
       .orderBy(col("event_id"))
   }
 
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** Fixed-size overlapping chunking — the RAG/context-window split every
+    * LLM data pipeline runs: 64-token chunks at stride 48 (16-token
+    * overlap). Chunk starts are a map-side `sequence` explode over the
+    * token array; no shuffle except the presentation sort, output rows ≈
+    * tokens/stride — linear at any corpus size. Chunk count arithmetic is
+    * pure integer (`(n-K+S-1) div S`) so both engines agree exactly.
+    */
+  val chunks: Q = Q("text_chunks",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ch AS (SELECT doc_id, t, len(t) AS n,
+       |    unnest(range(1 + CASE WHEN len(t) > $ChunkTokens
+       |      THEN (len(t) - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+       |      ELSE 0 END)) AS chunk_id
+       |  FROM toks)
+       |SELECT doc_id, chunk_id,
+       |  least($ChunkTokens, n - chunk_id * $ChunkStride) AS n_tokens,
+       |  array_to_string(t[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkTokens], ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    val n = size(col("t"))
+    val extra = when(n > ChunkTokens,
+      expr(s"(size(t) - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride"))
+      .otherwise(lit(0L))
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), n.as("n"),
+        explode(sequence(lit(0L), extra)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkTokens), col("n") - col("chunk_id") * ChunkStride)
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkTokens)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val DecontamGram = 8
+  private val EvalSetSize = 5
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 8-gram with an "eval set" (here: the [[EvalSetSize]] lowest-digest
+    * documents, standing in for an external benchmark). The eval side's
+    * distinct 8-grams are a broadcast-sized set at any corpus scale
+    * (benchmarks are small), so the check is a map-side-buildable hash
+    * semi-join over the corpus grams — the standard n-gram overlap
+    * decontamination pass, linear in corpus tokens. Exact-duplicate and
+    * near-duplicate copies of eval documents surface with high gram
+    * counts; eval members themselves are excluded from the verdict.
+    */
+  val decontam: Q = Q("text_decontam",
+    s"""WITH ev AS (SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT $EvalSetSize),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $DecontamGram
+       |    THEN list_transform(range(len(t) - ${DecontamGram - 1}),
+       |      i -> ${(1 to DecontamGram).map(k => s"t[i+$k]").mkString(" || ' ' || ")})
+       |    ELSE []::VARCHAR[] END) AS g FROM toks),
+       |grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+       |evg AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM ev)),
+       |hits AS (SELECT c.doc_id, count(*) AS n_shared_ngrams
+       |  FROM grams c JOIN evg ON c.g = evg.g
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM ev)
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       |  coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val ev = d.select(col("doc_id"), md5(col("text")).as("dig"))
+      .orderBy(col("dig"), col("doc_id")).limit(EvalSetSize)
+      .select(col("doc_id"))
+    val grams = d
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= DecontamGram,
+          expr(s"transform(sequence(0, size(t) - $DecontamGram), i -> " +
+            (0 until DecontamGram).map(k => s"t[i+$k]").mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+    val evGrams = grams.join(broadcast(ev), Seq("doc_id")).select(col("g")).distinct()
+    val nonEval = d.select(col("doc_id"))
+      .join(broadcast(ev), Seq("doc_id"), "left_anti")
+    val hits = grams.join(broadcast(ev), Seq("doc_id"), "left_anti")
+      .join(broadcast(evGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_ngrams"))
+    nonEval.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared_ngrams", coalesce(col("n_shared_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
-      qualityFilter, scrub)
+      qualityFilter, scrub, chunks, decontam)
 }

@@ -45,4 +45,46 @@ class TextAnalysisSpec extends SparkSpec {
     // degenerate always-'en' classifier passing on label imbalance
     assert(out.map(_._2).distinct.sorted === Seq("de", "en", "es", "fr"))
   }
+
+  private val dir = sf("sf0.001")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("text_chunks covers every token with correctly-sized overlapping windows") {
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = TextAnalysis.chunks.run(spark, dir)
+      .select($"doc_id", $"chunk_id", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = texts(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      sorted.foreach { case (_, cid, n, text) =>
+        val start = (cid * 48).toInt
+        val expect = toks.slice(start, start + 64)
+        assert(n === expect.length.toLong, s"doc $id chunk $cid size")
+        assert(text === expect.mkString(" "), s"doc $id chunk $cid text")
+      }
+      // the last chunk must reach the final token: full coverage
+      val (_, lastCid, lastN, _) = sorted.last
+      assert(lastCid * 48 + lastN === toks.length.toLong, s"doc $id coverage")
+    }
+  }
+
+  test("text_decontam agrees with a direct 8-gram set-intersection replay") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val eval = all.map { case (id, t) => (md5hex(t), id) }.sorted.take(5).map(_._2).toSet
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    val evalGrams = all.filter(r => eval(r._1)).flatMap(r => grams(r._2)).toSet
+    val expect = all.filterNot(r => eval(r._1))
+      .map { case (id, t) => id -> grams(t).count(evalGrams).toLong }.toMap
+    val got = TextAnalysis.decontam.run(spark, dir)
+      .select($"doc_id", $"n_shared_ngrams").as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
 }
