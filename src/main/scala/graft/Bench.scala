@@ -3,17 +3,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
+    // Force FULL evaluation of the declared result — every column, every
+    // row, including the presentation sort. A bare `.count()` lets the
+    // optimizer prune exactly the work being benchmarked: column pruning
+    // drops expensive projections whose outputs aren't needed to count
+    // (from_json, regex scrubs, formatted strings), and a
+    // count-over-left-join can skip the join entirely — band_join "ran"
+    // in 0.2 s at ×100 while its real cost is the 10⁸-pair band join.
+    // toRdd materializes the final InternalRows without collecting them.
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+        .foreach(_ => ())
     // Warm the JVM once (codegen compiler, parquet reader, shuffle, join
     // machinery) so the first timed query doesn't absorb session startup.
     // Warm against the bench's OWN data dir — a hardcoded path could be
     // absent and silently skip the warmup, skewing the first timed query.
-    try SparkEntry.queries("combine")(spark, sfDir).count()
+    try exec("combine")
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional focus list (comma-separated query names) for debugging one
+    // slow/failing query without paying for the whole surface
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
+    val results = selected.map { case (name, _) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE as -1, not recorded as a plausible
       // small time-to-failure
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { exec(name); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -55,8 +55,16 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(r * KeyStride))
     }, "lineitem")
 
+    // events: each replica shifts one source-span (31 days) later, so the
+    // scaled log is a LONGER history at the SAME event rate — replicating
+    // into one shared window would multiply time density by `factor`, and
+    // any proximity semantics (band_join neighbor counts, session gaps)
+    // would grow quadratically with replication instead of linearly with
+    // data, which no real workload does
+    val SpanNanos = 31L * 24 * 3600 * 1000000000L
     write(replicate(t("events"), factor) { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * KeyStride))
+        .withColumn("ts", col("ts") + lit(r * SpanNanos))
     }, "events")
 
     write(replicate(t("documents"), factor) { (df, r) =>

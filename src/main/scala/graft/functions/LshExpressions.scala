@@ -21,8 +21,19 @@ object LshPlanes {
   // with p^6 and ANY of 16 with 1-(1-p^6)^16 — measured recall on the test
   // corpus ~0.5 vs ~0.1 for 8×8 (the corpus' true neighbors sit near
   // cos 0.4-0.5, where per-bit p ≈ 0.65). Candidates/probe ≈ 16·n/64.
-  val NumTables = 16
-  val TableBits = 6
+  //
+  // GEOMETRY MUST SCALE WITH THE CORPUS: bucket count per table is
+  // 2^TableBits, so within-bucket work (the all-pairs step of embedding
+  // dedup) grows as n²/2^bits at fixed bits — the full-eval scale smoke
+  // measured dedup_embed 2.8 s → 44 s from sf0.1 → ×10 on the default
+  // 6-bit geometry. Production sizing is bits ≈ log2(n / target_bucket);
+  // the env knobs below let one deployment/bench pick it without a
+  // rebuild. Every consumer — the native expression, the Spark pipelines,
+  // AND the generated DuckDB oracle SQL — derives from these constants at
+  // JVM init, so the correctness gate stays self-consistent at ANY
+  // setting (recall/candidate-volume tradeoffs shift, correctness never).
+  val NumTables: Int = sys.env.get("GRAFT_LSH_TABLES").map(_.toInt).getOrElse(16)
+  val TableBits: Int = sys.env.get("GRAFT_LSH_BITS").map(_.toInt).getOrElse(6)
   val Dims = 64
 
   /** ±1 plane tensor flattened [t][b][i] — md5-derived: sign(t,b,i) is the

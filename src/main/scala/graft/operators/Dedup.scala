@@ -152,10 +152,48 @@ object Dedup {
        |sig AS (SELECT doc_id, $mins FROM digs GROUP BY doc_id),
        |bands AS (SELECT doc_id, u.b, CASE u.b $bandKeys END AS bkey
        |  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u),
+       |$capBucketsSql,
        |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-       |  FROM bands x JOIN bands y
+       |  FROM bandsk x JOIN bandsk y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  /** Hot-bucket cap for every band-bucket self-join. A band value shared
+    * by a large fraction of the corpus (boilerplate documents; here, the
+    * synthetic corpus' single shared vocabulary correlating simhash bits)
+    * makes the self-join quadratic in that bucket AND concentrates it in
+    * one sort-merge key group — the ×100 smoke OOM'd an 8 GB executor
+    * buffering one mega-bucket. Buckets beyond the cap carry no
+    * discriminating signal (their members are either exact dups, which
+    * [[exact]] already groups, or band-collision noise), so production
+    * simhash/minhash deployments drop them; the cap binds NOWHERE at the
+    * shipped oracle SFs (largest observed bucket ≈ replica-clique size),
+    * so gated outputs are unchanged.
+    */
+  // `final` so it compiles to an inlined constant: the oracle-SQL vals
+  // above this declaration read it during object init, and a plain val
+  // would still be 0 at that point
+  private final val MaxBandBucket = 1000
+
+  /** Keep only rows whose (band, bkey) bucket is at most [[MaxBandBucket]]
+    * — the window count shares the self-join's own (band, bkey) hash
+    * partitioning, so the cap costs no extra exchange.
+    */
+  private def capBuckets(bands: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    bands.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= MaxBandBucket)
+      .drop("bsz")
+  }
+
+  /** The matching oracle-side guard, appended after a CTE named `bands`
+    * (doc_id, b, bkey): ends with `bandsk`.
+    */
+  private def capBucketsSql: String =
+    s"""bandsc AS (SELECT doc_id, b, bkey,
+       |    count(*) OVER (PARTITION BY b, bkey) AS bsz FROM bands),
+       |bandsk AS (SELECT doc_id, b, bkey FROM bandsc WHERE bsz <= $MaxBandBucket)""".stripMargin
 
   /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
     * — also exercised on planted near-dups in DedupSimilaritySpec.
@@ -171,7 +209,8 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    bands.as("x").join(bands.as("y"),
+    val kept = capBuckets(bands)
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
@@ -413,8 +452,9 @@ object Dedup {
        |bands AS (SELECT doc_id, u.b,
        |    (simhash >> (u.b * $SimhashBandBits)) & $mask AS bkey
        |  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u),
+       |$capBucketsSql,
        |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-       |  FROM bands x JOIN bands y
+       |  FROM bandsk x JOIN bandsk y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS n_candidates FROM (
        |    SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs) e
@@ -439,11 +479,28 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
-    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // SWAR-packed bit counting: a naive per-bit layout is 60 aggregation
+    // buffer updates per word row and dominated the scale smoke (19.6 s at
+    // ×10). Packing 4 bit-counters per long in 16-bit lanes cuts that to
+    // 15 updates per row (~4× less buffer traffic) at identical output:
+    // lane l of pack g accumulates c_j = Σ bit j (j = 4g+l), and the sign
+    // test s_j > 0 ⇔ 2·c_j > n_words recovers exactly the ±1-sum
+    // semantics the DuckDB oracle replays. Lanes hold counts ≤ 65535 —
+    // documents with more DISTINCT words than that would overflow, two
+    // orders beyond any real document (and this corpus' ~100).
+    val packs = (0 until SimhashBits / 4).map { g =>
+      (0 until 4).map { l =>
+        shiftleft(shiftright(col("h"), 4 * g + l).bitwiseAND(lit(1L)), 16 * l)
+      }.reduce(_ + _)
+    }
+    val packed = words.select(col("doc_id") +:
+      packs.zipWithIndex.map { case (p, g) => p.as(s"p$g") }: _*)
+    val aggs = (0 until SimhashBits / 4).map(g => sum(col(s"p$g")).as(s"c$g")) :+
+      count(lit(1)).as("nw")
+    val sums = packed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val simhashCol = (0 until SimhashBits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      val c = shiftright(col(s"c${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+      when(c * 2 > col("nw"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = sums.select(col("doc_id"), simhashCol.as("simhash"))
     val bandStructs = (0 until 4).map { b =>
@@ -453,7 +510,8 @@ object Dedup {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val pairs = bands.as("x").join(bands.as("y"),
+    val kept = capBuckets(bands)
+    val pairs = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
