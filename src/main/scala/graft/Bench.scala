@@ -21,9 +21,16 @@ object Bench {
     try exec("combine")
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // optional focus list (comma-separated query names) for debugging one
-    // slow/failing query without paying for the whole surface
+    // slow/failing query without paying for the whole surface; unknown
+    // names fail loudly — a typo'd filter must not print a plausible
+    // empty "success"
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }

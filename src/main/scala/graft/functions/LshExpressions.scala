@@ -32,8 +32,18 @@ object LshPlanes {
   // AND the generated DuckDB oracle SQL — derives from these constants at
   // JVM init, so the correctness gate stays self-consistent at ANY
   // setting (recall/candidate-volume tradeoffs shift, correctness never).
-  val NumTables: Int = sys.env.get("GRAFT_LSH_TABLES").map(_.toInt).getOrElse(16)
-  val TableBits: Int = sys.env.get("GRAFT_LSH_BITS").map(_.toInt).getOrElse(6)
+  private def envInt(name: String, default: Int, lo: Int, hi: Int): Int =
+    sys.env.get(name).map { raw =>
+      val v = raw.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"$name must be an integer, got '$raw'"))
+      require(v >= lo && v <= hi, s"$name must be in [$lo, $hi], got $v")
+      v
+    }.getOrElse(default)
+
+  // bits capped at 62 so the MSB-first bucket shifts (1L << bits-1) and
+  // the multi-probe flip masks stay inside a signed long
+  val NumTables: Int = envInt("GRAFT_LSH_TABLES", 16, 1, 64)
+  val TableBits: Int = envInt("GRAFT_LSH_BITS", 6, 1, 62)
   val Dims = 64
 
   /** ±1 plane tensor flattened [t][b][i] — md5-derived: sign(t,b,i) is the

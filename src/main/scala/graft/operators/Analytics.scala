@@ -322,12 +322,19 @@ object Analytics {
     * with a JSON payload column actually gets queried.
     */
   val eventsJson: Q = Q("events_json",
-    """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // json_valid guard: DuckDB's json_extract_string THROWS on malformed
+    // JSON where Spark's from_json yields NULL — the guard makes the
+    // oracle replay the permissive NULL semantics this query advertises
+    """WITH k AS (SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k,
+      |  max(k) AS max_k,
+      |  CAST(count(k) AS BIGINT) AS n_with_k
+      |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .select(col("event_type"),
         from_json(col("props"),

@@ -166,9 +166,13 @@ object Dedup {
     * buffering one mega-bucket. Buckets beyond the cap carry no
     * discriminating signal (their members are either exact dups, which
     * [[exact]] already groups, or band-collision noise), so production
-    * simhash/minhash deployments drop them; the cap binds NOWHERE at the
-    * shipped oracle SFs (largest observed bucket ≈ replica-clique size),
-    * so gated outputs are unchanged.
+    * simhash/minhash deployments drop them. Where it binds on the shipped
+    * data: nowhere at sf0.01 (500 docs < cap, outputs identical to the
+    * uncapped form), and at sf0.1 exactly ONE degenerate simhash bucket
+    * (1582 of 5000 docs share a band value — corpus-wide bit correlation,
+    * precisely the non-discriminating case the cap exists for). The
+    * oracle applies the identical cap, so the gate checks the capped
+    * semantics at both SFs.
     */
   // `final` so it compiles to an inlined constant: the oracle-SQL vals
   // above this declaration read it during object init, and a plain val

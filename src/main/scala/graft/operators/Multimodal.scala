@@ -143,9 +143,16 @@ object Multimodal {
     s"""WITH pos AS (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents),
        |b AS (SELECT doc_id, CAST(i % 8 AS INT) AS j,
        |    unicode(substr(text, CAST(i + 1 AS INT), 1)) AS v FROM pos),
-       |fj AS (SELECT doc_id,
+       |fj0 AS (SELECT doc_id,
        |  $perJ
-       |  FROM b GROUP BY doc_id)
+       |  FROM b GROUP BY doc_id),
+       |fj AS (
+       |  -- LEFT JOIN + zero fill: an empty text yields no byte positions
+       |  -- (range(0)), but the Spark side still emits a zero-feature row
+       |  -- for it (decodeStub of an empty payload) — the doc must not drop
+       |  SELECT d.doc_id,
+       |    ${fs.map(f => s"coalesce($f, CAST(0 AS REAL)) AS $f").mkString(", ")}
+       |  FROM documents d LEFT JOIN fj0 USING (doc_id))
        |SELECT doc_id,
        |  (${fs.map(f => s"CAST($f AS DOUBLE)").mkString(" + ")}) / 8 AS f_mean,
        |  CAST(least(${fs.mkString(", ")}) AS DOUBLE) AS f_min,

@@ -42,6 +42,14 @@ import org.apache.spark.sql.types.LongType
   * does not fire again. The same rewrite is available as a manual
   * composition in `graft.operators.AsofJoin.bandJoin`; this rule makes the
   * engine apply it to plans users write themselves.
+  *
+  * Known limitation (like every banded join): the rewrite assumes
+  * W ≪ the column's value range. A window on the order of the whole data
+  * span lands every row in ~one band, degrading to a single hot key —
+  * worse than the nested loop when one side was broadcast-small. Column
+  * ranges aren't available at optimization time without CBO histograms,
+  * so the rule cannot self-disable; opt out for such a query with
+  * spark.sql.optimizer.excludedRules=graft.plans.BandedIntervalJoin.
   */
 object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -88,13 +96,27 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
       }
       bound match {
         case Some((lt, rt, w)) if !crossEqui(conjuncts, left, right) =>
+          // Overflow-safe bounds: lt ± W wraps for values within W of the
+          // long range edges (the rule fires on ANY long abs-join — ids
+          // and sentinels included, not just timestamps), and a wrapped
+          // bound would make Sequence(start > stop, step 1) THROW where
+          // the unrewritten nested loop ran fine. Clamping lt into
+          // [Min+W, Max−W] before the add/sub only WIDENS the probe range
+          // for edge rows (a superset of bands is correct — the original
+          // bound re-applies as the residual filter).
+          val clampedLo = Subtract(
+            Greatest(Seq(lt, Literal(Long.MinValue + w, LongType))),
+            Literal(w, LongType))
+          val clampedHi = Add(
+            Least(Seq(lt, Literal(Long.MaxValue - w, LongType))),
+            Literal(w, LongType))
           // Sequence is TimeZoneAwareExpression: without a timezone it
           // reports unresolved and the optimizer's plan-integrity check
           // rejects the rewrite (the tz is irrelevant for long sequences
           // but required for resolution)
           val probeBands = Explode(Sequence(
-            floorDiv(Subtract(lt, Literal(w, LongType)), w),
-            floorDiv(Add(lt, Literal(w, LongType)), w),
+            floorDiv(clampedLo, w),
+            floorDiv(clampedHi, w),
             Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)))
           val elem = probeBands.elementSchema.head
           val bandProbe =

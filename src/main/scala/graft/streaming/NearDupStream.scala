@@ -74,15 +74,22 @@ object NearDupStream {
         (key: (Int, String), rows: Iterator[BandedDoc],
             state: GroupState[BucketState]) =>
           val seen = state.getOption.map(_.ids).getOrElse(Nil)
-          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seen.contains)
+          // List is the encoder-friendly stored form; membership and size
+          // go through a Set + counter so a near-cap bucket costs O(ids)
+          // per micro-batch, not O(ids²) of list scans
+          val seenSet = scala.collection.mutable.Set.from(seen)
+          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seenSet)
           val out = Seq.newBuilder[NearDupCandidate]
           var acc = seen
+          var accSize = seen.size
           fresh.foreach { id =>
-            if (acc.size < MaxBucket)
+            if (accSize < MaxBucket)
               acc.foreach { o =>
                 out += NearDupCandidate(math.min(id, o), math.max(id, o), key._1)
               }
             acc = id :: acc
+            accSize += 1
+            seenSet += id
           }
           state.update(BucketState(acc.take(MaxBucket)))
           out.result().iterator
