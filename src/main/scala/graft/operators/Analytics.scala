@@ -276,6 +276,13 @@ object Analytics {
       |         CAST(floor(fmod(secs, 3600) / 60) AS INT), fmod(secs, 60)) AS fmt
       |FROM p ORDER BY l_orderkey, l_linenumber, t_str""".stripMargin) { (s, dir) =>
     RaceTime.register(s)
+    // Only the cheap t_str projection sits below the global Sort: the range
+    // partitioner samples its sort keys, so every expression under the
+    // Exchange is evaluated twice (sampling pass + real pass). The heavy
+    // parse/format chain (regexp + split + casts + two format_strings) is
+    // derived in a projection ABOVE the Sort — order is unchanged (a
+    // projection never reorders rows) and the sampler touches one cheap
+    // column instead of re-running the whole chain.
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         // floor, not bare cast: DuckDB's CAST(double AS INT) ROUNDS while
@@ -285,10 +292,12 @@ object Analytics {
           floor(col("l_quantity")).cast("int") % 60,
           (col("l_orderkey") % 60).cast("int"),
           ((col("l_partkey") % 100) * 10).cast("int")).as("t_str"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("t_str"))
       .withColumn("secs", RaceTime.secondsCol(col("t_str")))
       .withColumn("secs_native", expr("race_time_seconds(t_str)"))
       .withColumn("fmt", RaceTime.formatCol(col("secs")))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("t_str"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("t_str"),
+        col("secs"), col("secs_native"), col("fmt"))
   }
 
   /** Batch analog of the streaming 5-minute windowed aggregation over

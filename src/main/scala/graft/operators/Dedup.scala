@@ -398,13 +398,20 @@ object Dedup {
        |FROM asg ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val d = docs(s, dir)
     val comp = componentLabels(s, dir)
-    d.select(col("doc_id"))
+    val asg = d.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
       .drop("label")
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))))
+    // Two-phase size count instead of `count(*) OVER (PARTITION BY
+    // cluster_id)`: the window funnels a cluster's FULL membership through
+    // one task, so a degenerate mega-cluster (boilerplate-heavy crawls)
+    // OOMs a single executor. groupBy gets map-side partial aggregation
+    // (a mega-cluster collapses to one row per input partition before the
+    // exchange) and the join back is a plain equi-join AQE can skew-split.
+    val sizes = asg.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    asg.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 

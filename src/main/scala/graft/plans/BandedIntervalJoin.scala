@@ -79,10 +79,22 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-  /** ⌊e/w⌋ as exact integer floor division (sign-correct for negatives). */
+  /** ⌊e/w⌋ as exact integer floor division (sign-correct for negatives).
+    *
+    * Built WITHOUT a subtract: the naive `(e - pmod(e, w)) div w` wraps
+    * below Long.MinValue (or throws under ANSI) for e within w of the long
+    * range floor, because pmod is positive there — exactly the sentinel
+    * values the band rewrite must survive. `e div w` truncates toward
+    * zero, so floor = trunc − 1 when the remainder is negative; neither
+    * intermediate can overflow for w > 0 (div shrinks magnitude, and the
+    * −1 correction only applies when |div| < |e|).
+    */
   private def floorDiv(e: Expression, w: Long): Expression = {
     val lw = Literal(w, LongType)
-    IntegralDivide(Subtract(e, Pmod(e, lw)), lw)
+    Add(
+      IntegralDivide(e, lw),
+      If(LessThan(Remainder(e, lw), Literal(0L, LongType)),
+        Literal(-1L, LongType), Literal(0L, LongType)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

@@ -51,6 +51,29 @@ class BandedIntervalJoinSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("values adjacent to Long.MinValue band without overflow") {
+    // the naive floor `(e - pmod(e, w)) div w` wraps for e within W of
+    // Long.MinValue (pmod is positive there), which either throws under
+    // ANSI or hands Sequence a start > stop — a query that ran fine as a
+    // nested loop would crash after the rewrite. True differences between
+    // these fixture values stay ≤ 3W, so the predicate itself never wraps
+    // and nested-loop semantics are well-defined to compare against.
+    val base = Long.MinValue
+    val ts = Seq(base, base + 1L, base + W - 1L, base + W, base + 3 * W)
+    val rows = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val l = rows.toDF("id", "t")
+    val r = rows.toDF("b_id", "b_t")
+    val joined = l.join(r, abs($"b_t" - $"t") <= W && $"b_id" =!= $"id")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("__band"), s"rewrite did not fire on the fixture:\n$p")
+    val got = joined.select($"id", $"b_id").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (ta, a) <- ts.zipWithIndex; (tb, b) <- ts.zipWithIndex
+      if a != b && math.abs(tb - ta) <= W
+    } yield (a.toLong, b.toLong)).toSet
+    assert(got === expect)
+  }
+
   test("joins with an equi-key keep Spark's native hash/sort-merge plan") {
     val p = graft.SparkEntry.queries("range_join")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
