@@ -32,7 +32,9 @@ object LshPlanes {
   // AND the generated DuckDB oracle SQL — derives from these constants at
   // JVM init, so the correctness gate stays self-consistent at ANY
   // setting (recall/candidate-volume tradeoffs shift, correctness never).
-  private def envInt(name: String, default: Int, lo: Int, hi: Int): Int =
+  // private[graft]: the same validate-an-env-knob shape backs the other
+  // engine knobs (Dedup.MaxBandBucket) — one implementation, one contract
+  private[graft] def envInt(name: String, default: Int, lo: Int, hi: Int): Int =
     sys.env.get(name).map { raw =>
       val v = raw.toIntOption.getOrElse(
         throw new IllegalArgumentException(s"$name must be an integer, got '$raw'"))

@@ -26,6 +26,19 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Hot-bucket cap for every band-bucket self-join (see [[capBuckets]]
+    * for the full rationale). Env-tunable like the LSH geometry
+    * (production sizing depends on corpus boilerplate rates); EVERY
+    * consumer — the Spark pipelines, the generated DuckDB oracle SQL, and
+    * the streaming twin [[graft.streaming.NearDupStream]] — reads this one
+    * constant at JVM init, so the correctness gate and the stream≡batch
+    * candidate-set equivalence hold at any setting. Declared ABOVE the
+    * oracle-SQL vals that interpolate it during object init (a later
+    * plain val would still be 0 at that point).
+    */
+  private[graft] val MaxBandBucket: Int =
+    graft.functions.LshPlanes.envInt("GRAFT_MAX_BUCKET", 1000, 2, 10000000)
+
   /** Exact dedup via content hash: one row per distinct text with copy
     * count and the id to keep (min). Hash-groupBy — a single shuffle on
     * md5(text); at 100 TB, group keys are 32-byte digests, not documents.
@@ -158,28 +171,22 @@ object Dedup {
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }
 
-  /** Hot-bucket cap for every band-bucket self-join. A band value shared
-    * by a large fraction of the corpus (boilerplate documents; here, the
-    * synthetic corpus' single shared vocabulary correlating simhash bits)
-    * makes the self-join quadratic in that bucket AND concentrates it in
-    * one sort-merge key group — the ×100 smoke OOM'd an 8 GB executor
-    * buffering one mega-bucket. Buckets beyond the cap carry no
-    * discriminating signal (their members are either exact dups, which
-    * [[exact]] already groups, or band-collision noise), so production
-    * simhash/minhash deployments drop them. Where it binds on the shipped
-    * data: nowhere at sf0.01 (500 docs < cap, outputs identical to the
-    * uncapped form), and at sf0.1 exactly ONE degenerate simhash bucket
-    * (1582 of 5000 docs share a band value — corpus-wide bit correlation,
-    * precisely the non-discriminating case the cap exists for). The
-    * oracle applies the identical cap, so the gate checks the capped
-    * semantics at both SFs.
-    */
-  // `final` so it compiles to an inlined constant: the oracle-SQL vals
-  // above this declaration read it during object init, and a plain val
-  // would still be 0 at that point
-  private final val MaxBandBucket = 1000
-
-  /** Keep only rows whose (band, bkey) bucket is at most [[MaxBandBucket]]
+  /** A band value shared by a large fraction of the corpus (boilerplate
+    * documents; here, the synthetic corpus' single shared vocabulary
+    * correlating simhash bits) makes the self-join quadratic in that
+    * bucket AND concentrates it in one sort-merge key group — the ×100
+    * smoke OOM'd an 8 GB executor buffering one mega-bucket. Buckets
+    * beyond [[MaxBandBucket]] carry no discriminating signal (their
+    * members are either exact dups, which [[exact]] already groups, or
+    * band-collision noise), so production simhash/minhash deployments
+    * drop them. Where it binds on the shipped data: nowhere at sf0.01
+    * (500 docs < cap, outputs identical to the uncapped form), and at
+    * sf0.1 exactly ONE degenerate simhash bucket (1582 of 5000 docs share
+    * a band value — corpus-wide bit correlation, precisely the
+    * non-discriminating case the cap exists for). The oracle applies the
+    * identical cap, so the gate checks the capped semantics at both SFs.
+    *
+    * Keep only rows whose (band, bkey) bucket is at most [[MaxBandBucket]]
     * — the window count shares the self-join's own (band, bkey) hash
     * partitioning, so the cap costs no extra exchange.
     */

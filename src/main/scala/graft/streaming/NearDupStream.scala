@@ -25,9 +25,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: banding is pure per-row expression work; the only shuffle
   * is the groupByKey on (band, bkey) — slim rows, same key the batch
-  * band-join shuffles on. State per bucket is a capped id list; a
-  * production deployment adds a timeout/TTL if bucket keys are unbounded
-  * over time.
+  * band-join shuffles on. State per bucket is a capped id list, and the
+  * bucket key space is UNBOUNDED over an infinite stream, so idle buckets
+  * are evicted by processing-time TTL (the default; a doc arriving after
+  * its near-dups' bucket expired misses those pairs — the deliberate
+  * retention/recall trade every streaming dedup makes). Tests pass
+  * NoTimeout: a pending timeout keeps the no-data micro-batch loop
+  * spinning, which deadlocks `processAllAvailable`.
   */
 object NearDupStream {
 
@@ -36,8 +40,11 @@ object NearDupStream {
   case class NearDupCandidate(id1: Long, id2: Long, band: Int)
   case class BucketState(ids: List[Long])
 
-  /** Same guard value as the batch side's hot-bucket cap. */
-  private final val MaxBucket = 1000
+  /** THE batch-side hot-bucket cap — one constant (env knob
+    * GRAFT_MAX_BUCKET), not an independent copy, so the stream≡batch
+    * candidate-set equivalence cannot silently break by changing one side.
+    */
+  private def MaxBucket: Int = graft.operators.Dedup.MaxBandBucket
 
   /** Map-side banding: word-3-gram shingles → 4 seeded md5 digest arrays
     * → per-band key = concat of the digest's four 8-hex-char chunk
@@ -65,34 +72,57 @@ object NearDupStream {
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
-  /** Stateful per-bucket candidate emission. */
-  def candidates(docs: DataFrame): Dataset[NearDupCandidate] = {
+  /** The per-bucket state transition, factored out so the timeout path is
+    * unit-testable with `TestGroupState` (a live memory-stream test cannot
+    * advance the processing-time clock). On timeout: evict the bucket and
+    * emit nothing (candidates were already emitted when their second
+    * member arrived — expiry loses only FUTURE pairings, the documented
+    * TTL trade). On data: emit (new, old) pairs, cap the bucket, re-arm
+    * the TTL.
+    */
+  private[streaming] def bucketStep(usesTimeout: Boolean, ttl: String)(
+      key: (Int, String), rows: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[NearDupCandidate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val seen = state.getOption.map(_.ids).getOrElse(Nil)
+      // List is the encoder-friendly stored form; membership and size
+      // go through a Set + counter so a near-cap bucket costs O(ids)
+      // per micro-batch, not O(ids²) of list scans
+      val seenSet = scala.collection.mutable.Set.from(seen)
+      val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seenSet)
+      val out = Seq.newBuilder[NearDupCandidate]
+      var acc = seen
+      var accSize = seen.size
+      fresh.foreach { id =>
+        if (accSize < MaxBucket)
+          acc.foreach { o =>
+            out += NearDupCandidate(math.min(id, o), math.max(id, o), key._1)
+          }
+        acc = id :: acc
+        accSize += 1
+        seenSet += id
+      }
+      state.update(BucketState(acc.take(MaxBucket)))
+      if (usesTimeout) state.setTimeoutDuration(ttl)
+      out.result().iterator
+    }
+  }
+
+  /** Stateful per-bucket candidate emission. `timeout`/`ttl` are
+    * injectable like [[EventsStream.sessionize]]: production keeps the
+    * default ProcessingTimeTimeout so idle bucket state is evicted.
+    */
+  def candidates(docs: DataFrame,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+      ttl: String = "30 minutes"): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
+    val usesTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     banded(docs).as[BandedDoc]
       .groupByKey(b => (b.band, b.bkey))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, String), rows: Iterator[BandedDoc],
-            state: GroupState[BucketState]) =>
-          val seen = state.getOption.map(_.ids).getOrElse(Nil)
-          // List is the encoder-friendly stored form; membership and size
-          // go through a Set + counter so a near-cap bucket costs O(ids)
-          // per micro-batch, not O(ids²) of list scans
-          val seenSet = scala.collection.mutable.Set.from(seen)
-          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seenSet)
-          val out = Seq.newBuilder[NearDupCandidate]
-          var acc = seen
-          var accSize = seen.size
-          fresh.foreach { id =>
-            if (accSize < MaxBucket)
-              acc.foreach { o =>
-                out += NearDupCandidate(math.min(id, o), math.max(id, o), key._1)
-              }
-            acc = id :: acc
-            accSize += 1
-            seenSet += id
-          }
-          state.update(BucketState(acc.take(MaxBucket)))
-          out.result().iterator
-      }
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        bucketStep(usesTimeout, ttl))
   }
 }

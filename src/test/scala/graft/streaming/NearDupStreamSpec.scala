@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TestGroupState}
 
 /** The streaming near-dup candidate generator must agree with the batch
   * MinHash pipeline over the same documents (same md5-chunk hash family),
@@ -23,8 +24,11 @@ class NearDupStreamSpec extends SparkSpec {
   test("stream candidates equal the batch MinHash candidates over the same docs") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
+    // NoTimeout: a pending processing-time timeout keeps the no-data
+    // micro-batch loop spinning, deadlocking processAllAvailable; the
+    // TTL path is unit-tested below with TestGroupState instead
     val query = NearDupStream.candidates(
-      input.toDF().toDF("doc_id", "text"))
+      input.toDF().toDF("doc_id", "text"), GroupStateTimeout.NoTimeout)
       .writeStream.format("memory").queryName("neardup_out")
       .outputMode(OutputMode.Append).start()
     try {
@@ -47,5 +51,33 @@ class NearDupStreamSpec extends SparkSpec {
       assert(got.contains((0L, 3L)) && got.contains((0L, 4L)))
       assert(!got.exists { case (a, b) => a == 1L || b == 1L || a == 2L || b == 2L })
     } finally query.stop()
+  }
+
+  test("idle bucket state is evicted on processing-time timeout") {
+    val state = TestGroupState.create[NearDupStream.BucketState](
+      Optional.of(NearDupStream.BucketState(List(7L, 3L))),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = true)
+    val out = NearDupStream.bucketStep(usesTimeout = true, "30 minutes")(
+      (0, "bk"), Iterator.empty, state)
+    assert(out.isEmpty, "a timed-out bucket must not emit candidates")
+    assert(state.isRemoved, "timeout must evict the bucket state")
+  }
+
+  test("the live path re-arms the TTL so every bucket eventually expires") {
+    val state = TestGroupState.create[NearDupStream.BucketState](
+      Optional.of(NearDupStream.BucketState(List(3L))),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val out = NearDupStream.bucketStep(usesTimeout = true, "30 minutes")(
+      (2, "bk"), Iterator(NearDupStream.BandedDoc(2, "bk", 9L)), state).toSeq
+    // the new arrival still pairs with the surviving member...
+    assert(out === Seq(NearDupStream.NearDupCandidate(3L, 9L, 2)))
+    assert(state.isUpdated && state.get.ids.toSet === Set(3L, 9L))
+    // ...and the bucket re-armed its eviction clock relative to batch time
+    assert(state.getTimeoutTimestampMs.isPresent &&
+      state.getTimeoutTimestampMs.get() === 1000L + 30L * 60L * 1000L)
   }
 }
