@@ -2,7 +2,7 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.build("graft-bench")
+    val spark = GraftSession.build("graft-bench", Some(sfDir))
     // Force FULL evaluation of the declared result — every column, every
     // row, including the presentation sort. A bare `.count()` lets the
     // optimizer prune exactly the work being benchmarked: column pruning

@@ -8,16 +8,47 @@ import org.apache.spark.sql.SparkSession
   * between entry points.
   */
 object GraftSession {
-  def build(appName: String): SparkSession = {
+
+  /** Derive the shuffle-partition upper bound from the input's on-disk
+    * size: ceil(bytes / target), floored at the core count. The target
+    * (GRAFT_TARGET_PARTITION_MB, default 8 MiB of compressed parquet ≈
+    * 64–128 MiB of row-format shuffle data after decompression) is what
+    * sizes a partition to fit an executor's memory. Goes through the
+    * Hadoop FileSystem API, so the same derivation works for hdfs:// /
+    * s3a:// URIs on a real cluster, not just the local harness. A dir
+    * that cannot be listed degrades to the core count rather than
+    * failing session construction.
+    */
+  private def derivedPartitions(dir: String, cpus: Int): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val bytes = fs.getContentSummary(p).getLength
+      val targetBytes = graft.functions.LshPlanes
+        .envInt("GRAFT_TARGET_PARTITION_MB", 8, 1, 4096).toLong << 20
+      val n = ((bytes + targetBytes - 1) / targetBytes).toInt
+      val bounded = math.min(math.max(n, cpus), 65536)
+      System.err.println(
+        s"[graft] derived spark.sql.shuffle.partitions=$bounded " +
+          s"($bytes input bytes / ${targetBytes >> 20} MiB target)")
+      Some(bounded)
+    } catch { case _: java.io.IOException => None }
+
+  def build(appName: String, dataDir: Option[String] = None): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions must scale with DATA, not cores: at the shipped
     // SFs 32 (= cores) is right, but the ×100 scale smoke put 45M distinct
     // groups through 32 partitions and the spilling aggregation thrashed
     // for half an hour before dying. AQE coalesces small partitions but
     // never splits big ones, so the upper bound has to be set here —
-    // a real deployment derives it from input bytes / target partition
-    // size; the smoke passes GRAFT_SHUFFLE_PARTITIONS explicitly.
-    val shufflePartitions = sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // derived from input bytes / target partition size when the entry
+    // point knows its data dir; GRAFT_SHUFFLE_PARTITIONS remains the
+    // explicit override.
+    val shufflePartitions = sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt)
+      .orElse(dataDir.flatMap(derivedPartitions(_, cpus.toInt)))
+      .getOrElse(cpus.toInt)
+      .toString
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")

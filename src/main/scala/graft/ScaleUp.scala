@@ -38,7 +38,7 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scaleup")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark: SparkSession = GraftSession.build("graft-scaleup")
+    val spark: SparkSession = GraftSession.build("graft-scaleup", Some(src))
     def t(name: String): DataFrame = sources.Tables.load(spark, src, name)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")

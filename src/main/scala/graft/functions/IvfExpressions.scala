@@ -61,7 +61,14 @@ case class CentroidSims(left: Expression, right: Expression) extends BinaryExpre
 }
 
 object IvfExpressions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "centroid_sims", exprs => CentroidSims(exprs(0), exprs(1)), "built-in")
+  /** No-op when already injected session-wide by GraftSparkExtensions
+    * (avoids a replaced-function warning per query).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("centroid_sims")))
+      reg.createOrReplaceTempFunction(
+        "centroid_sims", exprs => CentroidSims(exprs(0), exprs(1)), "built-in")
+  }
 }

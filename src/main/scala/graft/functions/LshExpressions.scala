@@ -119,7 +119,14 @@ case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
 }
 
 object LshExpressions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_buckets", exprs => HyperplaneBuckets(exprs.head), "built-in")
+  /** No-op when already injected session-wide by GraftSparkExtensions
+    * (avoids a replaced-function warning per query).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets")))
+      reg.createOrReplaceTempFunction(
+        "hyperplane_buckets", exprs => HyperplaneBuckets(exprs.head), "built-in")
+  }
 }

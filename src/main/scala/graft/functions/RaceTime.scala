@@ -58,10 +58,18 @@ object RaceTime {
         floor(pmod(c, lit(3600)) / 60).cast("int"),
         pmod(c, lit(60))))
 
-  /** Register SQL functions backed by the native expressions below. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "race_time_seconds", exprs => RaceTimeSeconds(exprs.head), "built-in")
+  /** Register SQL functions backed by the native expressions below.
+    * No-op when the function already exists (GraftSparkExtensions injects
+    * it session-wide) — re-registering is harmless but floods stderr with
+    * a replaced-function warning per query.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("race_time_seconds")))
+      reg.createOrReplaceTempFunction(
+        "race_time_seconds", exprs => RaceTimeSeconds(exprs.head), "built-in")
+  }
 }
 
 /** JVM-callable core shared by interpreted eval and generated code. */

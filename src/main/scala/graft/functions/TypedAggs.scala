@@ -34,25 +34,58 @@ object TypedAggs {
       override def outputEncoder: Encoder[MoneyStats] = Encoders.product[MoneyStats]
     }
 
+  // public: Catalyst's generated (de)serializers access these reflectively
+  case class KPair(digest: String, id: Long)
+  case class KBuf(pairs: Seq[KPair])
+  case class TopIds(ids: Seq[Long])
+
   /** Partial top-K by (digest, id): the buffer never holds more than K
     * pairs, so map-side combine ships K rows per group per partition — the
     * scalable form of a per-stratum quota (vs. a window sort that funnels
     * each stratum's full row set through one task; see
     * graft.operators.Sampling.stratified). Selection order matches the
     * window formulation exactly: ascending (digest, id).
+    *
+    * The buffer keeps its pairs SORTED ascending as an invariant, so the
+    * per-row path is O(1) for the overwhelmingly common case (a full
+    * buffer rejecting a row ≥ its max) and one bounded insertion
+    * otherwise — not a full re-sort per row — and `merge` is a K-bounded
+    * merge of two sorted runs. Product encoders (not Kryo): the buffer
+    * crosses the exchange as plain Tungsten rows.
     */
-  def minKByDigest(k: Int): Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] =
-    new Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] {
-      override def zero: Seq[(String, Long)] = Nil
-      private def trim(b: Seq[(String, Long)]): Seq[(String, Long)] =
-        b.sorted.take(k)
-      override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
-        trim(b :+ a)
-      override def merge(x: Seq[(String, Long)], y: Seq[(String, Long)]): Seq[(String, Long)] =
-        trim(x ++ y)
-      override def finish(b: Seq[(String, Long)]): Seq[Long] = b.sorted.map(_._2)
-      override def bufferEncoder: Encoder[Seq[(String, Long)]] =
-        Encoders.kryo[Seq[(String, Long)]]
-      override def outputEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+  def minKByDigest(k: Int): Aggregator[(String, Long), KBuf, TopIds] =
+    new Aggregator[(String, Long), KBuf, TopIds] {
+      private def lt(d: String, id: Long, p: KPair): Boolean = {
+        val c = d.compareTo(p.digest)
+        c < 0 || (c == 0 && id < p.id)
+      }
+      override def zero: KBuf = KBuf(Vector.empty)
+      override def reduce(b: KBuf, a: (String, Long)): KBuf = {
+        val (d, id) = a
+        val ps = b.pairs
+        if (ps.size >= k && !lt(d, id, ps.last)) b
+        else {
+          val idx = ps.indexWhere(p => lt(d, id, p))
+          val ins =
+            if (idx < 0) ps :+ KPair(d, id)
+            else (ps.take(idx) :+ KPair(d, id)) ++ ps.drop(idx)
+          KBuf(ins.take(k))
+        }
+      }
+      override def merge(x: KBuf, y: KBuf): KBuf = {
+        val xs = x.pairs; val ys = y.pairs
+        val out = Vector.newBuilder[KPair]
+        var n = 0; var i = 0; var j = 0
+        while (n < k && (i < xs.size || j < ys.size)) {
+          val takeX = j >= ys.size ||
+            (i < xs.size && lt(xs(i).digest, xs(i).id, ys(j)))
+          if (takeX) { out += xs(i); i += 1 } else { out += ys(j); j += 1 }
+          n += 1
+        }
+        KBuf(out.result())
+      }
+      override def finish(b: KBuf): TopIds = TopIds(b.pairs.map(_.id))
+      override def bufferEncoder: Encoder[KBuf] = Encoders.product[KBuf]
+      override def outputEncoder: Encoder[TopIds] = Encoders.product[TopIds]
     }
 }

@@ -331,12 +331,18 @@ object Analytics {
     * with a JSON payload column actually gets queried.
     */
   val eventsJson: Q = Q("events_json",
-    // json_valid guard: DuckDB's json_extract_string THROWS on malformed
-    // JSON where Spark's from_json yields NULL — the guard makes the
-    // oracle replay the permissive NULL semantics this query advertises
+    // json_valid guard: DuckDB's json functions THROW on malformed JSON
+    // where Spark's from_json yields NULL. The json_type guard + TRY_CAST
+    // replay Spark's NULL-on-mismatch for non-integral payloads too:
+    // from_json(k BIGINT) nulls a quoted number ({"k":"12"}) and a double
+    // ({"k":1.5}), where a bare DuckDB CAST would coerce the former and
+    // error on the latter; TRY_CAST nulls uint64 values past the BIGINT
+    // range exactly like Spark's overflow-to-null parse.
     """WITH k AS (SELECT event_type,
-      |    CASE WHEN json_valid(props)
-      |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |    CASE WHEN json_valid(props) THEN
+      |      CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+      |           THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END
+      |    END AS k
       |  FROM events)
       |SELECT event_type, count(*) AS n,
       |  CAST(sum(k) AS BIGINT) AS sum_k,

@@ -75,7 +75,7 @@ object Sampling {
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(graft.functions.TypedAggs.minKByDigest(5).toColumn.name("ids"))
-      .flatMap { case (src, ids) => ids.map(src -> _) }
+      .flatMap { case (src, top) => top.ids.map(src -> _) }
       .toDF("source", "doc_id")
       .orderBy(col("source"), col("doc_id"))
   }

@@ -33,9 +33,30 @@ class TypedAggsSpec extends SparkSpec {
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(TypedAggs.minKByDigest(5).toColumn.name("ids"))
-      .flatMap { case (src, ids) => ids.map(src -> _) }
+      .flatMap { case (src, top) => top.ids.map(src -> _) }
       .collect().toSet
     assert(select(1) === select(7))
+  }
+
+  test("minKByDigest on one giant stratum picks the K lexicographic minima") {
+    // the degenerate shape the aggregator exists for: ONE stratum holding
+    // the whole input — the buffer must stay K-bounded through every
+    // partial and still select exactly the K smallest (digest, id) pairs
+    val n = 20000
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def dig(i: Int): String =
+      md.digest(s"doc#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0 until n).map(i => ("all", dig(i), i.toLong))
+    val got = rows.toDF("k", "dig", "id")
+      .as[(String, String, Long)]
+      .repartition(13)
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TypedAggs.minKByDigest(5).toColumn.name("ids"))
+      .collect()
+    val expect = rows.map(r => (r._2, r._3)).sorted.take(5).map(_._2)
+    assert(got.length === 1 && got.head._1 === "all")
+    assert(got.head._2.ids === expect)
   }
 
   test("typed moneyStats equals the untyped exact-decimal aggregation") {

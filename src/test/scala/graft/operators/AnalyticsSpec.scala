@@ -126,6 +126,28 @@ class AnalyticsSpec extends SparkSpec {
     out.foreach { case (n, withK) => assert(n === withK) }
   }
 
+  test("from_json(k BIGINT) nulls every payload the events_json oracle nulls") {
+    import spark.implicits._
+    // the shapes the oracle's json_type+TRY_CAST guard must replay: Spark
+    // nulls quoted numbers, doubles, uint64 overflow, malformed JSON —
+    // expectations here mirror a DuckDB run of the oracle CASE expression
+    val payloads = Seq(
+      """{"k": 12}""" -> Some(12L),
+      """{"k":"12"}""" -> None, // quoted: DuckDB CAST would coerce, Spark won't
+      """{"k":1.5}""" -> None, // double: DuckDB CAST would throw
+      """{"k": null}""" -> None,
+      """{}""" -> None,
+      """not json""" -> None,
+      """{"k": 18446744073709551615}""" -> None, // uint64 > BIGINT range
+      """{"k": -3}""" -> Some(-3L))
+    val got = payloads.map(_._1).toDF("props")
+      .select(from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k"))
+      .as[Option[Long]].collect().toSeq
+    assert(got === payloads.map(_._2))
+  }
+
   test("text_scrub masks every digit and accounts for each masked char") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_scrub")(spark, dir)
