@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.from_json
 
 /** Plan-shape assertions (SURVEY.md §5): the queries must not just return
   * the right rows — they must plan the way a 100 TB run needs. Row-level
