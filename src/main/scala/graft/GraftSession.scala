@@ -60,6 +60,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dedup.releaseCheckpoint unpersists each CC round's localCheckpoint
+    // blocks ON PURPOSE (the next round's frame is already materialized, so
+    // the truncated lineage is never re-run). Spark warns about exactly
+    // that unpersist ("was locally checkpointed ... cannot be recomputed"),
+    // and those by-design warnings bury real ones in the bench stderr —
+    // silence the one category that emits them. MapPartitionsRDD logs
+    // nothing else at WARN in a healthy run.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

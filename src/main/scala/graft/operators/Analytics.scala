@@ -416,6 +416,44 @@ object Analytics {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Batch twin of the stream-stream attribution join — and not a
+    * re-implementation: it calls the SAME
+    * [[graft.streaming.EventsStream.clickPurchaseJoin]] transform the
+    * streaming pipeline runs (Catalyst's EliminateEventTimeWatermark drops
+    * the watermark nodes in batch, leaving the identical filtered
+    * self-join), so the DuckDB oracle gates the one shared plan and the
+    * stream≡batch equivalence asserted in EventsStreamSpec rides on code
+    * identity rather than on two parallel implementations staying in sync.
+    *
+    * Timestamps surface as epoch-µs longs (the shared nanos→micros floor,
+    * Tables.nanosToMicros) so the oracle's `epoch_us(ts)` replays them
+    * exactly; values pass through unaggregated, so no float rules needed.
+    * The trailing value columns in the ORDER BY make the sort total even
+    * if one user ever clicked twice in the same microsecond.
+    */
+  val eventsClickJoin: Q = Q("events_clickjoin",
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS click_us,
+      |             value AS click_value
+      |           FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id AS p_user_id, epoch_us(ts) AS purchase_us,
+      |             value AS purchase_value
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, click_us, purchase_us, click_value, purchase_value
+      |FROM c JOIN p ON user_id = p_user_id
+      |  AND purchase_us >= click_us AND purchase_us <= click_us + 600000000
+      |ORDER BY user_id, click_us, purchase_us, click_value, purchase_value
+      |""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").withColumn("ts",
+      expr(s"timestamp_micros(${Tables.nanosToMicrosSql("ts")})"))
+    graft.streaming.EventsStream.clickPurchaseJoin(ev)
+      .select(col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("click_value"), col("purchase_value"))
+      .orderBy(col("user_id"), col("click_us"), col("purchase_us"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** Skew-resilient aggregation: `event_type` has a handful of hot keys, so
     * a direct groupBy sends each whole key to one reducer. The salted form
     * splits every key 16 ways (phase 1), then combines the partials
@@ -619,6 +657,6 @@ object Analytics {
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
-    skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
+    eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ)
 }

@@ -105,32 +105,39 @@ object Sampling {
 
   /** Approximate distinct/percentile aggregates — the sketches that replace
     * exact DISTINCT/median at 100 TB (HyperLogLog++ / KLL both merge
-    * associatively, so partial aggregation works map-side). Sketch
-    * internals are engine-specific, so the oracle checks the sketch's
-    * CONTRACT instead of its value: the query emits the exact answers plus
-    * error-bound verdicts (HLL within ±5% of exact distinct; approximate
-    * median inside the exact interquartile range), and the DuckDB side
-    * recomputes the exact answers with literal TRUE verdicts — any sketch
-    * drifting out of bounds breaks the hash match. Tighter bounds are
-    * asserted in SamplingSpec.
+    * associatively, so partial aggregation works map-side). The registered
+    * query runs SKETCHES ONLY: the plan it demonstrates (and the bench
+    * measures) is the scale path, with no exact `count(DISTINCT text)`
+    * expand-shuffle or exact-percentile sort riding along — those were the
+    * very costs the sketches exist to avoid, and an earlier version of this
+    * query paid them inside the benchmarked plan to compute its verdicts.
+    *
+    * Sketch internals are engine-specific, so the emitted verdicts gate
+    * only invariants that hold by construction (DuckDB replays them as
+    * literal TRUE): `median_sane` because `percentile_approx` returns an
+    * actual element of the group, so it is within [min, max] with
+    * certainty; `distinct_sane` because an HLL++ estimate at rsd 0.02 of a
+    * cardinality ≤ n cannot plausibly exceed 4n — a value outside the band
+    * means a broken sketch, not sampling noise. The TIGHT accuracy
+    * contract (±10% of exact distinct, median within max(2, 5%) of exact)
+    * is asserted in SamplingSpec, where the exact answers are computed
+    * test-side instead of inside the benchmarked plan.
     */
   val approx: Q = Q("approx_stats",
-    """SELECT lang, count(*) AS n, count(DISTINCT text) AS exact_distinct_texts,
-      |  TRUE AS distinct_ok, TRUE AS median_ok
+    """SELECT lang, count(*) AS n,
+      |  TRUE AS distinct_sane, TRUE AS median_sane
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     docs(s, dir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n"),
-        countDistinct(col("text")).as("exact_distinct_texts"),
         approx_count_distinct(col("text"), 0.02).as("ad"),
         percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("am"),
-        expr("percentile(n_chars, 0.25)").as("p25"),
-        expr("percentile(n_chars, 0.75)").as("p75"))
-      .select(col("lang"), col("n"), col("exact_distinct_texts"),
-        (abs(col("ad") - col("exact_distinct_texts")) <=
-          col("exact_distinct_texts") * 0.05).as("distinct_ok"),
-        col("am").between(col("p25"), col("p75")).as("median_ok"))
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      .select(col("lang"), col("n"),
+        col("ad").between(lit(0L), col("n") * 4).as("distinct_sane"),
+        col("am").between(col("mn"), col("mx")).as("median_sane"))
       .orderBy(col("lang"))
   }
 

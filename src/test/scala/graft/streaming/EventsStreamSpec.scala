@@ -121,6 +121,55 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("clickPurchaseJoin: streamed micro-batches emit exactly the batch join") {
+    // The registered events_clickjoin batch query calls THIS SAME transform
+    // (watermarks eliminate to no-ops in batch), so this asserts the
+    // micro-batch execution of the one shared plan converges to its batch
+    // result — the stream≡batch contract behind the DuckDB oracle gate.
+    val events = Seq(
+      EventsStream.Event(ts(0), 1L, "click", 1.0),
+      EventsStream.Event(ts(5), 1L, "purchase", 50.0), // in horizon
+      EventsStream.Event(ts(10), 1L, "purchase", 60.0), // boundary: inclusive
+      EventsStream.Event(ts(12), 1L, "purchase", 70.0), // out of horizon
+      EventsStream.Event(ts(3), 2L, "click", 1.0),
+      EventsStream.Event(ts(4), 2L, "click", 2.0), // two clicks, one purchase
+      EventsStream.Event(ts(8), 2L, "purchase", 30.0), // joins BOTH clicks
+      EventsStream.Event(ts(2), 3L, "purchase", 5.0), // purchase BEFORE click
+      EventsStream.Event(ts(6), 3L, "click", 1.0))
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("attr_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches, split mid-user so the join must buffer state
+      input.addData(events.take(4): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(4): _*)
+      query.processAllAvailable()
+      // sentinel advances both watermarks past every real event so Append
+      // mode flushes all joined rows (excluded from the comparison below)
+      input.addData(EventsStream.Event(ts(59), 99L, "click", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("attr_parity").filter($"user_id" =!= 99L)
+        .select($"user_id", $"click_ts", $"purchase_ts", $"click_value",
+          $"purchase_value")
+        .as[(Long, Timestamp, Timestamp, Double, Double)].collect().sorted
+      val batch = EventsStream.clickPurchaseJoin(events.toDF())
+        .select($"user_id", $"click_ts", $"purchase_ts", $"click_value",
+          $"purchase_value")
+        .as[(Long, Timestamp, Timestamp, Double, Double)].collect().sorted
+      assert(batch.nonEmpty, "batch twin returned no joined rows")
+      assert(streamed.toSeq === batch.toSeq)
+      // spot-check the semantics both modes agreed on
+      assert(batch.count(_._1 == 2L) === 2, "purchase must join both clicks")
+      assert(!batch.exists { case (u, _, _, _, pv) => u == 1L && pv == 70.0 },
+        "out-of-horizon purchase joined")
+      assert(batch.exists { case (u, _, _, _, pv) => u == 1L && pv == 60.0 },
+        "10-minute boundary must be inclusive")
+    } finally query.stop()
+  }
+
   test("runForeachBatch hands closed windows to the sink with increasing batch ids") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
