@@ -64,6 +64,54 @@ class GoldenConsistencySpec extends SparkSpec {
     def keys(df: DataFrame) =
       rows(df.select(col("year"), col("date"), col("city"), col("driverFullName")))
     assert(keys(golden("pitstop")) === keys(golden("evopoints")))
+    // value sanity on the counted column itself: a pit-stop count is a
+    // small non-negative integer (0 happens on red-flag strategy races;
+    // >6 would mean the count-join in the reference double-counted)
+    val p = golden("pitstop")
+    assert(p.filter(col("pitStops") < 0 || col("pitStops") > 6).count() === 0,
+      "pitStops outside the physically plausible [0, 6]")
+  }
+
+  test("constructor IS evopoints enriched by the driver-season constructor mapping — full rows") {
+    // The reference builds `constructor` by joining the combined frame's
+    // constructor column back onto the evopoints projection
+    // (index_constructor.py). That structure is fully checkable from the
+    // committed outputs alone: the (year, driver) → ConstructorName
+    // mapping must be FUNCTIONAL (no driver changes team inside a golden
+    // season), and enriching evopoints with it — the same broadcast
+    // lookup-join shape as this engine's J2 operator — must rebuild the
+    // golden constructor frame row-for-row, every column compared.
+    val mapping = golden("constructor")
+      .select(col("year"), col("driverFullName"), col("ConstructorName"))
+      .distinct()
+    assert(mapping.groupBy(col("year"), col("driverFullName")).count()
+      .filter(col("count") > 1).count() === 0,
+      "(year, driver) → constructor is not functional")
+    val rebuilt = golden("evopoints")
+      .join(broadcast(mapping), Seq("year", "driverFullName"))
+      .select(col("year"), col("date"), col("driverFullName"),
+        col("ConstructorName"), col("totalPoints"), col("city"))
+    assert(rows(rebuilt) === rows(golden("constructor")))
+  }
+
+  test("weather2324 IS the 2023+ season universe enriched by per-race weather — full rows") {
+    // weather2324's weather columns must be constant per race (they come
+    // from ONE Meteostat daily row per (year, city) in the reference),
+    // its key set must be exactly `filter` restricted to year ≥ 2023, and
+    // the broadcast enrichment of that universe with the per-race weather
+    // frame must reproduce the golden output row-for-row — the aggregate
+    // values recomputed through the combined-frame structure, not just
+    // key-set membership.
+    val wcols = Seq("temp_min", "temp_max", "temp_avg", "precipitation", "wspd")
+    val race = golden("weather2324")
+      .select((Seq("year", "city") ++ wcols).map(col): _*).distinct()
+    assert(race.groupBy(col("year"), col("city")).count()
+      .filter(col("count") > 1).count() === 0,
+      "per-race weather is not constant within a (year, city)")
+    val rebuilt = golden("filter").filter(col("year") >= 2023)
+      .join(broadcast(race), Seq("year", "city"))
+      .select((Seq("year", "city", "driverFullName") ++ wcols).map(col): _*)
+    assert(rows(rebuilt) === rows(golden("weather2324")))
   }
 
   test("wins is one row per race win inside the season universe") {
