@@ -4,52 +4,76 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: plan time-proximity joins as banded equi-joins.
   *
-  * An inner join whose only cross-side predicate is an interval bound —
-  * `abs(l.t - r.t) <= W` on long columns, no equi-key — gives Spark's join
-  * selection nothing to hash or sort on, so it falls back to
-  * BroadcastNestedLoopJoin: O(|L|·|R|) comparisons regardless of cluster
-  * size, the one join shape that cannot scale. But the interval bound IS
-  * an equi-join in disguise: quantize time into width-W bands, and any
-  * qualifying pair shares one of the ≤3 bands overlapping the probe row's
-  * interval. This rule performs that rewrite on the LOGICAL plan, so users
-  * write the natural inequality join and still get a shuffled hash join:
+  * Two join shapes hide a time-band equi-key that Spark's join selection
+  * cannot see, and this rule surfaces it on the LOGICAL plan so users write
+  * the natural inequality and the engine picks the scalable layout:
   *
-  *   Join(L, R, abs(lt-rt)<=W ∧ rest)
+  * 1. **Keyless proximity** — `abs(l.t - r.t) <= W` on long columns with
+  *    no cross-side equi-conjunct. Join selection has nothing to hash or
+  *    sort on and falls back to BroadcastNestedLoopJoin: O(|L|·|R|)
+  *    comparisons regardless of cluster size. Quantizing time into
+  *    width-W bands turns it into a shuffled hash join (≤3 probe bands
+  *    per row).
+  *
+  * 2. **Keyed interval window** — `r.t ∈ [l.t + lo, l.t + hi]` (one-sided
+  *    bounds spelled as two comparison conjuncts, on long OR timestamp
+  *    columns) RIDING ON equi keys, the attribution-join shape:
+  *    `user_id = p_user_id AND purchase_ts >= click_ts AND purchase_ts <=
+  *    click_ts + INTERVAL 10 MINUTES`. Spark plans the equi keys as a
+  *    hash/sort-merge join with the bounds as a residual — fine until the
+  *    per-key history grows: a sort-merge inner join scans each key
+  *    group's full cross product, O(clicks·purchases) PER KEY, which is
+  *    quadratic in retention length for an append-forever event log (the
+  *    ×10→×100 scale smoke measured 15.5× growth for 10× data on exactly
+  *    this query). APPENDING a width-(hi−lo) band key to the equi keys
+  *    bounds each scanned group by the window's row density instead —
+  *    cost: ≤2 probe rows per input row; benefit: per-key work linear in
+  *    history. The equi keys stay in the join, so the plan remains a
+  *    hash/sort-merge join — just on (keys…, band) instead of (keys…).
+  *
+  *   Join(L, R, bound ∧ rest)
   *     ⇒ Project(origOutput,
-  *         Join(Generate(explode(sequence(⌊(lt-W)/W⌋, ⌊(lt+W)/W⌋)), L),
-  *              Project(R.* :+ ⌊rt/W⌋ as band, R),
-  *              band_probe = band ∧ abs(lt-rt)<=W ∧ rest))
+  *         Join(Generate(explode(sequence(⌊(xt+lo)/W⌋, ⌊(xt+hi)/W⌋)), X),
+  *              Project(Y.* :+ ⌊yt/W⌋ as band, Y),
+  *              band_probe = band ∧ bound ∧ rest))
   *
-  * Correctness: floor-division is monotone, so rt ∈ [lt-W, lt+W] implies
-  * ⌊rt/W⌋ ∈ [⌊(lt-W)/W⌋, ⌊(lt+W)/W⌋] — every qualifying pair survives, the
-  * re-applied original bound discards band-mates outside the interval, and
-  * each pair appears exactly once (the build side has ONE band per row).
-  * NULL times drop on both paths (null condition in the original join;
-  * null band key / exploded-null sequence here). Floor division is built
-  * as `(t - pmod(t, W)) div W` so pre-1970 (negative) times band correctly
-  * — plain `div` truncates toward zero and would misalign bands at the
-  * epoch boundary.
+  * Correctness: floor-division is monotone, so yt ∈ [xt+lo, xt+hi] implies
+  * ⌊yt/W⌋ ∈ [⌊(xt+lo)/W⌋, ⌊(xt+hi)/W⌋] — every qualifying pair survives,
+  * the re-applied original bound discards band-mates outside the interval,
+  * and each pair appears exactly once (the build side has ONE band per
+  * row). Strict (`<`/`>`) bounds participate relaxed to their inclusive
+  * form — a superset of bands is correct for the same reason. NULL times
+  * drop on both paths (null condition in the original join; null band key
+  * / exploded-null sequence here). Timestamps band on their physical
+  * epoch-microsecond longs (`UnixMicros`); `DayTimeIntervalType` offsets
+  * are already microsecond longs, so both domains share one arithmetic.
   *
-  * Conservative scope: inner joins only, no cross-side equi-conjunct
-  * (Spark already plans those as hash/sort-merge with a range residual —
-  * see `range_join`), the `abs(x - y) <= Literal(Long)` spelling in either
-  * operand order, both sides LongType. The rule is idempotent: the
-  * rewritten join carries a cross-side equality, so a fixed-point re-run
-  * does not fire again. The same rewrite is available as a manual
-  * composition in `graft.operators.AsofJoin.bandJoin`; this rule makes the
-  * engine apply it to plans users write themselves.
+  * Scope: INNER joins on non-streaming children only. Outer joins would
+  * need probe-side dedup of unmatched rows; streaming joins must keep the
+  * exact watermark-analyzable condition shape Spark's state eviction
+  * planner recognizes, so the streaming twin of an attribution join is
+  * left untouched (its state is bounded by watermarks instead). The
+  * abs-form keeps its no-equi-key guard: an abs window WITH equi keys is
+  * `range_join`'s shape, already measured linear at ×100, and re-banding
+  * it would churn an established plan for no demonstrated win. The rule
+  * is idempotent under the optimizer's fixed-point re-runs: the abs path
+  * exits via its no-equi-key guard (the rewrite adds a cross equality),
+  * and the interval path — whose bounds survive as their own residual —
+  * exits via the minted `__band_probe` equality marker.
   *
-  * Known limitation (like every banded join): the rewrite assumes
-  * W ≪ the column's value range. A window on the order of the whole data
-  * span lands every row in ~one band, degrading to a single hot key —
+  * Known limitation (like every banded join): the rewrite assumes the
+  * window ≪ the column's value range. A window on the order of the whole
+  * data span lands every row in ~one band, degrading to a single hot key —
   * worse than the nested loop when one side was broadcast-small. Column
   * ranges aren't available at optimization time without CBO histograms,
   * so the rule cannot self-disable; opt out for such a query with
   * spark.sql.optimizer.excludedRules=graft.plans.BandedIntervalJoin.
+  * The same rewrite is available as a manual composition in
+  * `graft.operators.AsofJoin.bandJoin`.
   */
 object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -79,6 +103,96 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  /** Decompose `base + literal-offset` into (base, offset-in-long-domain):
+    * a timestamp shifted by a day-time interval literal (offsets are
+    * physical microseconds) or a long shifted by a long literal. Any other
+    * expression is its own base with offset 0. `Long.MinValue` offsets are
+    * left un-decomposed — their negation overflows.
+    */
+  private def shifted(e: Expression): (Expression, Long) = e match {
+    case TimestampAddInterval(b, Literal(v: Long, _: DayTimeIntervalType), _) =>
+      (b, v)
+    case Add(b, Literal(c: Long, LongType), _) => (b, c)
+    case Add(Literal(c: Long, LongType), b, _) => (b, c)
+    case Subtract(b, Literal(c: Long, LongType), _) if c != Long.MinValue =>
+      (b, -c)
+    case _ => (e, 0L)
+  }
+
+  /** Both operands live in the same long-band domain: raw longs, or
+    * timestamps (banded on epoch micros).
+    */
+  private def compatible(a: Expression, b: Expression): Boolean =
+    (a.dataType, b.dataType) match {
+      case (LongType, LongType) => true
+      case (TimestampType, TimestampType) => true
+      case _ => false
+    }
+
+  /** Normalize one comparison conjunct to canonical upper bounds
+    * `u − v ≤ δ` (strict forms relaxed — the original conjunct re-applies
+    * as the residual). Offsets that fall outside the long range are
+    * dropped, not clamped: a wrong δ would band incorrectly.
+    */
+  private def upperBounds(c: Expression): Seq[(Expression, Expression, Long)] = {
+    def mk(a: Expression, b: Expression): Seq[(Expression, Expression, Long)] = {
+      val (ab, ao) = shifted(a)
+      val (bb, bo) = shifted(b)
+      val d = BigInt(bo) - BigInt(ao)
+      if (compatible(ab, bb) && d.isValidLong && ab.deterministic &&
+        bb.deterministic) Seq((ab, bb, d.toLong))
+      else Nil
+    }
+    c match {
+      case LessThanOrEqual(a, b) => mk(a, b)
+      case LessThan(a, b) => mk(a, b)
+      case GreaterThanOrEqual(a, b) => mk(b, a)
+      case GreaterThan(a, b) => mk(b, a)
+      case _ => Nil
+    }
+  }
+
+  /** Find a finite cross-side window: bases (y, x) with `y − x ∈ [lo, hi]`
+    * assembled from one upper bound on y − x and one on x − y. Returns
+    * (xProbe, yBuild, lo, hi) with x and y on opposite sides.
+    */
+  private def intervalWindow(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Long, Long)] = {
+    val ups = conjuncts.flatMap(upperBounds).filter { case (u, v, _) =>
+      (fromSide(u, left) && fromSide(v, right)) ||
+        (fromSide(u, right) && fromSide(v, left))
+    }
+    // second bound must be the OPPOSITE orientation on the same bases:
+    // (y,x,hi) says y−x ≤ hi; (u2,v2,negLo) with u2≃x, v2≃y says
+    // x−y ≤ negLo, i.e. y−x ≥ −negLo. Requiring u2≃x (not ≃y) is what
+    // stops a lone one-sided bound from pairing with itself into a bogus
+    // width-0 window.
+    val found = for {
+      (y, x, hi) <- ups.view
+      (u2, v2, negLo) <- ups
+      if u2.semanticEquals(x) && v2.semanticEquals(y)
+      // finite, non-empty window whose width fits a long
+      if BigInt(hi) + BigInt(negLo) >= 0
+      if (BigInt(hi) + BigInt(negLo)).isValidLong
+      if negLo != Long.MinValue
+    } yield (x, y, -negLo, hi)
+    found.headOption
+  }
+
+  /** The interval bounds survive as the residual of their own rewrite, so
+    * unlike the abs path (whose no-equi-key guard doubles as its
+    * fixed-point exit) the interval path needs an explicit marker: a
+    * rewritten join's condition carries the minted `__band_probe`
+    * equality. User columns can't collide — the attribute is created
+    * here, never resolved from a child schema.
+    */
+  private def alreadyBanded(conjuncts: Seq[Expression]): Boolean =
+    conjuncts.exists {
+      case EqualTo(a: AttributeReference, _) if a.name == "__band_probe" => true
+      case EqualTo(_, a: AttributeReference) if a.name == "__band_probe" => true
+      case _ => false
+    }
+
   /** ⌊e/w⌋ as exact integer floor division (sign-correct for negatives).
     *
     * Built WITHOUT a subtract: the naive `(e - pmod(e, w)) div w` wraps
@@ -97,51 +211,84 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
         Literal(-1L, LongType), Literal(0L, LongType)))
   }
 
+  /** `e + c` with e clamped so the add cannot wrap — clamping only WIDENS
+    * the probe range for rows near the long-range edges (a superset of
+    * bands is correct; the original bound re-applies as the residual).
+    */
+  private def safeShift(e: Expression, c: Long): Expression =
+    if (c == 0L) e
+    else if (c > 0L)
+      Add(Least(Seq(e, Literal(Long.MaxValue - c, LongType))),
+        Literal(c, LongType))
+    else
+      Add(Greatest(Seq(e, Literal(Long.MinValue - c, LongType))),
+        Literal(c, LongType))
+
+  /** The probe/build expressions in the shared long band domain. */
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMicros(e)
+    case _ => e
+  }
+
+  /** Rewrite `j` so the build side carries ⌊yt/w⌋ and the probe side
+    * explodes the bands overlapping [xt+lo, xt+hi]; the original condition
+    * rides along as the residual. `probeIsLeft` keeps the children in
+    * their original join positions.
+    */
+  private def rewriteBanded(j: Join, xt: Expression, yt: Expression,
+      lo: Long, hi: Long, w: Long, probeIsLeft: Boolean): LogicalPlan = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val probeChild = if (probeIsLeft) left else right
+    val buildChild = if (probeIsLeft) right else left
+    // Sequence is TimeZoneAwareExpression: without a timezone it reports
+    // unresolved and the optimizer's plan-integrity check rejects the
+    // rewrite (the tz is irrelevant for long sequences but required for
+    // resolution)
+    val xl = toLong(xt)
+    val probeBands = Explode(Sequence(
+      floorDiv(safeShift(xl, lo), w),
+      floorDiv(safeShift(xl, hi), w),
+      Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)))
+    val elem = probeBands.elementSchema.head
+    val bandProbe =
+      AttributeReference("__band_probe", elem.dataType, elem.nullable)()
+    val probed = Generate(probeBands, unrequiredChildIndex = Nil,
+      outer = false, qualifier = None,
+      generatorOutput = Seq(bandProbe), child = probeChild)
+    val bandKey = Alias(floorDiv(toLong(yt), w), "__band_key")()
+    val keyed = Project(buildChild.output :+ bandKey, buildChild)
+    val (newLeft, newRight) = if (probeIsLeft) (probed, keyed) else (keyed, probed)
+    val banded = Join(newLeft, newRight, Inner,
+      Some(And(EqualTo(bandProbe, bandKey.toAttribute), cond)), hint)
+    Project(j.output, banded)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), _)
+        if !left.isStreaming && !right.isStreaming =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val bound = conjuncts.collectFirst {
+      val absBound = conjuncts.collectFirst {
         case ProximityBound(x, y, w)
             if (fromSide(x, left) && fromSide(y, right)) ||
               (fromSide(x, right) && fromSide(y, left)) =>
           if (fromSide(x, left)) (x, y, w) else (y, x, w)
       }
-      bound match {
+      absBound match {
         case Some((lt, rt, w)) if !crossEqui(conjuncts, left, right) =>
-          // Overflow-safe bounds: lt ± W wraps for values within W of the
-          // long range edges (the rule fires on ANY long abs-join — ids
-          // and sentinels included, not just timestamps), and a wrapped
-          // bound would make Sequence(start > stop, step 1) THROW where
-          // the unrewritten nested loop ran fine. Clamping lt into
-          // [Min+W, Max−W] before the add/sub only WIDENS the probe range
-          // for edge rows (a superset of bands is correct — the original
-          // bound re-applies as the residual filter).
-          val clampedLo = Subtract(
-            Greatest(Seq(lt, Literal(Long.MinValue + w, LongType))),
-            Literal(w, LongType))
-          val clampedHi = Add(
-            Least(Seq(lt, Literal(Long.MaxValue - w, LongType))),
-            Literal(w, LongType))
-          // Sequence is TimeZoneAwareExpression: without a timezone it
-          // reports unresolved and the optimizer's plan-integrity check
-          // rejects the rewrite (the tz is irrelevant for long sequences
-          // but required for resolution)
-          val probeBands = Explode(Sequence(
-            floorDiv(clampedLo, w),
-            floorDiv(clampedHi, w),
-            Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)))
-          val elem = probeBands.elementSchema.head
-          val bandProbe =
-            AttributeReference("__band_probe", elem.dataType, elem.nullable)()
-          val probed = Generate(probeBands, unrequiredChildIndex = Nil,
-            outer = false, qualifier = None,
-            generatorOutput = Seq(bandProbe), child = left)
-          val bandKey = Alias(floorDiv(rt, w), "__band_key")()
-          val keyed = Project(right.output :+ bandKey, right)
-          val banded = Join(probed, keyed, Inner,
-            Some(And(EqualTo(bandProbe, bandKey.toAttribute), cond)), hint)
-          Project(j.output, banded)
-        case _ => j
+          // keyless proximity: band width w, ≤3 probe bands per row
+          rewriteBanded(j, lt, rt, -w, w, w, probeIsLeft = true)
+        case _ if alreadyBanded(conjuncts) => j
+        case _ =>
+          intervalWindow(conjuncts, left, right) match {
+            case Some((x, y, lo, hi)) =>
+              // keyed (or keyless) one-sided window: band width = window
+              // width (≤2 probe bands); width-0 windows (pure shifted
+              // equality) band at width 1 (1 band)
+              val w = math.max(hi - lo, 1L)
+              rewriteBanded(j, x, y, lo, hi, w,
+                probeIsLeft = fromSide(x, left))
+            case None => j
+          }
       }
   }
 }

@@ -31,6 +31,20 @@ class AnalyticsSpec extends SparkSpec {
       read.contains("l_linenumber") && !read.contains("l_extendedprice"), read)
   }
 
+  test("events_clickjoin bands the attribution window onto the user_id equi join") {
+    // an equi join on user_id alone scans each user's full clicks×purchases
+    // cross product per sort-merge key group — quadratic in per-user
+    // history for an append-forever log (the ×100 smoke measured 15.5×
+    // growth for 10× data). BandedIntervalJoin must append the 10-minute
+    // band key so the join stays an equi join AND per-key work is bounded
+    // by window density.
+    val p = plan("events_clickjoin")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__band"), s"interval-window band rewrite did not fire:\n$p")
+  }
+
   test("weather pushes the sargable date-range predicate into the scan") {
     val p = plan("weather")
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)

@@ -32,6 +32,21 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("approx_stats plans sketches only — no exact distinct or exact percentile") {
+    // the point of the round-6 rewrite: the benchmarked plan must not pay
+    // the exact count(DISTINCT text) shuffle or the exact percentile sort
+    // the sketches exist to replace
+    val plan = Sampling.approx.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("count(distinct"), s"exact distinct in plan:\n$plan")
+    assert(!plan.contains("Expand"), s"distinct-rewrite Expand in plan:\n$plan")
+    assert(!plan.toLowerCase.contains("percentile(n_chars"),
+      s"exact percentile in plan:\n$plan")
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"),
+      s"HLL sketch missing from plan:\n$plan")
+    assert(plan.contains("percentile_approx"), s"KLL-style sketch missing:\n$plan")
+  }
+
   test("approximate aggregates land within their error bounds") {
     // the registered query's own verdicts (what the DuckDB oracle gates on)
     val verdicts = Sampling.approx.run(spark, dir)

@@ -74,9 +74,78 @@ class BandedIntervalJoinSpec extends SparkSpec {
     assert(got === expect)
   }
 
-  test("joins with an equi-key keep Spark's native hash/sort-merge plan") {
+  test("outer equi-key range joins keep Spark's native plan (inner-only scope)") {
+    // range_join is a LEFT join: banding an outer join would need
+    // probe-side dedup of unmatched rows, so the rule must leave it alone
     val p = graft.SparkEntry.queries("range_join")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
-    assert(!p.contains("__band"), s"rule fired on an equi-key join:\n$p")
+    assert(!p.contains("__band"), s"rule fired on an outer join:\n$p")
+  }
+
+  private def withExcludedRule[A](f: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.BandedIntervalJoin")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("keyed interval window bands on (key, band) and matches the unbanded result") {
+    // the attribution shape: equi key + one-sided [0, W] window on LONGS.
+    // Fixture includes boundary hits (exactly 0 and exactly W apart),
+    // out-of-window pairs, cross-key pairs, and a pre-1970 window.
+    val l = Seq((1L, 0L), (1L, W), (2L, 5L), (3L, -W), (4L, 100L))
+      .toDF("k", "t")
+    val r = Seq((1L, 0L), (1L, W - 1L), (1L, W), (1L, 2 * W + 1L),
+      (2L, 5L + W), (2L, 6L + W), (3L, -W + 3L), (5L, 100L))
+      .toDF("bk", "bt")
+    def joined = l.join(r,
+      $"k" === $"bk" && $"bt" >= $"t" && $"bt" <= $"t" + W)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("__band"), s"keyed interval window did not band:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"banding lost the equi join:\n$p")
+    val banded = joined.select($"k", $"t", $"bt").as[(Long, Long, Long)]
+      .collect().toSet
+    val unbanded = withExcludedRule {
+      joined.select($"k", $"t", $"bt").as[(Long, Long, Long)].collect().toSet
+    }
+    assert(banded === unbanded)
+    assert(banded.contains((1L, 0L, 0L)) && banded.contains((1L, 0L, W)),
+      "inclusive window boundaries lost")
+    assert(!banded.exists { case (k, t, bt) => bt - t > W || bt < t },
+      "out-of-window pair survived")
+  }
+
+  test("a lone one-sided bound must NOT band (no self-pairing into a width-0 window)") {
+    // regression: the window finder once paired `bt >= t` with ITSELF,
+    // fabricating a [0,0] window whose band equality silently dropped
+    // almost every matching row
+    val l = Seq((1L, 0L), (1L, 50L)).toDF("k", "t")
+    val r = Seq((1L, 10L), (1L, 60L)).toDF("bk", "bt")
+    val joined = l.join(r, $"k" === $"bk" && $"bt" >= $"t")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("__band"), s"unbounded interval banded:\n$p")
+    assert(joined.count() === 3L) // (0,10), (0,60), (50,60)
+  }
+
+  test("timestamp-typed windows band on epoch micros (the events_clickjoin shape)") {
+    val ev = Seq(
+      (1L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:05:00")),
+      (1L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),
+      (1L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:10:01")),
+      (2L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
+      .toDF("user_id", "event_type", "ts")
+    val joined = graft.streaming.EventsStream.clickPurchaseJoin(
+      ev.withColumn("value", lit(1.0)))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("__band"), s"timestamp window did not band:\n$p")
+    val got = joined.select($"purchase_ts").as[java.sql.Timestamp]
+      .collect().map(_.toString).toSet
+    assert(got === Set("2024-01-01 10:05:00.0", "2024-01-01 10:10:00.0"),
+      s"banded timestamp join returned wrong rows: $got")
   }
 }
