@@ -11,12 +11,18 @@ object GraftSession {
 
   /** Derive the shuffle-partition upper bound from the input's on-disk
     * size: ceil(bytes / target), floored at the core count. The target
-    * (GRAFT_TARGET_PARTITION_MB, default 8 MiB of compressed parquet ≈
-    * 64–128 MiB of row-format shuffle data after decompression) is what
-    * sizes a partition to fit an executor's memory. Goes through the
-    * Hadoop FileSystem API, so the same derivation works for hdfs:// /
-    * s3a:// URIs on a real cluster, not just the local harness. A dir
-    * that cannot be listed degrades to the core count rather than
+    * (GRAFT_TARGET_PARTITION_MB, default 6 MiB of compressed parquet ≈
+    * 50–100 MiB of row-format shuffle data after decompression) is what
+    * sizes a partition to fit an executor's memory. The default is
+    * measured, not guessed: at the ×100 smoke (1.57 GB input) the
+    * heaviest iterative query (dedup_keep's connected-components search)
+    * runs 40 s with ≤7 MiB compressed per partition and 66 s with
+    * ≥8.2 MiB — the sort buffers of the per-round self-joins start
+    * spilling right at the old 8 MiB target, so 6 MiB buys margin while
+    * AQE coalesces whatever is too fine for the cheap queries. Goes
+    * through the Hadoop FileSystem API, so the same derivation works for
+    * hdfs:// / s3a:// URIs on a real cluster, not just the local harness.
+    * A dir that cannot be listed degrades to the core count rather than
     * failing session construction.
     */
   private def derivedPartitions(dir: String, cpus: Int): Option[Int] =
@@ -25,7 +31,7 @@ object GraftSession {
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val bytes = fs.getContentSummary(p).getLength
       val targetBytes = graft.functions.LshPlanes
-        .envInt("GRAFT_TARGET_PARTITION_MB", 8, 1, 4096).toLong << 20
+        .envInt("GRAFT_TARGET_PARTITION_MB", 6, 1, 4096).toLong << 20
       val n = ((bytes + targetBytes - 1) / targetBytes).toInt
       val bounded = math.min(math.max(n, cpus), 65536)
       System.err.println(

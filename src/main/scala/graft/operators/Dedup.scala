@@ -545,8 +545,12 @@ object Dedup {
   val embed: Q = Q("dedup_embed",
     s"""WITH ${Similarity.quantizedSql},
        |${Similarity.lshBucketsSql},
+       |bcnt AS (SELECT t, bucket, count(*) AS bsz FROM buckets
+       |  GROUP BY t, bucket),
+       |bk AS (SELECT b.vec_id, b.t, b.bucket FROM buckets b
+       |  JOIN bcnt USING (t, bucket) WHERE bcnt.bsz <= $MaxBandBucket),
        |prs AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-       |  FROM buckets x JOIN buckets y
+       |  FROM bk x JOIN bk y
        |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |near AS (SELECT id1, id2 FROM prs p
        |  JOIN nz a ON a.vec_id = p.id1 JOIN nz b ON b.vec_id = p.id2
@@ -558,8 +562,19 @@ object Dedup {
        |FROM nz n LEFT JOIN cnt c USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
     // pair generation over slim (vec_id, t, bucket) entries — the explode
-    // never copies vector payloads ×tables (see Similarity.bucketEntries)
+    // never copies vector payloads ×tables (see Similarity.bucketEntries).
+    // Hot buckets are capped like every band self-join in this file
+    // ([[capBuckets]]): the LSH geometry knob is the primary guard, but a
+    // corpus whose embeddings correlate with the fixed hyperplanes can
+    // still concentrate one bucket, and a >cap bucket carries no
+    // discriminating signal at any geometry. Binds nowhere at the shipped
+    // SFs (oracle replays the identical cap).
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("bucket"))
     val entries = Similarity.bucketEntries(sig)
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .filter(col("bsz") <= MaxBandBucket)
+      .drop("bsz")
     val pairIds = entries.as("x").join(entries.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
