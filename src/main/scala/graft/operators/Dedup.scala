@@ -209,7 +209,11 @@ object Dedup {
   /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
     * — also exercised on planted near-dups in DedupSimilaritySpec.
     */
-  def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bkey) entries from a signature frame, hot buckets
+    * capped — the shared banding step for the self-join ([[minhash]]) and
+    * the cross-corpus semi-join ([[crossEval]]).
+    */
+  def cappedBands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       // band key = concat of the band's 4 fixed-width hex minhashes (32
@@ -220,7 +224,11 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val kept = capBuckets(bands)
+    capBuckets(bands)
+  }
+
+  def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
+    val kept = cappedBands(sig)
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -596,6 +604,64 @@ object Dedup {
     candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
   }
 
+  private val CrossEvalSize = 50
+
+  /** Cross-corpus FUZZY decontamination: flag training documents that are
+    * near-duplicates of an eval set — the MinHash complement to
+    * `text_decontam`'s exact 8-gram overlap (a paraphrased or
+    * lightly-edited benchmark leak shares band signatures long after the
+    * exact 8-grams stop matching). The "eval set" is the
+    * [[CrossEvalSize]] lowest-digest documents (a deterministic stand-in
+    * for the external benchmark corpus a real pipeline would load); every
+    * other document is "training".
+    *
+    * Scale shape — and why this is NOT the self-join: the eval side of a
+    * decontamination pass is small by nature (benchmarks are thousands of
+    * documents, the corpus is billions), so its banded entries BROADCAST
+    * and the candidate pass is a map-side semi-join over the corpus'
+    * (band, bkey) entries — one linear scan, zero shuffle for candidate
+    * generation, no Σ bucket² term anywhere. One signature pass feeds the
+    * same md5-chunk band family as [[minhash]] (shared
+    * [[cappedBands]]/[[capBuckets]] guard, oracle replays the identical
+    * cap).
+    */
+  val crossEval: Q = Q("dedup_cross",
+    s"""WITH $minhashPairsSql,
+       |ev AS (SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT $CrossEvalSize),
+       |evb AS (SELECT DISTINCT b, bkey, doc_id AS eval_id FROM bandsk
+       |  WHERE doc_id IN (SELECT doc_id FROM ev)),
+       |trb AS (SELECT doc_id, b, bkey FROM bandsk
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+       |hits AS (SELECT doc_id, count(*) AS n_eval_nears FROM (
+       |    SELECT DISTINCT t.doc_id, e.eval_id
+       |    FROM trb t JOIN evb e ON t.b = e.b AND t.bkey = e.bkey) g
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(h.n_eval_nears, 0) AS n_eval_nears,
+       |  coalesce(h.n_eval_nears, 0) > 0 AS fuzzy_contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val ev = d.select(col("doc_id"), md5(col("text")).as("dig"))
+      .orderBy(col("dig"), col("doc_id")).limit(CrossEvalSize)
+      .select(col("doc_id"))
+    val kept = cappedBands(minhashSignatures(d))
+    val evBands = kept.join(broadcast(ev), Seq("doc_id"))
+      .select(col("band"), col("bkey"), col("doc_id").as("eval_id"))
+      .distinct()
+    val trainBands = kept.join(broadcast(ev), Seq("doc_id"), "left_anti")
+    val hits = trainBands.join(broadcast(evBands), Seq("band", "bkey"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_nears"))
+    d.select(col("doc_id"))
+      .join(broadcast(ev), Seq("doc_id"), "left_anti")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_eval_nears", coalesce(col("n_eval_nears"), lit(0L)))
+      .withColumn("fuzzy_contaminated", col("n_eval_nears") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical)
+    Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical,
+      crossEval)
 }

@@ -141,5 +141,62 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(deterministic, stratified, stratifiedAgg, split, approx)
+  private val TempTargetDocs = 100L
+
+  /** Temperature-based source mixing — the multinomial resampling every
+    * multi-source training mix runs (UnifiedQA/XLM-R style: sampling
+    * sources proportional to `count^α` with α < 1 upweights small sources
+    * so the head domains don't drown the tail). α = 0.5 here: per-source
+    * quotas ∝ √count, normalized to [[TempTargetDocs]] total, members
+    * chosen by content digest so the mix is reproducible.
+    *
+    * Cross-engine determinism: √count is IEEE-correctly-rounded on both
+    * engines (unlike `pow(n, 0.7)`, whose libm last bits can differ — the
+    * reason α is 0.5 and not something fancier), and it is immediately
+    * quantized to an integer weight (×10⁶, floored) so the normalizing
+    * sum and the quota division are EXACT integer arithmetic the oracle
+    * replays bit-for-bit. Every source keeps at least 1 doc.
+    *
+    * Scale shape: the per-source counts + weights are a tiny aggregate
+    * (|sources| rows) broadcast back onto the scan; selection is the same
+    * digest-ranked window as [[stratified]] — with few huge strata, swap
+    * in the [[stratifiedAgg]] partial top-K form (the quota becomes the
+    * aggregator's k; same selection, same oracle).
+    */
+  val temperature: Q = Q("sample_temperature",
+    s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |wt AS (SELECT source, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+       |  FROM cnt),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM wt),
+       |quota AS (SELECT source,
+       |    greatest(1, ($TempTargetDocs * w) // sw) AS q
+       |  FROM wt, tot),
+       |ranked AS (SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY md5(text), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.source, r.doc_id FROM ranked r JOIN quota USING (source)
+       |WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val wt = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double")) * 1000000).cast("long"))
+    // |sources| rows: the normalizing sum is a 1-row cross join, the
+    // quota frame broadcasts onto the ranked scan
+    val quota = wt.crossJoin(broadcast(wt.agg(sum(col("w")).as("sw"))))
+      .select(col("source"),
+        greatest(lit(1L), expr(s"($TempTargetDocs * w) div sw")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rn") <= col("q"))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(deterministic, stratified, stratifiedAgg, split, approx, temperature)
 }

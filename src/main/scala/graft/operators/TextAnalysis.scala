@@ -393,7 +393,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition scoring — the duplicate-n-gram fraction quality signal
+    * (the MassiveText/Gopher family of repetition filters: a document
+    * whose 3-grams are mostly repeats of each other is boilerplate, a
+    * scraping loop, or degenerate text, and gets dropped before
+    * training). `dup_gram_frac = 1 − distinct/total` over whitespace
+    * 3-grams, flagged repetitive above 0.2.
+    *
+    * Scale shape: a pure map-side projection — the gram list, its
+    * distinct count, and the fraction are all array expressions inside
+    * one codegen'd stage; NO explode and NO shuffle (contrast the dedup
+    * family, which must explode shingles because it compares ACROSS
+    * documents — a per-document signal never needs to). The division is
+    * exact-integer-into-double (< 2^53), so both engines produce the
+    * identical bits.
+    */
+  val repetition: Q = Q("text_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |    ELSE []::VARCHAR[] END AS grams FROM toks)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      |  CASE WHEN len(grams) > 0
+      |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |       ELSE 0.0 END AS dup_gram_frac,
+      |  CASE WHEN len(grams) > 0
+      |       THEN (CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.2
+      |       ELSE FALSE END AS repetitive
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    repetitionOn(docs(s, dir))
+  }
+
+  /** [[repetition]]'s transform over any (doc_id, text) frame — planted
+    * fixtures exercise it directly in TextAnalysisSpec.
+    */
+  def repetitionOn(d: DataFrame): DataFrame =
+    d
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+          expr("transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_gram_frac"))
+      .withColumn("repetitive", col("dup_gram_frac") > 0.2)
+      .orderBy(col("doc_id"))
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
-      qualityFilter, scrub, chunks, decontam)
+      qualityFilter, scrub, chunks, decontam, repetition)
 }

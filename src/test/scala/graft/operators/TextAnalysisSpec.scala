@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.md5
 
 /** Discriminative check for the language-ID classifier: the synthetic
   * corpus shares one vocabulary across `lang` labels (so the oracle-gated
@@ -86,5 +87,77 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.decontam.run(spark, dir)
       .select($"doc_id", $"n_shared_ngrams").as[(Long, Long)].collect().toMap
     assert(got === expect)
+  }
+
+  test("text_repetition scores planted repetitive and clean documents correctly") {
+    val fixtures = Seq(
+      // "a b a b ..." 8 tokens → 6 3-grams, 2 distinct → frac 4/6
+      (1L, "a b a b a b a b", 6L, 2L, 4.0 / 6.0, true),
+      // all-distinct tokens → frac 0
+      (2L, "one two three four five", 3L, 3L, 0.0, false),
+      // under 3 tokens → zero grams, frac 0, not repetitive
+      (3L, "hi there", 0L, 0L, 0.0, false),
+      (4L, "", 0L, 0L, 0.0, false),
+      // exactly one duplicated gram in 5: 1/5 < 0.2 boundary → false
+      (5L, "x y z x y z w", 5L, 4L, 1.0 / 5.0, false))
+    val got = TextAnalysis.repetitionOn(
+      fixtures.map(f => (f._1, f._2)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val expect = fixtures.map(f => (f._1, f._3, f._4, f._5, f._6))
+    assert(got === expect)
+  }
+
+  test("sample_temperature quotas are sqrt-proportional and digest-ranked") {
+    val counts = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    // replay the exact integer quota arithmetic the query gates on
+    val w = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1000000).toLong }
+    val sw = w.values.sum
+    val quota = w.map { case (s, v) => s -> math.max(1L, 100L * v / sw) }
+    val selected = Sampling.temperature.run(spark, dir)
+      .as[(String, Long)].collect()
+    val perSource = selected.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    perSource.foreach { case (s, n) =>
+      assert(n === math.min(quota(s), counts(s)), s"source $s quota")
+    }
+    // α=0.5 upweights the tail: no source exceeds its exact-proportional
+    // share by more than the sqrt compression allows, and every source
+    // with documents is represented
+    assert(perSource.keySet === counts.keySet)
+    // members are the digest-ranked prefix per source (same rule as the
+    // stratified sample)
+    val byDigest = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"source", md5($"text").as("dig"), $"doc_id")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3)).map(_._3)).toMap
+    selected.groupBy(_._1).foreach { case (s, rows) =>
+      val expectIds = byDigest(s).take(perSource(s).toInt).toSet
+      assert(rows.map(_._2).toSet === expectIds, s"source $s members")
+    }
+  }
+
+  test("dedup_cross agrees with the self-join pairs restricted to eval×train") {
+    // independent derivation through the OTHER code path: the capped band
+    // self-join's pairs, keeping only pairs with exactly one endpoint in
+    // the digest-ranked eval set, must produce the same per-train-doc
+    // near counts as the broadcast semi-join the registered query runs
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val eval = d.select(md5($"text").as("dig"), $"doc_id")
+      .as[(String, Long)].collect().sorted.take(50).map(_._2).toSet
+    val pairs = graft.operators.Dedup.minhashCandidates(d)
+      .as[(Long, Long)].collect()
+    val expect = pairs.flatMap { case (a, b) =>
+      if (eval(a) && !eval(b)) Some(b -> a)
+      else if (eval(b) && !eval(a)) Some(a -> b)
+      else None
+    }.distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.Dedup.crossEval.run(spark, dir)
+      .select($"doc_id", $"n_eval_nears").as[(Long, Long)].collect()
+    got.foreach { case (id, n) =>
+      assert(n === expect.getOrElse(id, 0L), s"doc $id near count")
+    }
+    assert(got.map(_._1).toSet.intersect(eval).isEmpty,
+      "an eval doc leaked into the training-side output")
   }
 }
