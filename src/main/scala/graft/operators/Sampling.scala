@@ -197,6 +197,68 @@ object Sampling {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Sequence-packing geometry. The shard-prefix length bounds the window
+    * parallelism (16^chars shards); 2 hex chars = 256 shards covers the
+    * test SFs, and at 100 TB you raise it so a shard's documents fit one
+    * task's sort (chars ≈ log₁₆(corpus_tokens / target_shard_tokens) — the
+    * knob is env-shared with the oracle like the LSH geometry, so the gate
+    * holds at any setting).
+    */
+  private val PackShardChars: Int =
+    graft.functions.LshPlanes.envInt("GRAFT_PACK_SHARD_CHARS", 2, 1, 8)
+  private val PackBudget: Int =
+    graft.functions.LshPlanes.envInt("GRAFT_PACK_BUDGET", 2048, 16, 1 << 24)
+
+  /** Sequence packing — the concat-and-chunk step that turns a document
+    * corpus into fixed-token-budget training sequences (GPT-style
+    * pretraining packs by concatenating documents in a deterministic order
+    * and slicing every [[PackBudget]] tokens; a document may straddle a
+    * boundary, so what the pipeline needs is the PLACEMENT MAP: which pack
+    * each document starts in and at what offset — reconstruction is
+    * `ORDER BY (shard, off)`).
+    *
+    * Order is content-derived, not positional: documents shard by digest
+    * prefix and concatenate in (digest, doc_id) order within the shard, so
+    * placement is reproducible on any cluster and any partitioning, and
+    * adjacent-in-source near-duplicates scatter instead of landing in one
+    * pack (the same shuffle-the-corpus property RNG packing buys, without
+    * RNG state). Token counts are the BPE-ish pre-tokenization of
+    * `text_tokens`.
+    *
+    * Scale shape: one window per shard — the only shuffle keys on the
+    * digest prefix, and the running sum is a single pass per shard. No
+    * global order exists anywhere (a single ORDER BY over the corpus would
+    * funnel 100 TB through one range sampler); total parallelism is the
+    * shard count, raised via GRAFT_PACK_SHARD_CHARS as the corpus grows.
+    */
+  val pack: Q = Q("pack_sequences",
+    s"""WITH t AS (SELECT doc_id, md5(text) AS dig,
+      |    CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS tok
+      |  FROM documents),
+      |o AS (SELECT doc_id, substr(dig, 1, $PackShardChars) AS shard, tok,
+      |    coalesce(sum(tok) OVER (PARTITION BY substr(dig, 1, $PackShardChars)
+      |      ORDER BY dig, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t)
+      |SELECT doc_id, shard, off // $PackBudget AS pack, off % $PackBudget AS off_in_pack, tok
+      |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("dig"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("dig"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("tok"))
+      .withColumn("shard", substring(col("dig"), 1, PackShardChars))
+      .withColumn("off", coalesce(sum(col("tok")).over(w), lit(0L)))
+      // off ≥ 0, so truncating `div`/`%` equal floor semantics on both engines
+      .select(col("doc_id"), col("shard"),
+        expr(s"off div $PackBudget").as("pack"),
+        (col("off") % PackBudget).as("off_in_pack"), col("tok"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(deterministic, stratified, stratifiedAgg, split, approx, temperature)
+    Seq(deterministic, stratified, stratifiedAgg, split, approx, temperature,
+      pack)
 }

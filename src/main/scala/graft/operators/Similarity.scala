@@ -354,6 +354,135 @@ object Similarity {
        |SELECT method, query_id, recall FROM recall
        |ORDER BY method, query_id""".stripMargin
 
+  /** K-means iteration count and K for [[kmeansTrain]]. Two Lloyd updates
+    * then a final assignment: enough to demonstrably move every centroid
+    * off its seed (asserted in DedupSimilaritySpec) while keeping the
+    * oracle's CTE replay readable.
+    */
+  private val KmK = IvfK
+  private val KmIters = 2
+
+  /** One Lloyd iteration in DuckDB, `prev` → `next`: cosine assignment
+    * (ties to the smallest centroid id, zero-norm vectors sim 0 — the
+    * exact [[graft.functions.IvfMath.sims]] semantics), then the
+    * centroid update as EXACT integer arithmetic — per-dimension member
+    * sums floor-divided by the member count (pmod-based floor, matching
+    * `Math.floorDiv` on the Spark side; DuckDB's `//` truncates toward
+    * zero so it cannot be used). A cluster that loses every member keeps
+    * its previous centroid. Requires `nz` ([[quantizedSql]]) and `elems`
+    * (vec_id, dim, x) upstream.
+    */
+  private def kmIterSql(i: Int, prev: String, next: String): String =
+    s"""ks$i AS (SELECT v.vec_id, c.cid,
+       |    CASE WHEN v.nrm = 0 OR list_dot_product(c.cqv, c.cqv) = 0 THEN 0.0
+       |         ELSE CAST(list_dot_product(v.qv, c.cqv) AS DOUBLE)
+       |           / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(list_dot_product(c.cqv, c.cqv) AS DOUBLE))) END AS sim
+       |  FROM nz v CROSS JOIN $prev c),
+       |ka$i AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM ks$i) WHERE rn = 1),
+       |ku$i AS (SELECT a.cid, e.dim, CAST(sum(e.x) AS BIGINT) AS s, count(*) AS n
+       |  FROM ka$i a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
+       |kn$i AS (SELECT cid,
+       |    list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT) ORDER BY dim) AS cqv
+       |  FROM ku$i GROUP BY cid),
+       |$next AS (SELECT p.cid, coalesce(u.cqv, p.cqv) AS cqv
+       |  FROM $prev p LEFT JOIN kn$i u USING (cid))""".stripMargin
+
+  /** DuckDB replay of the full training loop: same seeds (first K vec_ids,
+    * rank = centroid id), same assignment tie-breaks, same floor-div
+    * integer centroid updates, same final sizes — the trained MODEL is
+    * hash-gated dimension by dimension, not just row-counted.
+    */
+  private val kmeansOracle: String = {
+    import graft.functions.LshPlanes.Dims
+    val iters = (1 to KmIters)
+      .map(i => kmIterSql(i, s"kc${i - 1}", s"kc$i")).mkString(",\n")
+    s"""WITH $quantizedSql,
+       |dims AS (SELECT unnest(range($Dims)) AS dim),
+       |elems AS (SELECT vec_id, d.dim, qv[d.dim + 1] AS x FROM nz, dims d),
+       |kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv
+       |  FROM nz WHERE vec_id < $KmK),
+       |$iters,
+       |${kmIterSql(KmIters + 1, s"kc$KmIters", "kcend")}
+       |SELECT ce.cid, ce.dim, ce.c, coalesce(sz.n, 0) AS n
+       |FROM (SELECT cid, d.dim, cqv[d.dim + 1] AS c FROM kc$KmIters, dims d) ce
+       |LEFT JOIN (SELECT cid, count(*) AS n FROM ka${KmIters + 1} GROUP BY cid) sz
+       |  USING (cid)
+       |ORDER BY cid, dim""".stripMargin
+  }
+
+  /** Distributed k-means training (Lloyd's) over the quantized embeddings —
+    * the offline step that PRODUCES the coarse quantizer [[annIvf]]
+    * consumes as its model (its doc: "at real scale the centroids come
+    * from an offline k-means"). Output: the trained centroid matrix,
+    * flattened to (cid, dim, c) for hash-gating, with final cluster sizes.
+    *
+    * Per iteration: assignment is the codegen'd `centroid_sims` against a
+    * plan-literal centroid matrix — pure map-side, zero corpus shuffle —
+    * and the update is a posexplode to slim (cid, dim, x) rows into a
+    * two-phase agg whose partial combine leaves at most K×Dims partial
+    * sums per partition reaching the exchange. The K×Dims model collect
+    * per round is the quantizer's state, not a data collect (same
+    * legitimacy as [[annIvf]]'s seed collect).
+    *
+    * Cross-engine determinism: member sums are exact int64 (order
+    * independent under any partitioning), centroids renormalize by
+    * `Math.floorDiv(sum, n)` — back to quantized scale, so cosine stays in
+    * the exact-in-double magnitude regime that [[graft.functions.IvfMath]]
+    * and the oracle share — and cosine is scale-invariant, so the
+    * floor-div mean assigns identically to the true mean direction up to
+    * the (replayed) rounding. Empty clusters keep their previous centroid.
+    *
+    * 100 TB shape: at real scale the training loop runs on a bounded
+    * sample (k-means needs ~K×1000 points, not the corpus — swap `base`
+    * for [[Sampling]]'s deterministic digest sample) and only the final
+    * map-side assignment sweeps everything; the iteration plumbing here is
+    * unchanged. Exactness bound: per-(cid,dim) int64 sums are exact to
+    * ~9·10¹⁴ members per cluster, far past any real shard.
+    */
+  val kmeansTrain: Q = Q("kmeans_train", kmeansOracle) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.LshPlanes.Dims
+    graft.functions.IvfExpressions.register(s)
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    def assign(cents: Seq[Seq[Long]]): DataFrame = base
+      .withColumn("sims", call_function("centroid_sims", col("qv"), typedLit(cents)))
+      .withColumn("cid",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
+    var cents: Seq[Seq[Long]] = base.filter(col("vec_id") < KmK)
+      .orderBy(col("vec_id")).select(col("qv")).as[Seq[Long]].collect().toSeq
+    for (_ <- 1 to KmIters) {
+      val partials = assign(cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = partials.groupBy(_.getAs[Int]("cid"))
+      cents = cents.zipWithIndex.map { case (prev, k) =>
+        byCid.get(k).fold(prev) { rows =>
+          val next = Array.ofDim[Long](Dims)
+          rows.foreach { r =>
+            next(r.getAs[Int]("dim")) =
+              Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))
+          }
+          next.toSeq
+        }
+      }
+    }
+    val model = cents.zipWithIndex.map { case (c, k) => (k, c) }
+      .toDF("cid", "cqv")
+      .select(col("cid"), posexplode(col("cqv")).as(Seq("dim", "c")))
+    val sizes = assign(cents).groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    model.join(sizes, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("c"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
   val annRecall: Q = Q("ann_recall", annRecallOracle) { (s, dir) =>
     import s.implicits._
     // Evaluate each pipeline subtree ONCE: the per-method union tags the
@@ -377,5 +506,5 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
-  val all: Seq[Q] = Seq(knnBrute, annLsh, annIvf, annRecall)
+  val all: Seq[Q] = Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall)
 }

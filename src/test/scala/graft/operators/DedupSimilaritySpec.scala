@@ -137,4 +137,26 @@ class DedupSimilaritySpec extends SparkSpec {
     val distinct = sig.select($"simhash").distinct().count()
     assert(distinct > 1, "simhash collapsed the whole corpus to one signature")
   }
+
+  test("kmeans_train produces a full model that Lloyd's actually trained") {
+    val model = Similarity.kmeansTrain.run(spark, dir)
+      .select($"cid", $"dim", $"c", $"n")
+      .as[(Int, Int, Long, Long)].collect()
+    val corpus = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    // complete K×Dims matrix, one size per centroid
+    assert(model.length === 16 * graft.functions.LshPlanes.Dims)
+    assert(model.map(t => (t._1, t._2)).distinct.length === model.length)
+    // final assignment partitions the corpus
+    val sizes = model.groupBy(_._1).view.mapValues(_.head._4)
+    assert(sizes.values.sum === corpus)
+    // training moved at least one centroid off its vec_id<16 seed — a model
+    // identical to the seeds means the update loop never ran
+    val seeds = graft.sources.Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" < 16).orderBy($"vec_id")
+      .select(Similarity.quantize($"embedding")).as[Seq[Long]].collect()
+    val trained = model.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    val moved = (0 until 16).count(k => trained(k) != seeds(k))
+    assert(moved > 0, "no centroid moved: Lloyd's update had no effect")
+  }
 }

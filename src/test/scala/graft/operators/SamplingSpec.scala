@@ -76,4 +76,28 @@ class SamplingSpec extends SparkSpec {
       assert(am >= p25 && am <= p75, s"$lang approx median outside exact IQR")
     }
   }
+
+  test("pack_sequences placement is a lossless concat-and-chunk map") {
+    val placed = Sampling.pack.run(spark, dir)
+      .select($"doc_id", $"shard", $"pack", $"off_in_pack", $"tok")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val corpus = graft.sources.Tables.load(spark, dir, "documents").count()
+    // every document placed exactly once
+    assert(placed.length.toLong === corpus)
+    assert(placed.map(_._1).distinct.length.toLong === corpus)
+    placed.foreach { case (id, _, pack, off, tok) =>
+      assert(pack >= 0 && off >= 0 && off < 2048, s"doc $id at pack=$pack off=$off")
+      assert(tok > 0, s"doc $id counted zero tokens")
+    }
+    // within a shard the placement IS the exclusive prefix sum of token
+    // counts in (digest, doc_id) order — reconstruction needs no other state
+    placed.groupBy(_._2).foreach { case (shard, docs) =>
+      var run = 0L
+      docs.sortBy(d => d._3 * 2048 + d._4).foreach { case (id, _, pack, off, tok) =>
+        assert(pack * 2048 + off === run,
+          s"shard $shard doc $id starts at ${pack * 2048 + off}, expected $run")
+        run += tok
+      }
+    }
+  }
 }
