@@ -654,9 +654,72 @@ object Analytics {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
+    * collects for the cost-based optimizer (row count, null count, min/max,
+    * NDV): a single aggregate over the fact table computes every column's
+    * stats with map-side partials (the scan happens once, not once per
+    * column), then `stack` unpivots the 1-row aggregate into the catalog's
+    * per-column layout. At 100 TB this is the exact shape stats collection
+    * must have — one pass, partial-aggregated, nothing driver-side but the
+    * K×columns result row.
+    *
+    * Cross-engine determinism: counts and min/max are exact selections
+    * (no float accumulation); timestamp min/max surface as epoch
+    * microseconds; NDV is the HLL++ sketch gated on its by-construction
+    * bound (an rsd-0.02 estimate of ≤ n distinct values cannot plausibly
+    * exceed 4n — the [[Sampling.approx]] contract), with tight accuracy
+    * asserted test-side in AnalyticsSpec.
+    */
+  val tableStats: Q = Q("table_stats",
+    """WITH a AS (SELECT count(*) AS n,
+      |  count(l_orderkey) AS c1, CAST(min(l_orderkey) AS DOUBLE) AS mn1, CAST(max(l_orderkey) AS DOUBLE) AS mx1,
+      |  count(l_quantity) AS c2, min(l_quantity) AS mn2, max(l_quantity) AS mx2,
+      |  count(l_extendedprice) AS c3, min(l_extendedprice) AS mn3, max(l_extendedprice) AS mx3,
+      |  count(l_returnflag) AS c4, min(l_returnflag) AS smn4, max(l_returnflag) AS smx4,
+      |  count(l_shipdate) AS c5, CAST(epoch_us(min(l_shipdate)) AS DOUBLE) AS mn5, CAST(epoch_us(max(l_shipdate)) AS DOUBLE) AS mx5
+      |FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_orderkey' AS col, n, n - c1 AS nulls, mn1 AS min_num, mx1 AS max_num,
+      |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, TRUE AS ndv_sane FROM a
+      |  UNION ALL SELECT 'l_quantity', n, n - c2, mn2, mx2, NULL, NULL, TRUE FROM a
+      |  UNION ALL SELECT 'l_extendedprice', n, n - c3, mn3, mx3, NULL, NULL, TRUE FROM a
+      |  UNION ALL SELECT 'l_returnflag', n, n - c4, NULL, NULL, smn4, smx4, TRUE FROM a
+      |  UNION ALL SELECT 'l_shipdate', n, n - c5, mn5, mx5, NULL, NULL, TRUE FROM a)
+      |ORDER BY col""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      count(col("l_orderkey")).as("c1"),
+      min(col("l_orderkey")).cast("double").as("mn1"),
+      max(col("l_orderkey")).cast("double").as("mx1"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("d1"),
+      count(col("l_quantity")).as("c2"),
+      min(col("l_quantity")).as("mn2"), max(col("l_quantity")).as("mx2"),
+      approx_count_distinct(col("l_quantity"), 0.02).as("d2"),
+      count(col("l_extendedprice")).as("c3"),
+      min(col("l_extendedprice")).as("mn3"), max(col("l_extendedprice")).as("mx3"),
+      approx_count_distinct(col("l_extendedprice"), 0.02).as("d3"),
+      count(col("l_returnflag")).as("c4"),
+      min(col("l_returnflag")).as("smn4"), max(col("l_returnflag")).as("smx4"),
+      approx_count_distinct(col("l_returnflag"), 0.02).as("d4"),
+      count(col("l_shipdate")).as("c5"),
+      unix_micros(min(col("l_shipdate"))).cast("double").as("mn5"),
+      unix_micros(max(col("l_shipdate"))).cast("double").as("mx5"),
+      approx_count_distinct(col("l_shipdate"), 0.02).as("d5"))
+      .select(expr(
+        """stack(5,
+          |  'l_orderkey', n, n - c1, mn1, mx1, CAST(NULL AS STRING), CAST(NULL AS STRING), d1 BETWEEN 1 AND 4 * n,
+          |  'l_quantity', n, n - c2, mn2, mx2, CAST(NULL AS STRING), CAST(NULL AS STRING), d2 BETWEEN 1 AND 4 * n,
+          |  'l_extendedprice', n, n - c3, mn3, mx3, CAST(NULL AS STRING), CAST(NULL AS STRING), d3 BETWEEN 1 AND 4 * n,
+          |  'l_returnflag', n, n - c4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn4, smx4, d4 BETWEEN 1 AND 4 * n,
+          |  'l_shipdate', n, n - c5, mn5, mx5, CAST(NULL AS STRING), CAST(NULL AS STRING), d5 BETWEEN 1 AND 4 * n
+          |) as (col, n, nulls, min_num, max_num, min_str, max_str, ndv_sane)"""
+          .stripMargin))
+      .orderBy(col("col"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
-    setOps, existsQ)
+    setOps, existsQ, tableStats)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sampling / data-mixing operators over `documents` — how a training
@@ -258,7 +258,65 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-quantile binning — the batch-shaping pass that groups documents
+    * of similar length so padding waste stays bounded (bucketed batching):
+    * per-language quartile boundaries, then a map-side bucket assignment.
+    *
+    * Boundaries use percentile_disc semantics — the smallest VALUE whose
+    * cumulative count reaches rank ⌈q·n⌉ — with the rank as exact integer
+    * arithmetic (`(k·n + 3) div 4`): the boundary is an element of the
+    * data and both engines select it with zero float decisions. Docs at a
+    * boundary bin low.
+    *
+    * Scale shape — exact quantiles WITHOUT sorting the corpus: quantiles
+    * come off the per-language length HISTOGRAM (a two-phase (lang,
+    * n_chars) count with map-side combine — the corpus never re-sorts),
+    * and the only window runs over distinct length VALUES per language —
+    * bounded by the length domain, not the corpus (a per-lang
+    * `row_number()` over documents would sort a language's entire corpus
+    * slice in one task). The boundary frame is K languages × 3 values —
+    * broadcast, so assignment adds no shuffle.
+    */
+  val lengthBuckets: Q = Q("length_buckets",
+    """WITH h AS (SELECT lang, n_chars, count(*) AS c
+      |  FROM documents GROUP BY lang, n_chars),
+      |cum AS (SELECT lang, n_chars,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+      |    sum(c) OVER (PARTITION BY lang) AS cnt
+      |  FROM h),
+      |b AS (SELECT lang,
+      |    min(CASE WHEN cum >= (cnt + 3) // 4 THEN n_chars END) AS b1,
+      |    min(CASE WHEN cum >= (2 * cnt + 3) // 4 THEN n_chars END) AS b2,
+      |    min(CASE WHEN cum >= (3 * cnt + 3) // 4 THEN n_chars END) AS b3
+      |  FROM cum GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  CASE WHEN d.n_chars <= b.b1 THEN 0 WHEN d.n_chars <= b.b2 THEN 1
+      |       WHEN d.n_chars <= b.b3 THEN 2 ELSE 3 END AS bucket
+      |FROM documents d JOIN b USING (lang)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val cum = docs(s, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cnt", sum(col("c")).over(wAll))
+    def boundary(k: Int): Column =
+      min(when(col("cum") >= expr(s"($k * cnt + 3) div 4"), col("n_chars")))
+    val bounds = cum.groupBy(col("lang"))
+      .agg(boundary(1).as("b1"), boundary(2).as("b2"), boundary(3).as("b3"))
+    docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("n_chars") <= col("b1"), 0)
+          .when(col("n_chars") <= col("b2"), 1)
+          .when(col("n_chars") <= col("b3"), 2)
+          .otherwise(3))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, approx, temperature,
-      pack)
+      pack, lengthBuckets)
 }

@@ -174,6 +174,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("table_stats collects correct per-column catalog statistics in one pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val stats = SparkEntry.queries("table_stats")(spark, dir)
+      .select($"col", $"n", $"nulls", $"min_num", $"max_num", $"ndv_sane")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(stats.size === 5)
+    val n = li.count()
+    stats.values.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: unexpected nulls")
+      assert(r.getBoolean(5), s"${r.getString(0)}: NDV sketch out of bound")
+    }
+    // exact min/max spot-check + the tight NDV accuracy contract (test-side,
+    // so the registered query stays sketch-only — the approx_stats pattern)
+    val Seq((qMin, qMax, qD)) = li.agg(min($"l_quantity"), max($"l_quantity"),
+      countDistinct($"l_quantity")).as[(Double, Double, Long)].collect().toSeq
+    val q = stats("l_quantity")
+    assert(q.getDouble(3) === qMin && q.getDouble(4) === qMax)
+    val est = li.agg(approx_count_distinct($"l_quantity", 0.02)).as[Long].head()
+    assert(math.abs(est - qD).toDouble / qD < 0.1, s"NDV $est vs exact $qD")
+    // the single-pass shape: exactly one scan of lineitem in the plan
+    val plan = SparkEntry.queries("table_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("lineitem".r.findAllIn(plan).size <= 2,
+      "table_stats must scan lineitem once, not once per column")
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)

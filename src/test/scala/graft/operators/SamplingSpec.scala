@@ -77,6 +77,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("length_buckets quartiles docs per language with element boundaries") {
+    val placed = Sampling.lengthBuckets.run(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars", $"bucket")
+      .as[(Long, String, Long, Int)].collect()
+    val corpus = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(placed.length.toLong === corpus)
+    assert(placed.forall(p => p._4 >= 0 && p._4 <= 3))
+    placed.groupBy(_._2).foreach { case (lang, docs) =>
+      // binning is monotone in length
+      docs.sortBy(_._3).foldLeft(0) { (prev, d) =>
+        assert(d._4 >= prev, s"$lang: bucket decreased as length grew"); d._4
+      }
+      // quartiles: each bucket holds ≤ ceil(n/4) + ties; no bucket is empty
+      // for a language with ≥4 distinct lengths
+      val byBucket = docs.groupBy(_._4).view.mapValues(_.length)
+      if (docs.map(_._3).distinct.length >= 4)
+        assert(byBucket.size === 4, s"$lang: ${byBucket.size} buckets used")
+      // percentile_disc: every boundary must be an observed length, so the
+      // top of each non-last bucket is a data element by construction
+      val lengths = docs.map(_._3).toSet
+      (0 to 2).foreach { b =>
+        byBucket.toMap.get(b).foreach { _ =>
+          val top = docs.filter(_._4 == b).map(_._3).max
+          assert(lengths.contains(top))
+        }
+      }
+    }
+  }
+
   test("pack_sequences placement is a lossless concat-and-chunk map") {
     val placed = Sampling.pack.run(spark, dir)
       .select($"doc_id", $"shard", $"pack", $"off_in_pack", $"tok")
