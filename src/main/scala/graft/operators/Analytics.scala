@@ -654,6 +654,75 @@ object Analytics {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Ordered-sequence funnel over the event log — the conversion query
+    * every product-analytics engine ships (match view → click → purchase
+    * IN ORDER per user, report per-stage reach): a user counts for stage
+    * k only if stage k's event happens strictly AFTER their first
+    * qualifying stage-(k−1) event.
+    *
+    * Shape: ONE shuffle on user_id. The stage conditions are running-min
+    * windows over each user's timeline (`min_view` = earliest view so
+    * far, `min_cav` = earliest click-after-that-view so far), so the
+    * whole sequence-match is a single per-user sort — linear in history,
+    * no self-joins (an events×events join per stage would be the
+    * quadratic attribution-join shape BandedIntervalJoin exists to kill;
+    * the funnel's "after MY FIRST view" semantics make the window form
+    * exact, not an approximation). The per-user flags aggregate on the
+    * window's own partitioning (exchange reuse), leaving three counters.
+    *
+    * Timestamps stay raw int64 nanos: stages only COMPARE event times, and
+    * nanos longs (Spark) order identically to TIMESTAMP_NS (DuckDB).
+    * Window default frames include same-ts peers on both engines; the
+    * strict `>` keeps same-instant stage pairs out, deterministically.
+    */
+  val eventsFunnel: Q = Q("events_funnel",
+    """WITH s AS (SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS min_view
+      |  FROM events),
+      |s2 AS (SELECT user_id, event_type, ts, min_view,
+      |    min(CASE WHEN event_type = 'click' AND ts > min_view THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS min_cav
+      |  FROM s),
+      |u AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+      |    max(CASE WHEN event_type = 'click' AND ts > min_view THEN 1 ELSE 0 END) AS s2,
+      |    max(CASE WHEN event_type = 'purchase' AND ts > min_cav THEN 1 ELSE 0 END) AS s3
+      |  FROM s2 GROUP BY user_id),
+      |f AS (SELECT CAST(sum(s1) AS BIGINT) AS u1, CAST(sum(s2) AS BIGINT) AS u2,
+      |    CAST(sum(s3) AS BIGINT) AS u3 FROM u)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
+      |    CAST(u1 AS DOUBLE) / u1 AS conv FROM f
+      |  UNION ALL SELECT 2, 'click_after_view', u2, CAST(u2 AS DOUBLE) / u1 FROM f
+      |  UNION ALL SELECT 3, 'purchase_after_click', u3, CAST(u3 AS DOUBLE) / u1 FROM f)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flags = t(s, dir, "events")
+      .withColumn("min_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("is_cav",
+        col("event_type") === "click" && col("ts") > col("min_view"))
+      .withColumn("min_cav",
+        min(when(col("is_cav"), col("ts"))).over(w))
+      .withColumn("is_pac",
+        col("event_type") === "purchase" && col("ts") > col("min_cav"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+        max(when(col("is_cav"), 1).otherwise(0)).as("s2"),
+        max(when(col("is_pac"), 1).otherwise(0)).as("s3"))
+      .agg(sum(col("s1")).as("u1"), sum(col("s2")).as("u2"),
+        sum(col("s3")).as("u3"))
+    flags.select(expr(
+      """stack(3,
+        |  1, 'view', u1, CAST(u1 AS DOUBLE) / u1,
+        |  2, 'click_after_view', u2, CAST(u2 AS DOUBLE) / u1,
+        |  3, 'purchase_after_click', u3, CAST(u3 AS DOUBLE) / u1
+        |) as (stage, event_type, users, conv)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
   /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
     * collects for the cost-based optimizer (row count, null count, min/max,
     * NDV): a single aggregate over the fact table computes every column's
@@ -721,5 +790,5 @@ object Analytics {
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
-    setOps, existsQ, tableStats)
+    setOps, existsQ, tableStats, eventsFunnel)
 }

@@ -203,6 +203,31 @@ class AnalyticsSpec extends SparkSpec {
       "table_stats must scan lineitem once, not once per column")
   }
 
+  test("events_funnel stages are ordered reaches, verified against a replay") {
+    import spark.implicits._
+    val out = SparkEntry.queries("events_funnel")(spark, dir)
+      .select($"stage", $"users", $"conv").as[(Int, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    val Seq(u1, u2, u3) = out.map(_._2).toSeq
+    assert(u1 >= u2 && u2 >= u3, s"funnel must narrow: $u1 >= $u2 >= $u3")
+    assert(u1 > 0 && out.head._3 === 1.0)
+    // independent replay: per-user in-memory sequence match over raw events
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts").as[(Long, String, Long)]
+      .collect().groupBy(_._1)
+    def reach(evs: Array[(Long, String, Long)]): (Boolean, Boolean, Boolean) = {
+      val v = evs.filter(_._2 == "view").map(_._3).minOption
+      val c = v.flatMap(t0 =>
+        evs.filter(e => e._2 == "click" && e._3 > t0).map(_._3).minOption)
+      val p = c.exists(t1 => evs.exists(e => e._2 == "purchase" && e._3 > t1))
+      (v.isDefined, c.isDefined, p)
+    }
+    val expected = events.values.map(reach).toSeq
+    assert(u1 === expected.count(_._1).toLong)
+    assert(u2 === expected.count(_._2).toLong)
+    assert(u3 === expected.count(_._3).toLong)
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
