@@ -723,6 +723,47 @@ object Analytics {
       .orderBy(col("stage"))
   }
 
+  /** Cohort retention over the event log — the other product-analytics
+    * staple next to [[eventsFunnel]]: users cohort by the week of their
+    * FIRST activity, and the cohort's week-k retention is how many of
+    * them act in cohort_week + k (k ≤ 3 here).
+    *
+    * Shape: dedup to (user, week) first — the event log collapses to at
+    * most |users|·|weeks| rows before anything else touches it — then the
+    * cohort week is a running `min` window per user (no cohort JOIN: a
+    * |users|-sized dimension is not broadcastable at 100 TB, and the
+    * window form needs only the user-hash exchange), and the final
+    * (cohort, k) count is a tiny two-phase agg. Weeks are exact integer
+    * floor-division of the raw int64 nanos (pmod form, sign-correct
+    * pre-1970 — the [[graft.sources.Tables.nanosToMicrosSql]] idiom), so
+    * both engines compute identical cohort keys with no timestamp
+    * coercion in play.
+    */
+  private val WeekNanos = 7L * 86400L * 1000000000L
+
+  val eventsRetention: Q = Q("events_retention",
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $WeekNanos + $WeekNanos) % $WeekNanos)) // $WeekNanos AS week
+      |  FROM events),
+      |c AS (SELECT user_id, week,
+      |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw)
+      |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+      |  CAST(week - cohort_week AS BIGINT) AS k, count(*) AS users
+      |FROM c WHERE week - cohort_week <= 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val week = expr(s"(ts - pmod(ts, ${WeekNanos}L)) div ${WeekNanos}L")
+    t(s, dir, "events")
+      .select(col("user_id"), week.as("week")).distinct()
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("k", col("week") - col("cohort_week"))
+      .filter(col("k") <= 3)
+      .groupBy(col("cohort_week"), col("k"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_week"), col("k"))
+  }
+
   /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
     * collects for the cost-based optimizer (row count, null count, min/max,
     * NDV): a single aggregate over the fact table computes every column's
@@ -790,5 +831,5 @@ object Analytics {
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
-    setOps, existsQ, tableStats, eventsFunnel)
+    setOps, existsQ, tableStats, eventsFunnel, eventsRetention)
 }

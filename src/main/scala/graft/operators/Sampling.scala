@@ -316,7 +316,54 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Snapshot merge — the corpus-refresh upsert every recurring pipeline
+    * runs (`MERGE INTO` in Delta/Iceberg terms): full-outer join the
+    * current corpus against the next snapshot on the document key and
+    * classify every key as insert / update / delete / noop. At 100 TB
+    * this is a sort-merge full-outer join on the key — one shuffle per
+    * side, no broadcast (both sides are corpus-sized), which is exactly
+    * the plan Spark picks here.
+    *
+    * The "next snapshot" is synthesized deterministically from the corpus
+    * itself so the oracle replays it bit-for-bit (content-digest rules:
+    * '0'-prefix docs arrive revised, 'f'-prefix docs are gone, '1'-prefix
+    * docs also reappear under new ids): the SYNTHESIS is test harness —
+    * the operator under test is the join + classification.
+    */
+  val snapshotMerge: Q = Q("snapshot_merge",
+    """WITH a AS (SELECT doc_id, text FROM documents),
+      |b AS (
+      |  SELECT doc_id, text || ' [rev2]' AS text FROM documents
+      |    WHERE substr(md5(text), 1, 1) = '0'
+      |  UNION ALL SELECT doc_id, text FROM documents
+      |    WHERE substr(md5(text), 1, 1) NOT IN ('0', 'f')
+      |  UNION ALL SELECT doc_id + 10000000, text FROM documents
+      |    WHERE substr(md5(text), 1, 1) = '1'),
+      |m AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+      |         WHEN b.doc_id IS NULL THEN 'delete'
+      |         WHEN a.text != b.text THEN 'update' ELSE 'noop' END AS action
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, action FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+    val pre = substring(md5(col("text")), 1, 1)
+    val a = base.select(col("doc_id"), col("text"))
+    val b = base.filter(pre === "0")
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+      .unionByName(base.filter(!pre.isin("0", "f"))
+        .select(col("doc_id"), col("text")))
+      .unionByName(base.filter(pre === "1")
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("a.doc_id").isNull, "insert")
+          .when(col("b.doc_id").isNull, "delete")
+          .when(col("a.text") =!= col("b.text"), "update")
+          .otherwise("noop").as("action"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, approx, temperature,
-      pack, lengthBuckets)
+      pack, lengthBuckets, snapshotMerge)
 }

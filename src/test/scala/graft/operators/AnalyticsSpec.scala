@@ -228,6 +228,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(u3 === expected.count(_._3).toLong)
   }
 
+  test("events_retention matches an independent per-user cohort replay") {
+    import spark.implicits._
+    val W = 7L * 86400L * 1000000000L
+    val out = SparkEntry.queries("events_retention")(spark, dir)
+      .select($"cohort_week", $"k", $"users").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(r => r._2 >= 0 && r._2 <= 3 && r._3 > 0))
+    val byUser = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(e => Math.floorDiv(e._2, W)).toSet)
+    val expected = byUser.values.toSeq
+      .flatMap { weeks =>
+        val c = weeks.min
+        weeks.filter(_ - c <= 3).map(w => (c, w - c))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap === expected)
+    // week-0 retention is the full cohort by definition
+    val cohortSizes = byUser.values.toSeq.groupBy(_.min).view
+      .mapValues(_.size.toLong)
+    out.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(n === cohortSizes(c), s"cohort $c week-0 reach != cohort size")
+    }
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)

@@ -106,6 +106,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("snapshot_merge classifies every key per the digest rules") {
+    val actions = Sampling.snapshotMerge.run(spark, dir)
+      .select($"doc_id", $"action").as[(Long, String)].collect()
+    assert(actions.map(_._1).distinct.length === actions.length, "keys unique")
+    val byPrefix = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", substring(md5($"text"), 1, 1).as("p"))
+      .as[(Long, String)].collect()
+    val counts = actions.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts("insert") === byPrefix.count(_._2 == "1"))
+    assert(counts("delete") === byPrefix.count(_._2 == "f"))
+    assert(counts("update") === byPrefix.count(_._2 == "0"))
+    // '1'-prefix docs keep their unchanged original row (noop) AND
+    // reappear under a shifted id (insert)
+    assert(counts("noop") === byPrefix.count(p => p._2 != "0" && p._2 != "f"))
+    // inserted keys live in the shifted id space, deletions in the original
+    actions.filter(_._2 == "insert").foreach(a => assert(a._1 >= 10000000L))
+  }
+
   test("pack_sequences placement is a lossless concat-and-chunk map") {
     val placed = Sampling.pack.run(spark, dir)
       .select($"doc_id", $"shard", $"pack", $"off_in_pack", $"tok")
