@@ -446,7 +446,46 @@ object TextAnalysis {
       .withColumn("repetitive", col("dup_gram_frac") > 0.2)
       .orderBy(col("doc_id"))
 
+  /** BPE pair counting — the inner loop of tokenizer TRAINING (the step a
+    * training-data platform runs before any tokenize pass exists): count
+    * adjacent symbol pairs across the corpus and surface the top merge
+    * candidates. This is the first BPE merge iteration, done the way the
+    * algorithm actually runs at scale — over the WORD-FREQUENCY DICTIONARY,
+    * not the raw corpus: the pre-tokenized words aggregate to a vocab first
+    * (two-phase, map-side combine), and pair explosion + weighting by word
+    * count touches |vocab| rows, orders of magnitude below corpus tokens.
+    * Subsequent merge iterations reuse the same plan over the rewritten
+    * vocab.
+    *
+    * Pair generation is a `transform(sequence(...))` over 1-indexed
+    * substring windows — identical semantics to DuckDB's
+    * `list_transform(range(...))` (range excludes its stop where sequence
+    * includes it, so the Spark side filters single-char words, which carry
+    * no pairs anyway — Spark's `sequence(1, 0)` would DESCEND, not empty).
+    * Top-20 with count-desc/pair-asc tie-break plans as
+    * TakeOrderedAndProject: per-partition top-k, no global sort.
+    */
+  val bpePairs: Q = Q("text_bpe_pairs",
+    """WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, c
+      |  FROM v WHERE length(w) >= 2),
+      |pc AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY pair)
+      |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(explode(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
-      qualityFilter, scrub, chunks, decontam, repetition)
+      qualityFilter, scrub, chunks, decontam, repetition, bpePairs)
 }

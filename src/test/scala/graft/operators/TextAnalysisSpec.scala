@@ -160,4 +160,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._1).toSet.intersect(eval).isEmpty,
       "an eval doc leaked into the training-side output")
   }
+
+  test("text_bpe_pairs counts corpus-weighted adjacent pairs, top-k planned") {
+    val got = graft.operators.TextAnalysis.bpePairs.run(spark, dir)
+      .as[(String, Long)].collect()
+    assert(got.length === 20)
+    assert(got.forall(_._1.length == 2))
+    // sorted by count desc, pair asc
+    got.sliding(2).foreach { case Array((p1, c1), (p2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && p1 < p2))
+    }
+    // independent replay: pair counts over the raw pre-tokenized corpus
+    val rx = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]".r
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select($"text").as[String].collect()
+      .foreach(t => rx.findAllIn(t).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      })
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.toSeq === expected)
+    // per-partition top-k, not a global sort
+    val plan = graft.operators.TextAnalysis.bpePairs.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
