@@ -71,11 +71,30 @@ object GraftSession {
     // the truncated lineage is never re-run). Spark warns about exactly
     // that unpersist ("was locally checkpointed ... cannot be recomputed"),
     // and those by-design warnings bury real ones in the bench stderr —
-    // silence the one category that emits them. MapPartitionsRDD logs
-    // nothing else at WARN in a healthy run.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // DENY that one message by regex instead of silencing the whole
+    // category: an UNHEALTHY run (executor loss recomputing a truncated
+    // lineage) warns through the same logger, and that warning must stay
+    // visible.
+    suppressByDesignCheckpointWarning()
     spark
+  }
+
+  private def suppressByDesignCheckpointWarning(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.Filter
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    if (conf.getLoggerConfig(name).getName != name) {
+      val lc = new LoggerConfig(name, Level.WARN, true)
+      lc.addFilter(RegexFilter.createFilter(
+        ".*was locally checkpointed.*", null, false,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      conf.addLogger(name, lc)
+      ctx.updateLoggers()
+    }
   }
 }

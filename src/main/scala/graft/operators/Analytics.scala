@@ -693,9 +693,11 @@ object Analytics {
       |    CAST(sum(s3) AS BIGINT) AS u3 FROM u)
       |SELECT * FROM (
       |  SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
-      |    CAST(u1 AS DOUBLE) / u1 AS conv FROM f
-      |  UNION ALL SELECT 2, 'click_after_view', u2, CAST(u2 AS DOUBLE) / u1 FROM f
-      |  UNION ALL SELECT 3, 'purchase_after_click', u3, CAST(u3 AS DOUBLE) / u1 FROM f)
+      |    CASE WHEN u1 = 0 THEN NULL ELSE CAST(u1 AS DOUBLE) / u1 END AS conv FROM f
+      |  UNION ALL SELECT 2, 'click_after_view', u2,
+      |    CASE WHEN u1 = 0 THEN NULL ELSE CAST(u2 AS DOUBLE) / u1 END FROM f
+      |  UNION ALL SELECT 3, 'purchase_after_click', u3,
+      |    CASE WHEN u1 = 0 THEN NULL ELSE CAST(u3 AS DOUBLE) / u1 END FROM f)
       |ORDER BY stage""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val flags = t(s, dir, "events")
@@ -714,11 +716,14 @@ object Analytics {
         max(when(col("is_pac"), 1).otherwise(0)).as("s3"))
       .agg(sum(col("s1")).as("u1"), sum(col("s2")).as("u2"),
         sum(col("s3")).as("u3"))
+    // 0/0 guard: on a corpus with no 'view' events Spark's Divide returns
+    // NULL while DuckDB (ieee_floating_point_ops) returns NaN — the CASE
+    // pins both engines to NULL
     flags.select(expr(
       """stack(3,
-        |  1, 'view', u1, CAST(u1 AS DOUBLE) / u1,
-        |  2, 'click_after_view', u2, CAST(u2 AS DOUBLE) / u1,
-        |  3, 'purchase_after_click', u3, CAST(u3 AS DOUBLE) / u1
+        |  1, 'view', u1, CASE WHEN u1 = 0 THEN NULL ELSE CAST(u1 AS DOUBLE) / u1 END,
+        |  2, 'click_after_view', u2, CASE WHEN u1 = 0 THEN NULL ELSE CAST(u2 AS DOUBLE) / u1 END,
+        |  3, 'purchase_after_click', u3, CASE WHEN u1 = 0 THEN NULL ELSE CAST(u3 AS DOUBLE) / u1 END
         |) as (stage, event_type, users, conv)""".stripMargin))
       .orderBy(col("stage"))
   }

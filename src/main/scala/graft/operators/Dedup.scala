@@ -186,13 +186,17 @@ object Dedup {
     * non-discriminating case the cap exists for). The oracle applies the
     * identical cap, so the gate checks the capped semantics at both SFs.
     *
-    * Keep only rows whose (band, bkey) bucket is at most [[MaxBandBucket]]
-    * — the window count shares the self-join's own (band, bkey) hash
-    * partitioning, so the cap costs no extra exchange.
+    * Keep only rows whose bucket (the `keys` tuple — minhash/simhash's
+    * (band, bkey), embedding LSH's (t, bucket)) is at most
+    * [[MaxBandBucket]] — the window count shares the self-join's own
+    * bucket hash partitioning, so the cap costs no extra exchange. ONE
+    * implementation for every band self-join in this file: a future
+    * change to the cap semantics cannot silently skip a path.
     */
-  private def capBuckets(bands: DataFrame): DataFrame = {
+  private def capBuckets(bands: DataFrame,
+      keys: Seq[String] = Seq("band", "bkey")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey"))
+      .partitionBy(keys.map(col): _*)
     bands.withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= MaxBandBucket)
       .drop("bsz")
@@ -206,9 +210,6 @@ object Dedup {
        |    count(*) OVER (PARTITION BY b, bkey) AS bsz FROM bands),
        |bandsk AS (SELECT doc_id, b, bkey FROM bandsc WHERE bsz <= $MaxBandBucket)""".stripMargin
 
-  /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
-    * — also exercised on planted near-dups in DedupSimilaritySpec.
-    */
   /** (doc_id, band, bkey) entries from a signature frame, hot buckets
     * capped — the shared banding step for the self-join ([[minhash]]) and
     * the cross-corpus semi-join ([[crossEval]]).
@@ -227,6 +228,9 @@ object Dedup {
     capBuckets(bands)
   }
 
+  /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
+    * — also exercised on planted near-dups in DedupSimilaritySpec.
+    */
   def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
     val kept = cappedBands(sig)
     kept.as("x").join(kept.as("y"),
@@ -577,12 +581,7 @@ object Dedup {
     // still concentrate one bucket, and a >cap bucket carries no
     // discriminating signal at any geometry. Binds nowhere at the shipped
     // SFs (oracle replays the identical cap).
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t"), col("bucket"))
-    val entries = Similarity.bucketEntries(sig)
-      .withColumn("bsz", count(lit(1)).over(bw))
-      .filter(col("bsz") <= MaxBandBucket)
-      .drop("bsz")
+    val entries = capBuckets(Similarity.bucketEntries(sig), Seq("t", "bucket"))
     val pairIds = entries.as("x").join(entries.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -327,8 +327,10 @@ object Sampling {
     * The "next snapshot" is synthesized deterministically from the corpus
     * itself so the oracle replays it bit-for-bit (content-digest rules:
     * '0'-prefix docs arrive revised, 'f'-prefix docs are gone, '1'-prefix
-    * docs also reappear under new ids): the SYNTHESIS is test harness —
-    * the operator under test is the join + classification.
+    * docs also reappear under new ids — `-(doc_id + 1)`, a namespace
+    * disjoint from any non-negative id space, so the fixture stays an
+    * upsert at ANY corpus size): the SYNTHESIS is test harness — the
+    * operator under test is the join + classification.
     */
   val snapshotMerge: Q = Q("snapshot_merge",
     """WITH a AS (SELECT doc_id, text FROM documents),
@@ -337,7 +339,7 @@ object Sampling {
       |    WHERE substr(md5(text), 1, 1) = '0'
       |  UNION ALL SELECT doc_id, text FROM documents
       |    WHERE substr(md5(text), 1, 1) NOT IN ('0', 'f')
-      |  UNION ALL SELECT doc_id + 10000000, text FROM documents
+      |  UNION ALL SELECT -(doc_id + 1), text FROM documents
       |    WHERE substr(md5(text), 1, 1) = '1'),
       |m AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
       |    CASE WHEN a.doc_id IS NULL THEN 'insert'
@@ -353,7 +355,7 @@ object Sampling {
       .unionByName(base.filter(!pre.isin("0", "f"))
         .select(col("doc_id"), col("text")))
       .unionByName(base.filter(pre === "1")
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
     a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
       .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
         when(col("a.doc_id").isNull, "insert")

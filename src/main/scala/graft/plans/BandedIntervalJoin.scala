@@ -214,15 +214,25 @@ object BandedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
   /** `e + c` with e clamped so the add cannot wrap — clamping only WIDENS
     * the probe range for rows near the long-range edges (a superset of
     * bands is correct; the original bound re-applies as the residual).
+    *
+    * The clamp is an `If`, NOT `Least`/`Greatest`: those skip NULL inputs
+    * (they return the non-null extreme), so a NULL time would clamp to the
+    * long-range edge constant and the probe Sequence would try to explode
+    * ~2^64/w bands — a runtime crash on exactly the rows that must simply
+    * not join. `If`'s predicate is NULL for NULL e, which falls to the
+    * else branch and keeps e — NULL propagates through the shift, the
+    * floorDiv, and Sequence (null-explodes to no rows), dropping the row
+    * like the original join condition did.
     */
   private def safeShift(e: Expression, c: Long): Expression =
     if (c == 0L) e
-    else if (c > 0L)
-      Add(Least(Seq(e, Literal(Long.MaxValue - c, LongType))),
-        Literal(c, LongType))
-    else
-      Add(Greatest(Seq(e, Literal(Long.MinValue - c, LongType))),
-        Literal(c, LongType))
+    else if (c > 0L) {
+      val cap = Literal(Long.MaxValue - c, LongType)
+      Add(If(GreaterThan(e, cap), cap, e), Literal(c, LongType))
+    } else {
+      val floor = Literal(Long.MinValue - c, LongType)
+      Add(If(LessThan(e, floor), floor, e), Literal(c, LongType))
+    }
 
   /** The probe/build expressions in the shared long band domain. */
   private def toLong(e: Expression): Expression = e.dataType match {

@@ -120,8 +120,9 @@ class SamplingSpec extends SparkSpec {
     // '1'-prefix docs keep their unchanged original row (noop) AND
     // reappear under a shifted id (insert)
     assert(counts("noop") === byPrefix.count(p => p._2 != "0" && p._2 != "f"))
-    // inserted keys live in the shifted id space, deletions in the original
-    actions.filter(_._2 == "insert").foreach(a => assert(a._1 >= 10000000L))
+    // inserted keys live in the negative namespace — disjoint from any
+    // non-negative id space at any corpus size
+    actions.filter(_._2 == "insert").foreach(a => assert(a._1 < 0L))
   }
 
   test("pack_sequences placement is a lossless concat-and-chunk map") {

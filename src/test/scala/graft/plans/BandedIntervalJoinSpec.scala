@@ -119,6 +119,43 @@ class BandedIntervalJoinSpec extends SparkSpec {
       "out-of-window pair survived")
   }
 
+  test("NULL times drop (not crash) in banded joins whose window straddles zero") {
+    // regression: the clamp in safeShift was Least/Greatest, which SKIP
+    // null inputs — a NULL time clamped to the long-range edge constant
+    // and the probe Sequence tried to explode ~2^64/w bands:
+    // COLLECTION_SIZE_LIMIT_EXCEEDED at runtime (reproduced). Needs a
+    // window with BOTH bounds nonzero (a [0, W] window shifts nothing on
+    // the zero side — events_clickjoin's shape was safe) AND constraint
+    // propagation off: with it on, the inferred isnotnull filters from
+    // the null-intolerant bounds happen to drop NULL rows below the
+    // Generate and MASK the bug. The If-based clamp propagates the NULL
+    // itself, so correctness no longer leans on that optimizer behavior.
+    val prev = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
+      val l = Seq((1L, Some(0L)), (1L, None), (2L, Some(5L)))
+        .toDF("k", "t")
+      val r = Seq((1L, Some(100L)), (1L, None), (2L, Some(5L + W)))
+        .toDF("bk", "bt")
+      // symmetric ±W window spelled as two one-sided bounds → both lo and
+      // hi nonzero after normalization
+      def joined = l.join(r,
+        $"k" === $"bk" && $"bt" >= $"t" - W && $"bt" <= $"t" + W)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("__band"), s"straddling keyed window did not band:\n$p")
+      val got = joined.select($"k", $"t", $"bt").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got === Set((1L, 0L, 100L), (2L, 5L, 5L + W)),
+        "NULL-time rows must drop; in-window pairs must survive")
+      // keyless abs form with NULLs must also run and drop the null rows
+      val l2 = Seq((1L, Some(0L)), (2L, None)).toDF("id", "t")
+      val r2 = Seq((10L, Some(50L)), (11L, None)).toDF("b_id", "b_t")
+      val got2 = l2.join(r2, abs($"b_t" - $"t") <= W)
+        .select($"id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(got2 === Set((1L, 10L)))
+    } finally spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
+  }
+
   test("a lone one-sided bound must NOT band (no self-pairing into a width-0 window)") {
     // regression: the window finder once paired `bt >= t` with ITSELF,
     // fabricating a [0,0] window whose band equality silently dropped
