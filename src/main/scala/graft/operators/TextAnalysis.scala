@@ -485,7 +485,46 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(20)
   }
 
+  /** Dataset-card report — the per-(source, language) summary every corpus
+    * release ships: document and character volume plus a duplication
+    * signal (distinct canonical fingerprints vs rows — the
+    * [[fingerprint]] normalization, so reformatted copies count as dups).
+    * ONE aggregation pass; the distinct-count uses Spark's Expand
+    * two-phase plan, whose shuffle carries (source, lang, fp) partial
+    * groups — bounded by the corpus' distinct fingerprints, the honest
+    * cost of an EXACT dup rate. For a cheap estimate at 100 TB swap in
+    * approx_count_distinct ([[Sampling.approx]]'s sketch contract);
+    * a release report usually wants the exact number once.
+    *
+    * dup_frac is an exact-integer division in double — identical in both
+    * engines (n and distinct are exact int64, their quotient is one
+    * correctly-rounded op).
+    */
+  val corpusReport: Q = Q("corpus_report",
+    """WITH f AS (SELECT source, lang, n_chars,
+      |    md5(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT fp) AS n_distinct,
+      |  1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_frac
+      |FROM f GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    val norm = regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")
+    docs(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(lower(norm)).as("fp"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
-      qualityFilter, scrub, chunks, decontam, repetition, bpePairs)
+      qualityFilter, scrub, chunks, decontam, repetition, bpePairs,
+      corpusReport)
 }

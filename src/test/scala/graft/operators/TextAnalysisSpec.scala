@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.md5
+import org.apache.spark.sql.functions.{lower, md5, regexp_replace}
 
 /** Discriminative check for the language-ID classifier: the synthetic
   * corpus shares one vocabulary across `lang` labels (so the oracle-gated
@@ -159,6 +159,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(got.map(_._1).toSet.intersect(eval).isEmpty,
       "an eval doc leaked into the training-side output")
+  }
+
+  test("corpus_report aggregates exact per-(source, lang) card stats") {
+    val got = graft.operators.TextAnalysis.corpusReport.run(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"source", $"lang", $"n_chars", lower(regexp_replace($"text",
+        "[ \\t\\n\\r\\f]+", " ")).as("norm"))
+      .as[(String, String, Long, String)].collect()
+    assert(got.map(_._3).sum === docs.length.toLong)
+    val byKey = docs.groupBy(d => (d._1, d._2))
+    got.foreach { case (src, lang, n, chars, distinct, dupFrac) =>
+      val grp = byKey((src, lang))
+      assert(n === grp.length.toLong)
+      assert(chars === grp.map(_._3).sum)
+      assert(distinct === grp.map(_._4).distinct.length.toLong)
+      assert(dupFrac >= 0.0 && dupFrac < 1.0)
+      assert(math.abs(dupFrac - (1.0 - distinct.toDouble / n)) == 0.0)
+    }
   }
 
   test("text_bpe_pairs counts corpus-weighted adjacent pairs, top-k planned") {
