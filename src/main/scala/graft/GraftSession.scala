@@ -88,13 +88,20 @@ object GraftSession {
     val name = "org.apache.spark.rdd.MapPartitionsRDD"
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val conf = ctx.getConfiguration
-    if (conf.getLoggerConfig(name).getName != name) {
+    val filter = RegexFilter.createFilter(
+      ".*was locally checkpointed.*", null, false,
+      Filter.Result.DENY, Filter.Result.NEUTRAL)
+    val existing = conf.getLoggerConfig(name)
+    if (existing.getName == name) {
+      // A log4j2 config file already defines this logger explicitly —
+      // attach the DENY filter to it rather than skipping, so the
+      // suppression holds under custom configs too.
+      existing.addFilter(filter)
+    } else {
       val lc = new LoggerConfig(name, Level.WARN, true)
-      lc.addFilter(RegexFilter.createFilter(
-        ".*was locally checkpointed.*", null, false,
-        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      lc.addFilter(filter)
       conf.addLogger(name, lc)
-      ctx.updateLoggers()
     }
+    ctx.updateLoggers()
   }
 }

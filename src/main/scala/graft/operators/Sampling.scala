@@ -240,7 +240,9 @@ object Sampling {
       |      ORDER BY dig, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       |  FROM t)
-      |SELECT doc_id, shard, off // $PackBudget AS pack, off % $PackBudget AS off_in_pack, tok
+      |SELECT doc_id, shard,
+      |  CAST(off // $PackBudget AS BIGINT) AS pack,
+      |  CAST(off % $PackBudget AS BIGINT) AS off_in_pack, tok
       |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("dig"), col("doc_id"))

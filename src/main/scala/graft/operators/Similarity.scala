@@ -366,9 +366,11 @@ object Similarity {
     * (ties to the smallest centroid id, zero-norm vectors sim 0 — the
     * exact [[graft.functions.IvfMath.sims]] semantics), then the
     * centroid update as EXACT integer arithmetic — per-dimension member
-    * sums floor-divided by the member count (pmod-based floor, matching
-    * `Math.floorDiv` on the Spark side; DuckDB's `//` truncates toward
-    * zero so it cannot be used). A cluster that loses every member keeps
+    * sums floor-divided by the member count: subtracting the pmod makes
+    * `s - pmod(s, n)` an exact multiple of n, so DuckDB's truncating `//`
+    * divides it exactly for either sign (matching `Math.floorDiv` on the
+    * Spark side) and the result stays BIGINT — no lossy DOUBLE `/` in the
+    * path. A cluster that loses every member keeps
     * its previous centroid. Requires `nz` ([[quantizedSql]]) and `elems`
     * (vec_id, dim, x) upstream.
     */
@@ -385,7 +387,7 @@ object Similarity {
        |ku$i AS (SELECT a.cid, e.dim, CAST(sum(e.x) AS BIGINT) AS s, count(*) AS n
        |  FROM ka$i a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
        |kn$i AS (SELECT cid,
-       |    list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT) ORDER BY dim) AS cqv
+       |    list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS cqv
        |  FROM ku$i GROUP BY cid),
        |$next AS (SELECT p.cid, coalesce(u.cqv, p.cqv) AS cqv
        |  FROM $prev p LEFT JOIN kn$i u USING (cid))""".stripMargin
