@@ -769,6 +769,91 @@ object Analytics {
       .orderBy(col("cohort_week"), col("k"))
   }
 
+  /** First-order Markov transition matrix over each user's event timeline —
+    * the "what happens after X" model behind next-action prediction and
+    * bot-detection features: per-user `lead` pairs (event_type →
+    * next_type), counted, with each transition's probability within its
+    * source state.
+    *
+    * Shape: ONE shuffle on user_id for the lead window (same exchange
+    * sessionize uses), then the transition counts collapse map-side to at
+    * most |types|² partial rows per partition — the (prev,next) matrix is
+    * tiny no matter how large the log, so the probability window runs on a
+    * |types|²-row frame, never on corpus rows. The window order carries
+    * event_id as tiebreak: same-timestamp events would otherwise make
+    * `lead` nondeterministic under shuffle.
+    *
+    * The probability is the one float: an int64/int64 IEEE division both
+    * engines round identically (counts < 2⁵³ are exact doubles).
+    */
+  val eventsTransitions: Q = Q("events_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |m AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM m ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Volume-anomaly detection over the event log: hours whose per-type
+    * event count deviates from that type's mean by more than 3σ — the
+    * monitoring query a pipeline runs over its own ingest to catch outages
+    * and floods.
+    *
+    * The 3σ test runs in EXACT integer arithmetic, cross-multiplied so no
+    * division or sqrt ever happens: with k hours, S = Σc, Q = Σc², the
+    * condition (c − S/k)² > 9·(Q/k − (S/k)²) becomes
+    * (c·k − S)² > 9·(k·Q − S²) — both engines evaluate identical integers
+    * (DECIMAL(38,0) on the Spark side, HUGEINT-widened in DuckDB), so the
+    * flag can never diverge on a rounding boundary.
+    *
+    * Shape: the hourly histogram is a two-phase count (map-side partials,
+    * |types|·|hours| rows out), the per-type moments aggregate THAT frame
+    * (|types| rows), and the flag is a broadcast join back — corpus rows
+    * are touched exactly once, at the first partial count. Hour keys are
+    * the raw-nanos pmod floor-division (sign-correct pre-1970), the same
+    * idiom as [[eventsRetention]]'s weeks.
+    */
+  private val HourNanos = 3600L * 1000000000L
+
+  val eventsAnomaly: Q = Q("events_anomaly",
+    s"""WITH h AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $HourNanos + $HourNanos) % $HourNanos)) // $HourNanos AS hour,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS k, CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM h GROUP BY 1)
+      |SELECT event_type, CAST(hour AS BIGINT) AS hour, c AS n
+      |FROM h JOIN st USING (event_type)
+      |WHERE CAST(c * k - s AS HUGEINT) * (c * k - s) > 9 * (CAST(k AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"(ts - pmod(ts, ${HourNanos}L)) div ${HourNanos}L").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val big = (c: Column) => c.cast(DecimalType(38, 0))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(big(col("c") * col("k") - col("s")) * big(col("c") * col("k") - col("s")) >
+        big(lit(9)) * (big(col("k")) * big(col("q")) - big(col("s")) * big(col("s"))))
+      .select(col("event_type"), col("hour"), col("c").as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
     * collects for the cost-based optimizer (row count, null count, min/max,
     * NDV): a single aggregate over the fact table computes every column's
@@ -836,5 +921,6 @@ object Analytics {
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
-    setOps, existsQ, tableStats, eventsFunnel, eventsRetention)
+    setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
+    eventsTransitions, eventsAnomaly)
 }

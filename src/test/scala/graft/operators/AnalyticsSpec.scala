@@ -252,6 +252,56 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_transitions matches an independent per-user timeline replay") {
+    import spark.implicits._
+    val out = SparkEntry.queries("events_transitions")(spark, dir)
+      .select($"prev_type", $"next_type", $"n", $"p")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._3 > 0))
+    // per-source rows must form a probability distribution
+    out.groupBy(_._1).foreach { case (prev, rows) =>
+      val mass = rows.map(_._4).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"$prev transition mass $mass")
+    }
+    // independent replay: sort each user's timeline, count adjacent pairs
+    val expected = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).values
+      .flatMap { evs =>
+        val ordered = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        ordered.zip(ordered.tail)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap === expected)
+  }
+
+  test("events_anomaly flags exactly the >3-sigma hours of an exact replay") {
+    import spark.implicits._
+    val HourNanos = 3600L * 1000000000L
+    val out = SparkEntry.queries("events_anomaly")(spark, dir)
+      .select($"event_type", $"hour", $"n").as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // exact-integer replay with BigInt (no overflow, no rounding)
+    val hourly = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts").as[(String, Long)].collect()
+      .groupBy(e => (e._1, Math.floorDiv(e._2, HourNanos)))
+      .view.mapValues(_.size.toLong).toMap
+    val expected = hourly.keySet.filter { case (tpe, hour) =>
+      val cs = hourly.collect { case ((t, _), c) if t == tpe => BigInt(c) }.toSeq
+      val (k, s, q) = (BigInt(cs.size), cs.sum, cs.map(c => c * c).sum)
+      val c = BigInt(hourly((tpe, hour)))
+      (c * k - s).pow(2) > 9 * (k * q - s * s)
+    }
+    assert(out.map(r => (r._1, r._2)).toSet === expected)
+    // flagged hours really deviate: each flagged count differs from its
+    // type's mean (never equals it)
+    out.foreach { case (tpe, _, n) =>
+      val cs = hourly.collect { case ((t, _), c) if t == tpe => c }.toSeq
+      assert(n * cs.size != cs.sum, "a flagged hour cannot sit on the mean")
+    }
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
