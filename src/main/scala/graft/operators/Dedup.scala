@@ -376,7 +376,7 @@ object Dedup {
   private val componentCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
     componentCache.getOrElseUpdate((s, dir),
       connectedComponents(minhashCandidates(docs(s, dir)))
         .select(col("id").as("doc_id"), col("label")))
@@ -400,7 +400,7 @@ object Dedup {
     * (closure is |component|² rows per component); the Spark side is the
     * scalable pointer-jumping search. Ends with `asg` (doc_id, cluster_id).
     */
-  private val clustersSql: String =
+  private[operators] val clustersSql: String =
     s"""$minhashPairsSql,
        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
        |  UNION SELECT id2 AS a, id1 AS b FROM pairs),

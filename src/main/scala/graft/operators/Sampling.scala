@@ -103,6 +103,45 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/val/test split: the [[split]] rule applied at the
+    * NEAR-DUP-CLUSTER level instead of per document — every member of a
+    * cluster inherits the split of the cluster's canonical document, so a
+    * near-duplicate of a training document can never land in the test set
+    * (the contamination vector plain per-doc splitting leaves open; eval
+    * decontamination work exists precisely because naive splits leak).
+    *
+    * Shape: cluster labels come from the SAME memoized pointer-jumping
+    * component search [[Dedup.clusters]] runs (one iterative search per
+    * session/dir, reused here), the canonical digest is computed BEFORE the
+    * join so the equi-join back ships one hex char per cluster rather than
+    * document text, and the split rule itself is the engine-portable
+    * hex-character comparison of [[split]].
+    */
+  val splitSafe: Q = Q("split_leakage_safe",
+    s"""WITH RECURSIVE ${Dedup.clustersSql},
+      |canon AS (SELECT doc_id AS cluster_id, substr(md5(text), 1, 1) AS h
+      |  FROM documents)
+      |SELECT a.doc_id, a.cluster_id,
+      |  CASE WHEN h BETWEEN '0' AND '7' THEN 'train'
+      |       WHEN h BETWEEN '8' AND 'b' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM asg a JOIN canon c USING (cluster_id)
+      |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val asg = d.select(col("doc_id"))
+      .join(Dedup.componentLabels(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val canon = d.select(col("doc_id").as("cluster_id"),
+      substring(md5(col("text")), 1, 1).as("h"))
+    asg.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h").between("0", "7"), "train")
+          .when(col("h").between("8", "b"), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Approximate distinct/percentile aggregates — the sketches that replace
     * exact DISTINCT/median at 100 TB (HyperLogLog++ / KLL both merge
     * associatively, so partial aggregation works map-side). The registered
@@ -368,6 +407,6 @@ object Sampling {
   }
 
   val all: Seq[Q] =
-    Seq(deterministic, stratified, stratifiedAgg, split, approx, temperature,
-      pack, lengthBuckets, snapshotMerge)
+    Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
+      temperature, pack, lengthBuckets, snapshotMerge)
 }

@@ -125,6 +125,30 @@ class SamplingSpec extends SparkSpec {
     actions.filter(_._2 == "insert").foreach(a => assert(a._1 < 0L))
   }
 
+  test("split_leakage_safe never puts a near-dup candidate pair across splits") {
+    val out = Sampling.splitSafe.run(spark, dir)
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    assert(out.length.toLong === docs.count())
+    // the leakage guarantee, asserted on the raw EDGES (not the labels the
+    // query itself used): every LSH candidate pair shares one split
+    val pairs = Dedup.minhashCandidates(docs)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    // docs with no near-dup candidates degrade to exactly the per-doc rule
+    val perDoc = Sampling.split.run(spark, dir)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val linked = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.filterNot(r => linked(r._1)).foreach { case (id, cid, sp) =>
+      assert(cid === id && sp === perDoc(id), s"singleton $id diverged")
+    }
+  }
+
   test("pack_sequences placement is a lossless concat-and-chunk map") {
     val placed = Sampling.pack.run(spark, dir)
       .select($"doc_id", $"shard", $"pack", $"off_in_pack", $"tok")
