@@ -485,6 +485,40 @@ object Similarity {
       .orderBy(col("cid"), col("dim"))
   }
 
+  /** Random-sign (JL) projection of every embedding to
+    * [[graft.functions.RpPlanes.ProjDims]] dims — the width-reduction pass
+    * an ANN pipeline runs before indexing when even 64 dims is too wide
+    * for the candidate stage. The heavy lifting is the codegen'd
+    * [[graft.functions.RandomSignProject]] expression: scan → quantize →
+    * project is ONE whole-stage-codegen map with zero shuffles (the
+    * presentation explode/sort exist only for the gate's long-format dump;
+    * a pipeline consumer keeps the array column and the stage stays
+    * exchange-free at any corpus size). The md5-derived sign tensor is
+    * rebuilt in SQL so the oracle replays the projection bit-for-bit.
+    */
+  val embedProject: Q = Q("embed_project", {
+    import graft.functions.RpPlanes.ProjDims
+    import graft.functions.LshPlanes.Dims
+    s"""WITH $quantizedSql,
+       |dims AS (SELECT unnest(range($Dims)) AS i),
+       |pj AS (SELECT unnest(range($ProjDims)) AS j),
+       |sgn AS (SELECT j, i,
+       |    CASE WHEN (strpos('0123456789abcdef', substr(md5('rp#' || CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 1)) - 1) & 1 = 1
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM pj, dims),
+       |elems AS (SELECT vec_id, i.i AS i, qv[i.i + 1] AS x FROM nz, dims i)
+       |SELECT e.vec_id, CAST(g.j AS BIGINT) AS dim, CAST(sum(e.x * g.s) AS BIGINT) AS v
+       |FROM elems e JOIN sgn g USING (i)
+       |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin
+  }) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"),
+        posexplode(call_function("random_project", col("qv"))).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   val annRecall: Q = Q("ann_recall", annRecallOracle) { (s, dir) =>
     import s.implicits._
     // Evaluate each pipeline subtree ONCE: the per-method union tags the
@@ -508,5 +542,6 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
-  val all: Seq[Q] = Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall)
+  val all: Seq[Q] =
+    Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall, embedProject)
 }

@@ -159,4 +159,39 @@ class DedupSimilaritySpec extends SparkSpec {
     val moved = (0 until 16).count(k => trained(k) != seeds(k))
     assert(moved > 0, "no centroid moved: Lloyd's update had no effect")
   }
+
+  test("embed_project is an exact sign-projection with the JL similarity property") {
+    import graft.functions.RpPlanes
+    val out = Similarity.embedProject.run(spark, dir)
+      .select($"vec_id", $"dim", $"v").as[(Long, Long, Long)].collect()
+    val qvs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize($"embedding"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // independent replay straight from RpPlanes.signs
+    assert(out.length === qvs.size * RpPlanes.ProjDims)
+    out.foreach { case (id, j, v) =>
+      val qv = qvs(id)
+      val expect = qv.indices.map(i => qv(i) * RpPlanes.signs(j.toInt * RpPlanes.Dims + i)).sum
+      assert(v === expect, s"vec $id dim $j")
+    }
+    // JL property: E[‖Px‖²] = k·‖x‖² and the ±1 estimator concentrates, so
+    // the mean relative error of ‖Px‖²/k vs ‖x‖² over the corpus must sit
+    // in the ~1/√k regime, nowhere near a structure-losing 100% (dot
+    // products of near-orthogonal PAIRS have unbounded relative error by
+    // nature — norms are the well-conditioned witness of the same
+    // isometry)
+    val proj = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val errs = qvs.toSeq.map { case (id, qv) =>
+      val truth = qv.map(x => x * x).sum.toDouble
+      val est = proj(id).map(p => p * p).sum.toDouble / RpPlanes.ProjDims
+      math.abs(est - truth) / truth
+    }
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.6, f"mean JL norm error $meanErr%.2f — projection lost similarity structure")
+    // scale shape: projection itself is map-side; the only exchange in the
+    // plan is the presentation sort
+    val plan = Similarity.embedProject.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
 }
