@@ -854,6 +854,47 @@ object Analytics {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Rolling 24-hour per-user activity features over the event log — the
+    * time-RANGE window frame ([[windowFuncs]] covers the ROWS frame): each
+    * event carries how many events and how much value its user produced in
+    * the trailing day, the standard feature-engineering shape for
+    * rate-limit, abuse, and engagement features.
+    *
+    * Shape: ONE shuffle on user_id; the frame is defined over the RAW
+    * int64 nanos (`rangeBetween` in nanos on the Spark side, `RANGE ...
+    * PRECEDING` over `epoch_ns` in DuckDB — identical inclusive [t−24h, t]
+    * bounds, and RANGE peers at the same instant are in-frame on both
+    * engines). Spark evaluates a sliding range frame incrementally (each
+    * row enters/leaves the running aggregate once), so the per-partition
+    * cost is linear in the user's history, not quadratic — a per-event
+    * self-join against the trailing day would be the quadratic shape
+    * BandedIntervalJoin exists to kill. The value sum is the DECIMAL(18,2)
+    * exact-sum idiom, so the incremental add/retract arithmetic is
+    * order-independent and replayable.
+    */
+  private val DayNanos = 86400L * 1000000000L
+
+  val eventsRolling: Q = Q("events_rolling",
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns,
+      |    epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |SELECT user_id, event_id, tus AS ts_us,
+      |  count(*) OVER w AS n_24h,
+      |  CAST(sum(v) OVER w AS DOUBLE) AS sum_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tns
+      |             RANGE BETWEEN $DayNanos PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-DayNanos, 0)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"),
+        Tables.nanosToMicros("ts").as("ts_us"), col("n_24h"), col("sum_24h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
     * collects for the cost-based optimizer (row count, null count, min/max,
     * NDV): a single aggregate over the fact table computes every column's
@@ -922,5 +963,5 @@ object Analytics {
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
-    eventsTransitions, eventsAnomaly)
+    eventsTransitions, eventsAnomaly, eventsRolling)
 }
