@@ -341,6 +341,22 @@ object TextAnalysis {
   private val DecontamGram = 8
   private val EvalSetSize = 5
 
+  /** Exploded word n-grams over a pre-split token array column `t` —
+    * the shared gram shape of [[decontam]] and [[boilerplate]]. Documents
+    * shorter than n contribute zero grams (not a padded partial). */
+  private def wordGramsCol(n: Int): Column =
+    explode(when(size(col("t")) >= n,
+      expr(s"transform(sequence(0, size(t) - $n), i -> " +
+        (0 until n).map(k => s"t[i+$k]").mkString("concat_ws(' ', ", ", ", ")") + ")"))
+      .otherwise(array().cast("array<string>")))
+
+  /** DuckDB twin of [[wordGramsCol]] (a list expression over `t`). */
+  private def gramListSql(n: Int): String =
+    s"""CASE WHEN len(t) >= $n
+       |    THEN list_transform(range(len(t) - ${n - 1}),
+       |      i -> ${(1 to n).map(k => s"t[i+$k]").mkString(" || ' ' || ")})
+       |    ELSE []::VARCHAR[] END""".stripMargin
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * 8-gram with an "eval set" (here: the [[EvalSetSize]] lowest-digest
     * documents, standing in for an external benchmark). The eval side's
@@ -375,11 +391,7 @@ object TextAnalysis {
       .select(col("doc_id"))
     val grams = d
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"),
-        explode(when(size(col("t")) >= DecontamGram,
-          expr(s"transform(sequence(0, size(t) - $DecontamGram), i -> " +
-            (0 until DecontamGram).map(k => s"t[i+$k]").mkString("concat_ws(' ', ", ", ", ")") + ")"))
-          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
       .distinct()
     val evGrams = grams.join(broadcast(ev), Seq("doc_id")).select(col("g")).distinct()
     val nonEval = d.select(col("doc_id"))
@@ -523,8 +535,104 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  private val SpanMinDocs = 3
+  private val SpanTopK = 100
+
+  /** Corpus-wide boilerplate mining: the word 8-gram spans shared by the
+    * most documents (df ≥ [[SpanMinDocs]], top [[SpanTopK]]). This is the
+    * ACROSS-corpus complement of [[repetition]]'s within-document signal —
+    * headers, footers, licence blocks, and scraper chrome surface as
+    * high-df spans, and the resulting span list is what a cleaning pass
+    * subtracts from every document before training.
+    *
+    * Shape: one gram explode (linear in corpus tokens), per-doc distinct,
+    * then a two-phase count per gram (map-side partials collapse repeats
+    * before the exchange) and a TakeOrdered top-K — no global sort ever
+    * materializes the full df table. At 100 TB the gram strings themselves
+    * are the shuffle payload; hashing grams to 16-byte digests and
+    * re-joining the top-K back for display text would halve the exchange,
+    * noted here as the scale lever (the df≥3 filter after the agg is what
+    * keeps the OUTPUT tiny either way).
+    */
+  val boilerplate: Q = Q("text_boilerplate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g0 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS g FROM toks),
+       |g AS (SELECT DISTINCT doc_id, g FROM g0),
+       |gdf AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
+       |SELECT g AS span, n_docs FROM gdf WHERE n_docs >= $SpanMinDocs
+       |ORDER BY n_docs DESC, span LIMIT $SpanTopK""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
+      .distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= SpanMinDocs)
+      .orderBy(col("n_docs").desc, col("g"))
+      .limit(SpanTopK)
+      .select(col("g").as("span"), col("n_docs"))
+  }
+
+  private val CooccurVocab = 50
+  private val CooccurTopK = 100
+
+  /** Word co-occurrence lift over the top-[[CooccurVocab]] vocabulary —
+    * the association-mining signal (PMI family) behind phrase detection
+    * and topic drift monitoring. Lift is reported in exact parts-per-
+    * million (`docs_both · N · 10⁶ ∕∕ (df₁ · df₂)`, integer floor
+    * division) instead of a log-PMI double: libm `log` is not
+    * bit-portable across engines, the integer ratio is — and it orders
+    * pairs identically.
+    *
+    * Shape: per-doc distinct words (one explode + distinct), vocabulary =
+    * top-K document frequencies (TakeOrdered, broadcast back as the
+    * filter — the vocab is a constant-size dim at any corpus scale), then
+    * a SELF-join on doc_id restricted to vocab words. Both join inputs
+    * are the same frame, so Spark reuses one exchange; each document
+    * contributes ≤ vocab² pairs, keeping the join linear in corpus size
+    * with a constant per-doc factor. The pair counts collapse map-side
+    * (≤ vocab² partial rows per partition) before the final tiny join
+    * against the broadcast vocab dfs.
+    */
+  val cooccur: Q = Q("cooccur_lift",
+    s"""WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wdf AS (SELECT w, count(*) AS df FROM w0 GROUP BY w),
+       |voc AS (SELECT w, df FROM wdf ORDER BY df DESC, w LIMIT $CooccurVocab),
+       |wv AS (SELECT doc_id, w FROM w0 WHERE w IN (SELECT w FROM voc)),
+       |p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS docs_both
+       |  FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT w1, w2, docs_both, v1.df AS df1, v2.df AS df2,
+       |  CAST(docs_both * nd.n_docs * 1000000 // (v1.df * v2.df) AS BIGINT) AS lift_ppm
+       |FROM p CROSS JOIN nd
+       |  JOIN voc v1 ON p.w1 = v1.w JOIN voc v2 ON p.w2 = v2.w
+       |ORDER BY lift_ppm DESC, w1, w2 LIMIT $CooccurTopK""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val words = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val voc = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(CooccurVocab)
+    val wv = words.join(broadcast(voc.select(col("w"))), Seq("w"))
+      .select(col("doc_id"), col("w"))
+    val pairs = wv.as("a")
+      .join(wv.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("docs_both"))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    pairs
+      .crossJoin(broadcast(nDocs))
+      .join(broadcast(voc).select(col("w").as("w1"), col("df").as("df1")), Seq("w1"))
+      .join(broadcast(voc).select(col("w").as("w2"), col("df").as("df2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("docs_both"), col("df1"), col("df2"),
+        expr("docs_both * n_docs * 1000000L div (df1 * df2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(CooccurTopK)
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, repetition, bpePairs,
-      corpusReport)
+      corpusReport, boilerplate, cooccur)
 }

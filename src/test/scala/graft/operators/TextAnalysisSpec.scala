@@ -207,4 +207,45 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("text_boilerplate agrees with a direct 8-gram df replay and is top-k") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    all.foreach { case (_, t) =>
+      t.split(" ", -1).toSeq.sliding(8).filter(_.size == 8)
+        .map(_.mkString(" ")).toSet
+        .foreach((g: String) => df(g) = df.getOrElse(g, 0L) + 1L)
+    }
+    val expect = df.toSeq.filter(_._2 >= 3)
+      .sortBy { case (g, n) => (-n, g) }.take(100)
+    val q = TextAnalysis.boilerplate.run(spark, dir)
+    val got = q.select($"span", $"n_docs").as[(String, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture must actually contain boilerplate spans")
+    // top-k must be TakeOrdered (no global sort of the full df table)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("cooccur_lift agrees with a direct pair-count replay at exact ppm") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docWords = all.map { case (id, t) => id -> t.split(" ", -1).toSet }
+    val dfm = docWords.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val voc = dfm.toSeq.sortBy { case (w, n) => (-n, w) }.take(50).toMap
+    val nDocs = all.length.toLong
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docWords.foreach { case (_, ws) =>
+      val vw = ws.filter(voc.contains).toSeq.sorted
+      for (i <- vw.indices; j <- i + 1 until vw.size)
+        pairCounts((vw(i), vw(j))) = pairCounts.getOrElse((vw(i), vw(j)), 0L) + 1L
+    }
+    val expect = pairCounts.toSeq.map { case ((w1, w2), both) =>
+      (w1, w2, both, voc(w1), voc(w2), both * nDocs * 1000000L / (voc(w1) * voc(w2)))
+    }.sortBy { case (w1, w2, _, _, _, lift) => (-lift, w1, w2) }.take(100)
+    val got = TextAnalysis.cooccur.run(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
