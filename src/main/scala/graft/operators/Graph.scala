@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the trade network implied by the TPC-H-ish tables:
+  * nodes are nations, and a lineitem whose order was placed by a customer
+  * in nation u against a supplier in nation s contributes an edge u → s.
+  * Complements the dedup family's connected-components search
+  * ([[Dedup]], pointer-jumping) with the other canonical iterative graph
+  * primitive, PageRank.
+  *
+  * Scale shape — "aggregate to model size, then iterate": the 100 TB-heavy
+  * part is the 4-way fact join (lineitem⋈orders⋈customer⋈supplier; shuffle
+  * joins on the fact keys, AQE free to pick strategies) and the edge
+  * aggregation, which touches every lineitem exactly once. What survives is
+  * the |V|² ≤ 625-row transition matrix — the iterations run over THAT,
+  * persisted once, with the 25-row rank vector broadcast into each round
+  * (the same legitimacy argument as [[Similarity]]'s IVF centroid model:
+  * iterating on the aggregated model is not a driver-side loop over data).
+  *
+  * Cross-engine exactness: ranks are fixed-point integers (1.0 ≡ 10¹²) and
+  * every transition probability is integer parts-per-million, so each
+  * iteration is pure BIGINT arithmetic with explicit floor division —
+  * bit-identical on Spark and DuckDB, with no float summation order or libm
+  * in the path. The deliberate truncation (≤ 1 ppm per edge per round)
+  * loses a little rank mass instead of determinism.
+  */
+object Graph {
+
+  private val Scale = 1000000000000L // rank fixed-point: 1.0 ≡ 10^12
+  private val Damp = 85L             // damping 0.85 as an integer percent
+  private val Iters = 5
+
+  /** One DuckDB power-iteration round: contributions through the ppm
+    * transition matrix, floor-divided exactly as the Spark side does. */
+  private def iterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (SELECT pe.dst, CAST(sum((r.r * pe.p_ppm) // 1000000) AS BIGINT) AS csum
+       |  FROM pe JOIN $prev r ON pe.src = r.node GROUP BY pe.dst),
+       |r$i AS (SELECT p.node,
+       |    CAST((15 * $Scale) // (100 * nn.n) + ($Damp * coalesce(c.csum, 0)) // 100 AS BIGINT) AS r
+       |  FROM $prev p CROSS JOIN nn LEFT JOIN c$i c ON p.node = c.dst)""".stripMargin
+  }
+
+  private val pagerankOracle: String =
+    s"""WITH e AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY src),
+       |pe AS (SELECT src, dst, CAST((w * 1000000) // wsum AS BIGINT) AS p_ppm
+       |  FROM e JOIN ow USING (src)),
+       |nn AS (SELECT count(*) AS n FROM nation),
+       |r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |    CAST($Scale // nn.n AS BIGINT) AS r FROM nation CROSS JOIN nn),
+       |${(1 to Iters).map(iterSql).mkString(",\n")}
+       |SELECT r$Iters.node AS nationkey, n.n_name, r$Iters.r AS pr
+       |FROM r$Iters JOIN nation n ON r$Iters.node = n.n_nationkey
+       |ORDER BY pr DESC, nationkey""".stripMargin
+
+  val pagerank: Q = Q("graph_pagerank", pagerankOracle) { (s, dir) =>
+    def t(name: String): DataFrame = Tables.load(s, dir, name)
+    val edges = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t("supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // The aggregated model the iterations run over — persisted so the
+    // 4-way fact join executes once, not once per round.
+    val pe = edges.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), expr("(w * 1000000L) div wsum").as("p_ppm"))
+      .persist()
+    val nations = t("nation")
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    val nn = nations.select(count(lit(1)).as("n"))
+    var r = nations.select(col("node")).crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"${Scale}L div n").as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = pe.join(broadcast(r), col("src") === col("node"))
+        .select(col("dst"), expr("(r * p_ppm) div 1000000L").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      r = nations.select(col("node")).crossJoin(broadcast(nn))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr(s"(15L * ${Scale}L) div (100L * n)") +
+            expr(s"(${Damp}L * coalesce(csum, 0L)) div 100L")).as("r"))
+    }
+    r.join(broadcast(nations), Seq("node"))
+      .select(col("node").as("nationkey"), col("n_name"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("nationkey"))
+  }
+
+  val all: Seq[Q] = Seq(pagerank)
+}

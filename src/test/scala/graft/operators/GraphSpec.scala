@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Independent driver-side replay of the fixed-point PageRank: rebuild the
+  * nation trade graph from the raw tables with plain Scala collections, run
+  * the identical integer power iteration, and demand bit-equality — the
+  * distributed plan must reproduce the scalar reference exactly, iteration
+  * truncation included.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("graph_pagerank matches an exact scalar fixed-point replay") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val ordCust = tbl("orders").select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val custNat = tbl("customer").select($"c_custkey", $"c_nationkey")
+      .as[(Long, Int)].collect().toMap
+    val suppNat = tbl("supplier").select($"s_suppkey", $"s_nationkey")
+      .as[(Long, Int)].collect().toMap
+    val nations = tbl("nation").select($"n_nationkey", $"n_name")
+      .as[(Int, String)].collect().toMap
+
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    tbl("lineitem").select($"l_orderkey", $"l_suppkey").as[(Long, Long)]
+      .collect().foreach { case (ok, sk) =>
+        val e = (custNat(ordCust(ok)).toLong, suppNat(sk).toLong)
+        w(e) = w.getOrElse(e, 0L) + 1L
+      }
+    val wsum = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ppm = w.map { case ((u, v), c) => (u, v) -> c * 1000000L / wsum(u) }
+
+    val scale = 1000000000000L
+    val n = nations.size.toLong
+    var r: Map[Long, Long] = nations.keys.map(_.toLong -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      ppm.foreach { case ((u, v), p) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + r(u) * p / 1000000L
+      }
+      r = r.keys.map { v =>
+        v -> (15L * scale / (100L * n) + 85L * contrib.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    val expect = r.toSeq
+      .map { case (v, pr) => (v, nations(v.toInt), pr) }
+      .sortBy { case (v, _, pr) => (-pr, v) }
+
+    val got = Graph.pagerank.run(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.map(_._3).sum <= scale, "truncation only ever loses rank mass")
+    assert(got.size === 25)
+  }
+}
