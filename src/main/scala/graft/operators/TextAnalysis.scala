@@ -367,6 +367,19 @@ object TextAnalysis {
     * near-duplicate copies of eval documents surface with high gram
     * counts; eval members themselves are excluded from the verdict.
     */
+  /** The [[EvalSetSize]] lowest-digest documents — the stand-in "eval
+    * benchmark" side shared by [[decontam]] and [[decontamBloom]]. */
+  private def evalSet(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), md5(col("text")).as("dig"))
+      .orderBy(col("dig"), col("doc_id")).limit(EvalSetSize)
+      .select(col("doc_id"))
+
+  /** Per-document distinct word 8-grams (doc_id, g). */
+  private def docGrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
+      .distinct()
+
   val decontam: Q = Q("text_decontam",
     s"""WITH ev AS (SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT $EvalSetSize),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -386,13 +399,8 @@ object TextAnalysis {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val d = docs(s, dir)
-    val ev = d.select(col("doc_id"), md5(col("text")).as("dig"))
-      .orderBy(col("dig"), col("doc_id")).limit(EvalSetSize)
-      .select(col("doc_id"))
-    val grams = d
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
-      .distinct()
+    val ev = evalSet(d)
+    val grams = docGrams(d)
     val evGrams = grams.join(broadcast(ev), Seq("doc_id")).select(col("g")).distinct()
     val nonEval = d.select(col("doc_id"))
       .join(broadcast(ev), Seq("doc_id"), "left_anti")
@@ -402,6 +410,53 @@ object TextAnalysis {
     nonEval.join(hits, Seq("doc_id"), "left")
       .withColumn("n_shared_ngrams", coalesce(col("n_shared_ngrams"), lit(0L)))
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[decontam]] rebuilt for the regime where the eval-side n-gram set
+    * OUTGROWS a broadcast hash set (a full benchmark suite's 8-grams can
+    * run to GBs): the corpus grams are prefiltered by a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] probed inside
+    * whole-stage codegen (`might_contain_bloom`, a native expression —
+    * the sketch is ~10 bits/element instead of the exact set's full
+    * strings, and ships once per executor as a plan literal), and only
+    * the surviving ~fpp fraction reaches the exact confirm join that
+    * removes the sketch's false positives. The confirm join carries no
+    * broadcast hint on purpose — at scale it is the shuffle join the
+    * bloom protects, and AQE remains free to broadcast while the eval
+    * side is small. Output is the quarantine list (contaminated docs
+    * only); the result is EXACT — identical to [[decontam]]'s positive
+    * rows — because the one-sided sketch error is confirmed away.
+    *
+    * The filter build (`stat.bloomFilter`) and the eval-gram count are
+    * distributed aggregations over the SMALL eval side (benchmarks are
+    * small at any corpus scale) — the corpus-side pass stays one linear
+    * codegen'd scan.
+    */
+  val decontamBloom: Q = Q("text_decontam_bloom",
+    s"""WITH ev AS (SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT $EvalSetSize),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams0 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS g FROM toks),
+       |grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+       |evg AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM ev))
+       |SELECT c.doc_id, count(*) AS n_shared_ngrams
+       |FROM grams c JOIN evg ON c.g = evg.g
+       |WHERE c.doc_id NOT IN (SELECT doc_id FROM ev)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val ev = evalSet(d)
+    val grams = docGrams(d)
+    val evGrams = grams.join(broadcast(ev), Seq("doc_id")).select(col("g")).distinct()
+    val bf = evGrams.stat.bloomFilter("g", math.max(1L, evGrams.count()), 0.03)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    grams.join(broadcast(ev), Seq("doc_id"), "left_anti")
+      .filter(call_function("might_contain_bloom", lit(bytes), col("g")))
+      .join(evGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy(col("doc_id"))
   }
 
@@ -633,6 +688,6 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
-      qualityFilter, scrub, chunks, decontam, repetition, bpePairs,
-      corpusReport, boilerplate, cooccur)
+      qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
+      bpePairs, corpusReport, boilerplate, cooccur)
 }

@@ -208,6 +208,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("text_decontam_bloom equals text_decontam's positive rows exactly") {
+    // sf0.01: the larger corpus actually contains eval-overlapping docs
+    // (sf0.001 has none, which would make the equality vacuous)
+    val d01 = sf("sf0.01")
+    val exact = TextAnalysis.decontam.run(spark, d01)
+      .filter($"contaminated")
+      .select($"doc_id", $"n_shared_ngrams").as[(Long, Long)].collect().toMap
+    val bloom = TextAnalysis.decontamBloom.run(spark, d01)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom === exact)
+    assert(bloom.nonEmpty, "fixture must actually contain contamination")
+  }
+
+  test("might_contain_bloom has no false negatives and null-propagates") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0 until 100).foreach(i => bf.putBinary(s"member-$i".getBytes("UTF-8")))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val probes = (0 until 100).map(i => (s"member-$i", true)) ++
+      (0 until 1000).map(i => (s"absent-$i", false))
+    val got = probes.toDF("s", "expected_member")
+      .select(col("s"), col("expected_member"),
+        call_function("might_contain_bloom", lit(bytes), col("s")).as("hit"))
+      .as[(String, Boolean, Boolean)].collect()
+    // one-sided error: every member hits; non-members may FP but at 1%
+    // nominal fpp, 1000 probes cannot plausibly exceed a 5% FP rate
+    got.filter(_._2).foreach { case (s, _, hit) => assert(hit, s"false negative on $s") }
+    val fps = got.filterNot(_._2).count(_._3)
+    assert(fps <= 50, s"$fps false positives in 1000 absent probes")
+    // null probe → null result (not false)
+    val nulls = Seq(Some("member-0"), None).toDF("s")
+      .select(call_function("might_contain_bloom", lit(bytes), col("s")).as("hit"))
+      .collect()
+    assert(nulls(0).getBoolean(0) === true)
+    assert(nulls(1).isNullAt(0))
+  }
+
   test("text_boilerplate agrees with a direct 8-gram df replay and is top-k") {
     val all = graft.sources.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
