@@ -76,25 +76,32 @@ object Graph {
         col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    // The aggregated model the iterations run over — persisted so the
-    // 4-way fact join executes once, not once per round.
+    // The aggregated model the iterations run over — a single-partition
+    // persisted frame (|V|² ≤ 625 rows: the fact join's parallelism has
+    // already done its work; keeping the matrix on one partition makes
+    // every iteration a one-task job instead of a 32-task shuffle).
     val pe = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), expr("(w * 1000000L) div wsum").as("p_ppm"))
-      .persist()
+      .coalesce(1).persist()
     val nations = t("nation")
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
     val nn = nations.select(count(lit(1)).as("n"))
     var r = nations.select(col("node")).crossJoin(broadcast(nn))
       .select(col("node"), expr(s"${Scale}L div n").as("r"))
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to Iters) {
       val contrib = pe.join(broadcast(r), col("src") === col("node"))
         .select(col("dst"), expr("(r * p_ppm) div 1000000L").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      // Eager per-round materialization (the Dedup CC idiom): without it,
+      // round k's broadcast re-derives rounds 1..k-1 from scratch — an
+      // O(k²) blowup in tiny jobs that dominated the first bench run.
       r = nations.select(col("node")).crossJoin(broadcast(nn))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (expr(s"(15L * ${Scale}L) div (100L * n)") +
             expr(s"(${Damp}L * coalesce(csum, 0L)) div 100L")).as("r"))
+        .coalesce(1).localCheckpoint()
     }
     r.join(broadcast(nations), Seq("node"))
       .select(col("node").as("nationkey"), col("n_name"), col("r").as("pr"))
