@@ -895,6 +895,83 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Time-series resample with gap fill — the hourly per-type event-rate
+    * frame a monitoring/forecasting consumer reads, with EXPLICIT zero
+    * rows for silent hours (the rows a naive groupBy can never produce,
+    * and exactly the ones an outage shows up in). The dense hour axis is
+    * `sequence(lo, hi)` exploded from the observed bounds — an engine-side
+    * dimension generator, not a scan.
+    *
+    * Shape: the histogram is a two-phase count (the only pass over the
+    * corpus); bounds are a 2-value aggregate of THAT small frame; the
+    * dense (type × hour) axis is generated + broadcast, so the gap-fill
+    * left join never shuffles the histogram side. Hour keys are the
+    * sign-correct raw-nanos floor division shared with [[eventsAnomaly]].
+    */
+  val eventsResample: Q = Q("events_resample",
+    s"""WITH d AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $HourNanos + $HourNanos) % $HourNanos)) // $HourNanos AS hour,
+      |    count(*) AS n FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM d),
+      |hours AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, CAST(hour AS BIGINT) AS hour, coalesce(d.n, 0) AS n
+      |FROM types t CROSS JOIN hours LEFT JOIN d USING (event_type, hour)
+      |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"(ts - pmod(ts, ${HourNanos}L)) div ${HourNanos}L").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val hours = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val types = hourly.select(col("event_type")).distinct()
+    types.crossJoin(broadcast(hours))
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Winsorization at the exact 1st/99th percentiles — the robust-stats
+    * outlier clip a feature pipeline applies before normalization. The
+    * cutoffs are EXACT order statistics, found scalably: a value
+    * HISTOGRAM (2-decimal prices — a bounded domain at any corpus size)
+    * is cumulated with one ordered window over DISTINCT VALUES, so the
+    * single-task window walks |domain| rows, never |corpus| rows — the
+    * global row_number() formulation would funnel the whole table through
+    * one partition, THE classic quantile scale-killer. Rank positions use
+    * pure integer arithmetic (`(n−1)·q ∕∕ 100 + 1`) so both engines pick
+    * the identical element, and the clip is a broadcast of two doubles.
+    */
+  val winsorize: Q = Q("winsorize_prices",
+    """WITH h AS (SELECT o_totalprice AS p, count(*) AS c FROM orders GROUP BY 1),
+      |cum AS (SELECT p, sum(c) OVER (ORDER BY p) AS cum,
+      |    (SELECT count(*) FROM orders) AS n FROM h),
+      |b AS (SELECT min(CASE WHEN cum >= (n-1) // 100 + 1 THEN p END) AS p_lo,
+      |    min(CASE WHEN cum >= ((n-1) * 99) // 100 + 1 THEN p END) AS p_hi FROM cum)
+      |SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_totalprice < p_lo THEN p_lo
+      |       WHEN o_totalprice > p_hi THEN p_hi ELSE o_totalprice END AS price_w
+      |FROM orders CROSS JOIN b ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val ords = t(s, dir, "orders")
+    val n1 = ords.agg(count(lit(1)).as("n"))
+    // ordered window over the distinct-value histogram: |domain| rows on
+    // one task by design (see scaladoc) — not the corpus
+    val cum = ords.groupBy(col("o_totalprice").as("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("p"))))
+      .crossJoin(broadcast(n1))
+    val bounds = cum.agg(
+      min(when(col("cum") >= expr("(n-1) div 100 + 1"), col("p"))).as("p_lo"),
+      min(when(col("cum") >= expr("((n-1) * 99) div 100 + 1"), col("p"))).as("p_hi"))
+    ords.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_totalprice") < col("p_lo"), col("p_lo"))
+          .when(col("o_totalprice") > col("p_hi"), col("p_hi"))
+          .otherwise(col("o_totalprice")).as("price_w"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
     * collects for the cost-based optimizer (row count, null count, min/max,
     * NDV): a single aggregate over the fact table computes every column's
@@ -963,5 +1040,6 @@ object Analytics {
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
-    eventsTransitions, eventsAnomaly, eventsRolling)
+    eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
+    winsorize)
 }

@@ -302,6 +302,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_resample produces a dense zero-filled hour axis") {
+    import spark.implicits._
+    val hourNanos = 3600L * 1000000000L
+    val raw = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts").as[(String, Long)].collect()
+    val hourly = raw.groupBy { case (t, ts) => (t, Math.floorDiv(ts, hourNanos)) }
+      .view.mapValues(_.length.toLong).toMap
+    val (lo, hi) = (hourly.keys.map(_._2).min, hourly.keys.map(_._2).max)
+    val types = raw.map(_._1).distinct.sorted
+    val got = Analytics.eventsResample.run(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    // dense axis: every (type, hour) in [lo, hi], in order, gaps as zeros
+    val expect = for (t <- types; h <- lo to hi)
+      yield (t, h, hourly.getOrElse((t, h), 0L))
+    assert(got === expect)
+    assert(got.exists(_._3 == 0L), "fixture must contain silent hours")
+    assert(got.map(_._3).sum === raw.length.toLong)
+  }
+
+  test("winsorize_prices clips at the exact 1st/99th order statistics") {
+    import spark.implicits._
+    val prices = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect()
+    val sorted = prices.map(_._2).sorted
+    val n = sorted.length.toLong
+    val pLo = sorted(((n - 1) / 100).toInt)          // rank (n-1)//100 + 1, 1-based
+    val pHi = sorted((((n - 1) * 99) / 100).toInt)
+    val expect = prices.map { case (k, p) =>
+      (k, p, math.min(math.max(p, pLo), pHi))
+    }.sortBy(_._1).toSeq
+    val got = Analytics.winsorize.run(spark, dir)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got === expect)
+    val clipped = got.count(r => r._2 != r._3)
+    assert(clipped > 0 && clipped <= (n / 50 + 2), s"$clipped clipped of $n")
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
