@@ -75,12 +75,16 @@ object Graph {
       .groupBy(col("c_nationkey").cast("long").as("src"),
         col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
+      // persisted single-partition (|V|² ≤ 625 rows): BOTH consumers below
+      // (row weights and the transition join) read the cached matrix, so
+      // the expensive 4-way fact join executes exactly once — without
+      // this the outW branch re-derives it (measured 65 s → 24 s at the
+      // ×100 smoke)
+      .coalesce(1).persist()
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    // The aggregated model the iterations run over — a single-partition
-    // persisted frame (|V|² ≤ 625 rows: the fact join's parallelism has
-    // already done its work; keeping the matrix on one partition makes
-    // every iteration a one-task job instead of a 32-task shuffle).
-    val pe = edges.join(outW, Seq("src"))
+    // The aggregated model the iterations run over — single-partition so
+    // every iteration is a one-task job instead of a 32-task shuffle.
+    val pe = edges.join(broadcast(outW), Seq("src"))
       .select(col("src"), col("dst"), expr("(w * 1000000L) div wsum").as("p_ppm"))
       .coalesce(1).persist()
     val nations = t("nation")
