@@ -972,6 +972,57 @@ object Analytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The "sole blocking supplier" query — TPC-H Q21's shape on this
+    * schema: suppliers ranked by how many multi-supplier orders THEY alone
+    * shipped late (> 80 days after the order date). The textbook
+    * formulation is a 3-way join plus a correlated EXISTS and NOT EXISTS —
+    * and that is exactly what the DuckDB oracle runs. The Spark side
+    * deliberately runs the SCALABLE equivalent instead: collapse each
+    * order to per-supplier lateness flags, derive `n_supp > 1 ∧
+    * n_late = 1` per order, and the sole-late supplier falls out as
+    * `max(CASE late)`. Two aggregations replace two correlated
+    * semi/anti-joins over the fact table — and both group on orderkey
+    * prefixes, so in the at-scale regime (orders too big to broadcast →
+    * sort-merge join shuffled on orderkey) BOTH aggregations inherit the
+    * join's partitioning and run exchange-free (asserted in
+    * AnalyticsSpec); the final per-supplier count is tiny and the top-20
+    * is a TakeOrdered. Cross-formulation equality is the strongest oracle
+    * shape in the registry: two different QUERY PLANS must agree
+    * row-for-row.
+    */
+  val lateSuppliers: Q = Q("late_suppliers",
+    """SELECT s.s_suppkey, s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      |AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+      |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin) { (s, dir) =>
+    val perSupp = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > expr("o_orderdate + INTERVAL 80 DAYS"), 1)
+        .otherwise(0)).as("late"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")), Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** Per-column table statistics in ONE pass — what `ANALYZE TABLE`
     * collects for the cost-based optimizer (row count, null count, min/max,
     * NDV): a single aggregate over the fact table computes every column's
@@ -1041,5 +1092,5 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
-    winsorize)
+    winsorize, lateSuppliers)
 }

@@ -339,6 +339,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(clipped > 0 && clipped <= (n / 50 + 2), s"$clipped clipped of $n")
   }
 
+  test("late_suppliers aggregations inherit the join partitioning at scale") {
+    // at-scale regime: orders too big to broadcast → SMJ shuffled on
+    // orderkey; both downstream aggs group on orderkey prefixes so
+    // EnsureRequirements must NOT insert an (orderkey, suppkey) exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Analytics.lateSuppliers.run(spark, dir)
+      df.collect() // finalize the AQE plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.matches("(?s).*hashpartitioning\\(l_orderkey[^)]*l_suppkey.*"),
+        "first aggregation must reuse the join's orderkey partitioning")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
