@@ -972,6 +972,38 @@ object Analytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Exact per-group median — [[winsorize]]'s histogram trick generalized
+    * to grouped order statistics: per (group, value) counts, a cumulative
+    * window PER GROUP over distinct values, and the lower/upper median as
+    * integer-rank element picks (`(n+1)∕∕2`, `(n+2)∕∕2` — no interpolated
+    * average, so no engine-specific float midpoint arithmetic can
+    * diverge). The windows walk |group's value domain| rows, never the
+    * corpus, and both window functions share one (group)-hash exchange.
+    * `percentile_approx` is the sketch alternative; THIS is the exact one
+    * a stats gate needs.
+    */
+  val groupMedian: Q = Q("group_median",
+    """WITH h AS (SELECT event_type, value AS v, count(*) AS c FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, v,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN cum >= (n+1) // 2 THEN v END) AS med_lo,
+      |  min(CASE WHEN cum >= (n+2) // 2 THEN v END) AS med_hi
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = t(s, dir, "events")
+      .groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byType))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n+1) div 2"), col("v"))).as("med_lo"),
+        min(when(col("cum") >= expr("(n+2) div 2"), col("v"))).as("med_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** The "sole blocking supplier" query — TPC-H Q21's shape on this
     * schema: suppliers ranked by how many multi-supplier orders THEY alone
     * shipped late (> 80 days after the order date). The textbook
@@ -1092,5 +1124,5 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
-    winsorize, lateSuppliers)
+    winsorize, lateSuppliers, groupMedian)
 }

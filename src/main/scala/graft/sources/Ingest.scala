@@ -248,4 +248,46 @@ object Ingest {
   }
 
   val all: Seq[graft.Q] = Seq(bucketedJoin)
+
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * 100 TB dataset needs: streaming/incremental writers leave thousands
+    * of KB-scale files whose per-file open/footer cost eventually
+    * dominates scans. Rewrite the directory into
+    * `ceil(bytes ∕ targetBytes)` files (floored at 1) and report the
+    * before/after layout. The rewrite is one distributed pass: a
+    * `coalesce` (no shuffle — partitions are concatenated, not
+    * repartitioned) unless the caller asks for `shuffle=true` to also
+    * re-balance skewed input files. Content is preserved exactly
+    * (asserted row-for-row in CompactionSpec).
+    */
+  final case class CompactReport(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int, bytesAfter: Long)
+
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20, shuffle: Boolean = false): CompactReport = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def layout(): (Int, Long) = {
+      val files = fs.listStatus(path).filter { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+      (files.length, files.map(_.getLen).sum)
+    }
+    val (filesBefore, bytesBefore) = layout()
+    val n = math.max(1, ((bytesBefore + targetBytes - 1) / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val out = if (shuffle) df.repartition(n) else df.coalesce(n)
+    // write beside, swap atomically-enough for a maintenance job: the
+    // rename window is the same one every non-transactional table format
+    // has (a lakehouse format's metadata swap is the production answer)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "._compact_bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    val (filesAfter, bytesAfter) = layout()
+    CompactReport(filesBefore, bytesBefore, filesAfter, bytesAfter)
+  }
 }

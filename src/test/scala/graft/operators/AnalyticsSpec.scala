@@ -354,6 +354,23 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("group_median picks the exact lower/upper median elements per group") {
+    import spark.implicits._
+    val vals = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = vals.toSeq.sortBy(_._1).map { case (t, vs) =>
+      val n = vs.length
+      (t, n.toLong, vs((n + 1) / 2 - 1), vs((n + 2) / 2 - 1))
+    }
+    val got = Analytics.groupMedian.run(spark, dir)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === expect)
+    // even-count groups exercise both ranks; the fixture must contain one
+    assert(expect.exists(r => r._2 % 2 == 0 && r._3 != r._4) ||
+      expect.exists(_._2 % 2 == 0))
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
