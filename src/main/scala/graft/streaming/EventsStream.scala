@@ -94,6 +94,49 @@ object EventsStream {
       }
   }
 
+  case class RateVerdict(user_id: Long, ts_us: Long, n_window: Long,
+      limited: Boolean)
+
+  // public: Catalyst's generated deserializer instantiates it reflectively
+  case class RateState(recent: List[Long])
+
+  /** Streaming per-user rate limiting — the online half of the batch
+    * `events_rolling` trailing-window features: every event is annotated
+    * with how many events its user produced in the trailing `windowMicros`
+    * (event-time, inclusive, current event counted — the IDENTICAL frame
+    * the batch RANGE window computes) and flagged once that count exceeds
+    * `maxInWindow`. The abuse/flood gate a 100 TB/day ingest runs inline.
+    *
+    * State per user is ONLY the in-window timestamp list (bounded by the
+    * rate actually observed: an honest user holds ≤ maxInWindow+ε
+    * entries), evicted as events age past the window — not a growing
+    * history. Rows inside a micro-batch are event-time-sorted per user
+    * before folding; cross-batch order is the source's responsibility
+    * (in-order per user ⇒ stream output ≡ batch rolling count, asserted
+    * in EventsStreamSpec).
+    */
+  def rateLimit(events: Dataset[Event], windowMicros: Long, maxInWindow: Int)
+      : Dataset[RateVerdict] = {
+    import events.sparkSession.implicits._
+    def micros(e: Event): Long =
+      (e.ts.getTime / 1000L) * 1000000L + (e.ts.getNanos / 1000L)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[RateState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = rows.toSeq.map(e => (micros(e), e)).sortBy(_._1).map {
+            case (t, _) =>
+              recent = (recent :+ t).filter(_ >= t - windowMicros)
+              RateVerdict(userId, t, recent.size.toLong,
+                recent.size > maxInWindow)
+          }
+          state.update(RateState(recent))
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: every `click` joins the same user's
     * `purchase` events that arrive within the 10 minutes AFTER the click —
     * the attribution join a real event pipeline runs continuously. Both

@@ -220,4 +220,41 @@ class EventsStreamSpec extends SparkSpec {
       assert(!byUser(1L).closed)
     } finally query.stop()
   }
+
+  test("rateLimit annotates trailing-window counts identical to the batch frame") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val windowMicros = 120L * 1000000L // 2 minutes
+    val query = EventsStream.rateLimit(input.toDS(), windowMicros, maxInWindow = 2)
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Append).start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[EventsStream.Event]
+    def feed(batch: EventsStream.Event*): Unit = {
+      fed ++= batch; input.addData(batch); query.processAllAvailable()
+    }
+    try {
+      // state must survive micro-batch boundaries AND evict aged entries
+      feed(EventsStream.Event(ts(0), 1L, "click", 1.0),
+        EventsStream.Event(ts(0, 30), 1L, "click", 1.0),
+        EventsStream.Event(ts(1), 2L, "view", 1.0))
+      feed(EventsStream.Event(ts(1, 30), 1L, "click", 1.0), // 3 in 2min → limited
+        EventsStream.Event(ts(2, 50), 1L, "click", 1.0))    // first two aged out
+      feed(EventsStream.Event(ts(3), 2L, "view", 1.0))
+      val got = spark.table("rate_out").as[EventsStream.RateVerdict]
+        .collect().toSeq.sortBy(r => (r.user_id, r.ts_us))
+      // scalar replay of the batch events_rolling frame: [t-W, t] inclusive
+      def us(t: Timestamp) = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val expect = fed.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val times = es.map(e => us(e.ts)).sorted
+        times.map { t =>
+          val n = times.count(x => x >= t - windowMicros && x <= t).toLong
+          EventsStream.RateVerdict(u, t, n, n > 2)
+        }
+      }.sortBy(r => (r.user_id, r.ts_us))
+      assert(got === expect)
+      assert(got.exists(_.limited) && got.exists(!_.limited))
+      // the eviction really happened: the 10:02:50 event saw only itself+1
+      assert(got.find(r => r.user_id == 1L && r.ts_us == us(ts(2, 50))).get.n_window === 2L)
+    } finally query.stop()
+  }
 }
