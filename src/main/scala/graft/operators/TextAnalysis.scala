@@ -686,8 +686,47 @@ object TextAnalysis {
       .limit(CooccurTopK)
   }
 
+  private val HashDim = 64
+
+  /** Hashing-trick featurization — the fixed-dimension bag-of-words
+    * vectorizer (feature hashing): every token maps to one of [[HashDim]]
+    * buckets via md5 (engine-portable, no vocabulary to build, no
+    * dictionary to broadcast — THE property that makes the hashing trick
+    * the 100 TB featurizer), and each document reduces to its vector
+    * summary: nonzero buckets, token count, and the exact squared L2 norm
+    * of the count vector as integer arithmetic.
+    *
+    * Shape: one explode, then (doc, bucket) counts collapse map-side to
+    * ≤ [[HashDim]] partial rows per doc per partition before the
+    * exchange; the per-doc summary aggregates that bounded frame. The
+    * bucket is the first 2 md5 hex chars mod [[HashDim]] — DuckDB replays
+    * it with positional nibble arithmetic over the same hex (the
+    * [[Dedup]] portable-hash idiom).
+    */
+  val featureHash: Q = Q("feature_hash",
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |b AS (SELECT doc_id,
+       |    ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) % $HashDim AS bucket,
+       |    count(*) AS c
+       |  FROM w GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tok,
+       |  CAST(sum(c * c) AS BIGINT) AS sum_sq
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % HashDim)
+          .as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"), sum(col("c")).as("n_tok"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
-      bpePairs, corpusReport, boilerplate, cooccur)
+      bpePairs, corpusReport, boilerplate, cooccur, featureHash)
 }

@@ -249,6 +249,34 @@ object Ingest {
 
   val all: Seq[graft.Q] = Seq(bucketedJoin)
 
+  /** Schema-evolution read — a long-lived dataset's files span schema
+    * versions (columns added over months of ingest); `mergeSchema` unions
+    * the per-file parquet footers, then the frame is CONFORMED to the
+    * declared target: declared order, declared types (cast), missing
+    * columns filled with a declared default (or null) — so every consumer
+    * downstream sees one stable schema regardless of which era a row was
+    * written in. Column pruning and filter pushdown still reach each
+    * file's scan (asserted in SchemaEvolutionSpec); the footer merge is
+    * metadata-only.
+    */
+  def readEvolved(spark: SparkSession, path: String, target: StructType,
+      defaults: Map[String, Any] = Map.empty): DataFrame = {
+    val raw = spark.read.option("mergeSchema", true).parquet(path)
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cols = target.fields.map { f =>
+      val base = (raw.columns.contains(f.name), defaults.get(f.name)) match {
+        // pre-evolution rows surface an existing-in-merged-schema column
+        // as NULL — the declared default fills those too, not only the
+        // column-absent case
+        case (true, Some(d))  => coalesce(col(f.name), lit(d))
+        case (true, None)     => col(f.name)
+        case (false, d)       => lit(d.orNull)
+      }
+      base.cast(f.dataType).as(f.name)
+    }
+    raw.select(cols.toSeq: _*)
+  }
+
   /** Small-files compaction — the table-maintenance pass every long-lived
     * 100 TB dataset needs: streaming/incremental writers leave thousands
     * of KB-scale files whose per-file open/footer cost eventually

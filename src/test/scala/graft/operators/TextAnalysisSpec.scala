@@ -247,6 +247,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nulls(1).isNullAt(0))
   }
 
+  test("feature_hash computes exact hashed-bag summaries") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = all.map { case (id, t) =>
+      val counts = t.split(" ", -1).toSeq
+        .groupBy(w => java.lang.Long.parseLong(md5hex(w).take(2), 16) % 64)
+        .view.mapValues(_.length.toLong).toMap
+      (id, counts.size.toLong, counts.values.sum,
+        counts.values.map(c => c * c).sum)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.featureHash.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the trick really compresses: every doc lands in <= 64 buckets
+    assert(got.forall(_._2 <= 64))
+  }
+
   test("text_boilerplate agrees with a direct 8-gram df replay and is top-k") {
     val all = graft.sources.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
