@@ -398,6 +398,12 @@ object Analytics {
     // plain `div` truncates toward zero for pre-1970 nanos and would
     // diverge from DuckDB's µs coercion exactly where eventsWindow's
     // bucketing already had to solve this — one helper, one semantics
+    sessionFrame(s, dir).orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** The sessionized frame [[sessionize]] sorts and [[eventsConcurrency]]
+    * consumes: 30-minute-gap sessions per user with start/end/stats. */
+  private def sessionFrame(s: SparkSession, dir: String): DataFrame = {
     val tus = Tables.nanosToMicros("ts")
     val w = Window.partitionBy(col("user_id")).orderBy(tus)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -413,7 +419,6 @@ object Analytics {
         min(col("tus")).as("session_start"),
         max(col("tus")).as("session_end"),
         exactSum(col("value")).as("sum_value"))
-      .orderBy(col("user_id"), col("session_no"))
   }
 
   /** Batch twin of the stream-stream attribution join — and not a
@@ -854,6 +859,59 @@ object Analytics {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Concurrent-session load curve — how many sessions were simultaneously
+    * active each minute, the capacity-planning signal derived from the
+    * SAME session frame [[sessionize]] gates (shared [[sessionFrame]], so
+    * the two can never disagree about what a session is). Classic interval
+    * counting, done scalably: every session becomes two DELTAS (+1 at its
+    * start minute, −1 one past its end minute), deltas collapse into a
+    * per-minute histogram (map-side partials, |active minutes| rows), and
+    * the running sum over THAT histogram — not over sessions, not over
+    * events — yields the concurrency at every change point. The ordered
+    * window walks ≤ minutes-in-the-time-range rows (a year is ~526k) on
+    * one task regardless of corpus size; a per-event or per-session
+    * global sort is the shape this avoids. Output is change-points only
+    * (minutes between carry the previous value).
+    */
+  private val MinuteMicros = 60000000L
+
+  val eventsConcurrency: Q = Q("events_concurrency",
+    s"""WITH d AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |s AS (SELECT user_id, tus,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |t AS (SELECT user_id, tus,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM s),
+      |sess AS (SELECT user_id, session_no, min(tus) AS st, max(tus) AS en
+      |  FROM t GROUP BY 1, 2),
+      |d0 AS (SELECT (st - ((st % $MinuteMicros + $MinuteMicros) % $MinuteMicros)) // $MinuteMicros AS b,
+      |         1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT (en - ((en % $MinuteMicros + $MinuteMicros) % $MinuteMicros)) // $MinuteMicros + 1,
+      |         -1 FROM sess),
+      |h AS (SELECT b, CAST(sum(delta) AS BIGINT) AS delta FROM d0 GROUP BY b)
+      |SELECT CAST(b AS BIGINT) AS minute,
+      |  CAST(sum(delta) OVER (ORDER BY b) AS BIGINT) AS active
+      |FROM h ORDER BY minute""".stripMargin) { (s, dir) =>
+    def minuteOf(c: Column): Column =
+      expr(s"(${c.toString} - pmod(${c.toString}, ${MinuteMicros}L)) div ${MinuteMicros}L")
+    val sess = sessionFrame(s, dir)
+      .select(col("session_start"), col("session_end"))
+    sess
+      .select(explode(array(
+        struct(minuteOf(col("session_start")).as("b"), lit(1L).as("delta")),
+        struct((minuteOf(col("session_end")) + 1L).as("b"), lit(-1L).as("delta"))))
+        .as("x"))
+      .select(col("x.b").as("b"), col("x.delta").as("delta"))
+      .groupBy(col("b")).agg(sum(col("delta")).as("delta"))
+      .withColumn("active", sum(col("delta")).over(Window.orderBy(col("b"))))
+      .select(col("b").as("minute"), col("active"))
+      .orderBy(col("minute"))
+  }
+
   /** Rolling 24-hour per-user activity features over the event log — the
     * time-RANGE window frame ([[windowFuncs]] covers the ROWS frame): each
     * event carries how many events and how much value its user produced in
@@ -1124,5 +1182,5 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
-    winsorize, lateSuppliers, groupMedian)
+    winsorize, lateSuppliers, groupMedian, eventsConcurrency)
 }

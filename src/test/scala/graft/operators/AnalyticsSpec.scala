@@ -371,6 +371,39 @@ class AnalyticsSpec extends SparkSpec {
       expect.exists(_._2 % 2 == 0))
   }
 
+  test("events_concurrency replays the interval-count from scalar sessions") {
+    import spark.implicits._
+    val minute = 60000000L
+    val raw = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", graft.sources.Tables.nanosToMicros("ts").as("tus"))
+      .as[(Long, Long)].collect()
+    // scalar 30-min-gap sessionization → (start, end) intervals
+    val intervals = raw.groupBy(_._1).values.flatMap { es =>
+      val ts = es.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (st, en) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - en > 1800000000L) { sessions += ((st, en)); st = t; en = t }
+        else en = t
+      }
+      sessions += ((st, en))
+      sessions
+    }.toSeq
+    val deltas = scala.collection.mutable.Map.empty[Long, Long]
+    intervals.foreach { case (st, en) =>
+      deltas(st / minute) = deltas.getOrElse(st / minute, 0L) + 1L
+      deltas(en / minute + 1) = deltas.getOrElse(en / minute + 1, 0L) - 1L
+    }
+    var run = 0L
+    val expect = deltas.toSeq.sortBy(_._1).map { case (b, d) => run += d; (b, run) }
+    val got = Analytics.eventsConcurrency.run(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.forall(_._2 >= 0L))
+    assert(got.last._2 === 0L, "all sessions must eventually close")
+    assert(got.map(_._2).max >= 2L, "fixture must overlap sessions")
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
