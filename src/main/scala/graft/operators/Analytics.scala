@@ -401,9 +401,12 @@ object Analytics {
     sessionFrame(s, dir).orderBy(col("user_id"), col("session_no"))
   }
 
-  /** The sessionized frame [[sessionize]] sorts and [[eventsConcurrency]]
-    * consumes: 30-minute-gap sessions per user with start/end/stats. */
-  private def sessionFrame(s: SparkSession, dir: String): DataFrame = {
+  /** Events with their 30-minute-gap session assignment — the shared
+    * upstream of [[sessionize]], [[eventsConcurrency]] and
+    * [[eventsTopPaths]] (one definition of "session", three consumers).
+    * Session numbering is tie-safe: equal-tus peers produce identical brk
+    * flags under any lag order, so the running sum is deterministic. */
+  private def sessionEvents(s: SparkSession, dir: String): DataFrame = {
     val tus = Tables.nanosToMicros("ts")
     val w = Window.partitionBy(col("user_id")).orderBy(tus)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -414,12 +417,17 @@ object Analytics {
           col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_no", sum(col("brk")).over(wRun))
+  }
+
+  /** The sessionized frame [[sessionize]] sorts and [[eventsConcurrency]]
+    * consumes: 30-minute-gap sessions per user with start/end/stats. */
+  private def sessionFrame(s: SparkSession, dir: String): DataFrame =
+    sessionEvents(s, dir)
       .groupBy(col("user_id"), col("session_no"))
       .agg(count(lit(1)).as("n_events"),
         min(col("tus")).as("session_start"),
         max(col("tus")).as("session_end"),
         exactSum(col("value")).as("sum_value"))
-  }
 
   /** Batch twin of the stream-stream attribution join — and not a
     * re-implementation: it calls the SAME
@@ -912,6 +920,47 @@ object Analytics {
       .orderBy(col("minute"))
   }
 
+  /** Sequential pattern mining over sessions — the top session-opening
+    * paths (first three event types, in order): the "how do journeys
+    * start" query behind onboarding and bot-shape analysis, and the
+    * third consumer of the ONE session definition ([[sessionEvents]]).
+    *
+    * Determinism under concurrency: the per-session ordering key is
+    * (tus, event_id) — event_id breaks same-microsecond ties, so the
+    * path string is unique for a given dataset on any partitioning, and
+    * DuckDB's `list(... ORDER BY tus, event_id)` replays it exactly.
+    * Shape: the collect+sort is per session (bounded by session length,
+    * and only the first 3 survive the slice); path counts collapse
+    * map-side; the top-20 is a TakeOrdered.
+    */
+  val eventsTopPaths: Q = Q("events_top_paths",
+    """WITH d AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |s AS (SELECT user_id, event_id, event_type, tus,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |t AS (SELECT user_id, event_id, event_type, tus,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM s),
+      |p AS (SELECT user_id, session_no,
+      |    array_to_string(list(event_type ORDER BY tus, event_id)[1:3], '>') AS path
+      |  FROM t GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions FROM p
+      |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+    sessionEvents(s, dir)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(array_join(
+        slice(
+          expr("transform(sort_array(collect_list(struct(tus, event_id, event_type)))," +
+            " x -> x.event_type)"),
+          1, 3),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** Rolling 24-hour per-user activity features over the event log — the
     * time-RANGE window frame ([[windowFuncs]] covers the ROWS frame): each
     * event carries how many events and how much value its user produced in
@@ -1182,5 +1231,6 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
-    winsorize, lateSuppliers, groupMedian, eventsConcurrency)
+    winsorize, lateSuppliers, groupMedian, eventsConcurrency,
+    eventsTopPaths)
 }

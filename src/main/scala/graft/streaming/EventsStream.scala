@@ -107,10 +107,15 @@ object EventsStream {
     * the batch RANGE window computes) and flagged once that count exceeds
     * `maxInWindow`. The abuse/flood gate a 100 TB/day ingest runs inline.
     *
-    * State per user is ONLY the in-window timestamp list (bounded by the
-    * rate actually observed: an honest user holds ≤ maxInWindow+ε
-    * entries), evicted as events age past the window — not a growing
-    * history. Rows inside a micro-batch are event-time-sorted per user
+    * State per user is ONLY the in-window timestamp list, evicted as
+    * events age past the window — not a growing history. The bound is
+    * the user's actual in-window event count: honest users hold
+    * ≤ maxInWindow+ε entries, and even a flooding key holds exactly what
+    * the BATCH sliding RANGE frame would buffer for the same data — the
+    * streaming state is never worse than the batch window's working set
+    * for that key (cap the list and saturate the verdict if a deployment
+    * wants a hard ceiling at the cost of exact counts above it).
+    * Rows inside a micro-batch are event-time-sorted per user
     * before folding; cross-batch order is the source's responsibility
     * (in-order per user ⇒ stream output ≡ batch rolling count, asserted
     * in EventsStreamSpec).

@@ -404,6 +404,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).max >= 2L, "fixture must overlap sessions")
   }
 
+  test("events_top_paths mines session-opening trigrams deterministically") {
+    import spark.implicits._
+    val raw = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        graft.sources.Tables.nanosToMicros("ts").as("tus"))
+      .as[(Long, Long, String, Long)].collect()
+    val paths = raw.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2)) // (tus, event_id)
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e._4 - sessions.last.last._4 > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      sessions.map(_.take(3).map(_._3).mkString(">"))
+    }.toSeq
+    val expect = paths.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val q = Analytics.eventsTopPaths.run(spark, dir)
+    val got = q.as[(String, Long)].collect().toSeq
+    assert(got === expect)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("every query is registered with a runnable plan and entry smoke-passes") {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
