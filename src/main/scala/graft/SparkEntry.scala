@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Analytics.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.Sampling.all ++
-      operators.AsofJoin.all ++ operators.Graph.all ++ sources.Ingest.all
+      operators.AsofJoin.all ++ operators.Graph.all ++ operators.Layout.all ++
+      sources.Ingest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,4 +88,57 @@ object TypedAggs {
       override def bufferEncoder: Encoder[KBuf] = Encoders.product[KBuf]
       override def outputEncoder: Encoder[TopIds] = Encoders.product[TopIds]
     }
+
+  // public: Catalyst's generated (de)serializers access these reflectively
+  case class MGBuf(ws: Seq[String], cs: Seq[Long])
+  case class MGOut(ws: Seq[String])
+
+  /** Misra–Gries heavy-hitter CANDIDATE sketch: at most `k` counters per
+    * buffer, so map-side partial aggregation ships O(k) state per partition
+    * regardless of stream length — the scalable first pass of the exact
+    * two-pass heavy-hitter query (graft.operators.TextAnalysis
+    * .heavyHitters).
+    *
+    * Guarantee (the only property the consumer relies on): any item with
+    * true frequency > n/(k+1) survives in the final buffer — each
+    * decrement retires k+1 distinct occurrences, so an item can be evicted
+    * at most n/(k+1) times. The merge subtracts the (k+1)-largest count
+    * when the union overflows, which preserves the same undercount bound
+    * (Agarwal et al., "Mergeable Summaries", PODS'12). The candidate SET
+    * depends on partition order and is NOT deterministic — determinism is
+    * restored by the exact verification pass that follows; nothing
+    * order-dependent ever reaches query output.
+    */
+  def misraGries(k: Int): Aggregator[String, MGBuf, MGOut] =
+    new Aggregator[String, MGBuf, MGOut] {
+      override def zero: MGBuf = MGBuf(Vector.empty, Vector.empty)
+      override def reduce(b: MGBuf, w: String): MGBuf = {
+        val i = b.ws.indexOf(w)
+        if (i >= 0) MGBuf(b.ws, b.cs.updated(i, b.cs(i) + 1))
+        else if (b.ws.size < k) MGBuf(b.ws :+ w, b.cs :+ 1L)
+        else {
+          // full and absent: decrement every counter, drop exhausted ones
+          val kept = b.ws.lazyZip(b.cs).collect {
+            case (kw, c) if c > 1 => (kw, c - 1)
+          }.toVector
+          MGBuf(kept.map(_._1), kept.map(_._2))
+        }
+      }
+      override def merge(x: MGBuf, y: MGBuf): MGBuf = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        x.ws.lazyZip(x.cs).foreach { case (w, c) => m(w) = m.getOrElse(w, 0L) + c }
+        y.ws.lazyZip(y.cs).foreach { case (w, c) => m(w) = m.getOrElse(w, 0L) + c }
+        if (m.size <= k) MGBuf(m.keys.toVector, m.values.toVector)
+        else {
+          val cut = m.values.toVector.sorted(Ordering[Long].reverse)(k)
+          val kept = m.iterator.collect {
+            case (w, c) if c > cut => (w, c - cut)
+          }.toVector
+          MGBuf(kept.map(_._1), kept.map(_._2))
+        }
+      }
+      override def finish(b: MGBuf): MGOut = MGOut(b.ws)
+      override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+      override def outputEncoder: Encoder[MGOut] = Encoders.product[MGOut]
+    }
 }

@@ -143,5 +143,58 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(asof, rangeJoin, bandJoin)
+  /** SCD type-2 history build — run-length compression of a per-key state
+    * stream into versioned validity intervals: for each user, consecutive
+    * events with the SAME `event_type` collapse into one row carrying
+    * `[effective_from, effective_to)` and a version number; the last
+    * version stays open (NULL `effective_to`). This is the change-data-
+    * capture → dimension-history operator every warehouse pipeline needs
+    * and the temporal complement of [[asof]] (an as-of probe into the
+    * produced intervals returns exactly the state current at probe time).
+    *
+    * Shape: two window passes — change detection (`lag`) and interval
+    * stitching (`lead` + `row_number`) — over the SAME (user_id → tus,
+    * event_id) partitioning and ordering, with a filter between them; the
+    * plan pays ONE exchange + sort for the whole query, the filter and
+    * second window run on the already-sorted stream. Ordering ties are
+    * impossible (event_id is unique), so every window function is
+    * deterministic. Time arithmetic is the shared exact nanos→µs floor
+    * ([[Tables.nanosToMicros]] ≡ DuckDB's TIMESTAMP(NANOS)→µs coercion).
+    * At 100 TB the cost is exactly a sort-merge regrouping by user — no
+    * self-join, no per-version scan; a 1000-executor run shuffles each
+    * user's events once and emits the compressed history map-side.
+    */
+  val scd2: Q = Q("scd2_history",
+    """WITH d AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, tus, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+      |    END AS chg
+      |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |k AS (SELECT user_id, tus, event_id, event_type FROM c WHERE chg = 1)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type AS state, tus AS effective_from,
+      |  lead(tus) OVER w AS effective_to
+      |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), Tables.nanosToMicros("ts").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .where(col("chg") === 1)
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("event_type").as("state"),
+        col("tus").as("effective_from"),
+        lead(col("tus"), 1).over(w).as("effective_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val all: Seq[Q] = Seq(asof, rangeJoin, bandJoin, scd2)
 }

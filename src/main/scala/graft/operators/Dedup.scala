@@ -660,7 +660,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance record linkage (fuzzy join) over `part` names — the
+    * string-similarity member of the near-dup family: where [[minhash]] /
+    * [[simhash]] approximate SET similarity, this finds pairs within a
+    * bounded Levenshtein distance EXACTLY, using blocking to stay off the
+    * O(n²) cliff. Block key = `p_brand` (records in different blocks can
+    * never pair), plus a length-difference prefilter — |len(a)−len(b)| is
+    * a lower bound on edit distance, so pairs it rejects are rejected by
+    * the real predicate too, and it costs two `length()`s instead of a
+    * DP-table evaluation. `levenshtein` is a codegen'd built-in with
+    * identical unit-cost semantics in DuckDB, so the oracle replays the
+    * join bit-for-bit.
+    *
+    * Scale shape: the self-join shuffles on the block key once; within a
+    * block the pair count is quadratic, which is the universal record-
+    * linkage trade — production sizing picks block keys so blocks stay
+    * O(10³) (here: 25 brands, the worst block is |part|/25 rows; a skewed
+    * blocking key would get the [[graft.operators.Analytics]] salting
+    * treatment, and a second key — length band, sorted-neighborhood
+    * window — multiplies blocks, divides pairs). The per-pair DP cost runs
+    * AFTER the cheap length gate inside one codegen stage, and the output
+    * aggregates to one row per brand, so the exchange out of the join is
+    * constant-size at any corpus scale.
+    */
+  val fuzzyJoin: Q = Q("fuzzy_join",
+    """WITH c AS (SELECT p1.p_brand AS brand,
+      |    levenshtein(p1.p_name, p2.p_name) AS dist
+      |  FROM part p1 JOIN part p2 ON p1.p_brand = p2.p_brand
+      |    AND p1.p_partkey < p2.p_partkey
+      |    AND abs(length(p1.p_name) - length(p2.p_name)) <= 2)
+      |SELECT brand, count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(sum(dist) AS BIGINT) AS sum_dist
+      |FROM c WHERE dist <= 3
+      |GROUP BY brand ORDER BY brand""".stripMargin) { (s, dir) =>
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val p1 = p.as("p1")
+    val p2 = p.as("p2")
+    p1.join(p2,
+        col("p1.p_brand") === col("p2.p_brand") &&
+          col("p1.p_partkey") < col("p2.p_partkey") &&
+          abs(length(col("p1.p_name")) - length(col("p2.p_name"))) <= 2)
+      .select(col("p1.p_brand").as("brand"),
+        levenshtein(col("p1.p_name"), col("p2.p_name")).as("dist"))
+      .where(col("dist") <= 3)
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(col("dist")).as("sum_dist"))
+      .orderBy(col("brand"))
+  }
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical,
-      crossEval)
+      crossEval, fuzzyJoin)
 }

@@ -725,8 +725,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy-hitter threshold: report every token whose frequency exceeds
+    * 1/[[HHFrac]] of the stream. The Misra–Gries sketch size must satisfy
+    * k + 1 ≥ HHFrac for the superset guarantee; 64 leaves slack.
+    */
+  private val HHFrac = 35
+  private val HHSketchK = 64
+
+  /** EXACT frequent-token mining at sketch cost — the two-pass heavy
+    * hitter: pass 1 runs the Misra–Gries candidate sketch
+    * ([[graft.functions.TypedAggs.misraGries]]) whose per-partition state
+    * is O(k) no matter how many tokens stream through (map-side partials,
+    * one k-sized buffer per partition reaches the driver), pass 2 counts
+    * ONLY the ≤ k candidates exactly and applies the threshold
+    * `c · HHFrac > n` as pure integer arithmetic. MG guarantees the
+    * candidate set is a superset of every true heavy hitter, so the exact
+    * pass restores full determinism — the output is identical to the naive
+    * group-everything query the oracle runs, but the shuffle in pass 2
+    * carries at most k distinct keys instead of the whole vocabulary.
+    * That exchange-volume bound (k · partitions rows, not |vocab| ·
+    * partitions) is what makes this the 100 TB form; the driver-side
+    * candidate collect is ≤ k strings — model-size, same legitimacy as
+    * [[Similarity]]'s IVF centroids.
+    */
+  val heavyHitters: Q = Q("heavy_hitters",
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tot AS (SELECT count(*) AS n FROM toks),
+       |c AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+       |SELECT w, c FROM c CROSS JOIN tot
+       |WHERE c * $HHFrac > n ORDER BY c DESC, w""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = docs(s, dir).select(explode(split(col("text"), " ")).as("w"))
+    // pass 1: bounded-state candidate sketch (superset of all heavy hitters)
+    val cand: Seq[String] = toks.as[String]
+      .select(graft.functions.TypedAggs.misraGries(HHSketchK).toColumn)
+      .head().ws
+    // pass 2: exact counts for candidates only + exact integer threshold
+    val tot = docs(s, dir)
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+    toks.where(col("w").isin(cand: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tot))
+      .where(col("c") * HHFrac > col("n"))
+      .select(col("w"), col("c"))
+      .orderBy(col("c").desc, col("w"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
-      bpePairs, corpusReport, boilerplate, cooccur, featureHash)
+      bpePairs, corpusReport, boilerplate, cooccur, featureHash,
+      heavyHitters)
 }

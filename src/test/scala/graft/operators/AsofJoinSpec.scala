@@ -111,4 +111,43 @@ class AsofJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     got.foreach { case (id, n) => assert(n === expect.getOrElse(id, 0L), s"event $id") }
   }
+
+  test("scd2_history run-length compresses state and chains intervals gaplessly") {
+    val d = sf("sf0.001")
+    val got = AsofJoin.scd2.run(spark, d)
+      .as[(Long, Long, String, Long, Option[Long])].collect().toSeq
+
+    // scalar replay: per user, ordered (tus, event_id), compress runs
+    val raw = graft.sources.Tables.load(spark, d, "events")
+      .select($"user_id", graft.sources.Tables.nanosToMicros("ts"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val kept = sorted.zipWithIndex.collect {
+        case ((_, tus, _, st), i)
+          if i == 0 || sorted(i - 1)._4 != st => (tus, st)
+      }
+      kept.zipWithIndex.map { case ((tus, st), i) =>
+        (uid, (i + 1).toLong, st, tus,
+          if (i + 1 < kept.size) Some(kept(i + 1)._1) else None)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === expect)
+
+    // invariants: no consecutive equal states; intervals chain exactly
+    got.groupBy(_._1).foreach { case (uid, vs) =>
+      val s = vs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Seq((_, _, st1, _, to1), (_, _, st2, from2, _)) =>
+          assert(st1 != st2, s"user $uid: uncompressed run")
+          assert(to1.contains(from2), s"user $uid: interval gap")
+        case _ =>
+      }
+      assert(s.last._5.isEmpty, s"user $uid: last version must stay open")
+    }
+    // one exchange + one sort for both windows, plus the presentation sort
+    val plan = AsofJoin.scd2.run(spark, d).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
 }

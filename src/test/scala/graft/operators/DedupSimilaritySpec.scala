@@ -194,4 +194,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("fuzzy_join agrees with a scalar Levenshtein replay of the blocked pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.sources.Tables.load(spark, sf("sf0.001"), "part")
+      .select($"p_partkey", $"p_brand", $"p_name")
+      .as[(Long, String, String)].collect()
+    val expect = parts.groupBy(_._2).toSeq.flatMap { case (brand, ps) =>
+      val pairs = for {
+        (k1, _, n1) <- ps; (k2, _, n2) <- ps
+        if k1 < k2 && math.abs(n1.length - n2.length) <= 2
+        d = lev(n1, n2) if d <= 3
+      } yield d
+      if (pairs.isEmpty) None
+      else Some((brand, pairs.size.toLong,
+        pairs.count(_ == 0).toLong, pairs.map(_.toLong).sum))
+    }.sortBy(_._1)
+    val got = Dedup.fuzzyJoin.run(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.exists(_._3 > 0), "tiny name vocabulary must produce exact dupes")
+  }
 }

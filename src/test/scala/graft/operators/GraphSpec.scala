@@ -56,4 +56,41 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._3).sum <= scale, "truncation only ever loses rank mass")
     assert(got.size === 25)
   }
+
+  test("graph_triangles matches a brute-force triple enumeration") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val ordCust = tbl("orders").select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val custNat = tbl("customer").select($"c_custkey", $"c_nationkey")
+      .as[(Long, Int)].collect().toMap
+    val suppNat = tbl("supplier").select($"s_suppkey", $"s_nationkey")
+      .as[(Long, Int)].collect().toMap
+
+    val edges = tbl("lineitem").select($"l_orderkey", $"l_suppkey")
+      .as[(Long, Long)].collect()
+      .map { case (ok, sk) =>
+        (custNat(ordCust(ok)).toLong, suppNat(sk).toLong)
+      }
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    // brute force: every node triple, count triangles per member
+    val triOf = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if edges((a, b)) && edges((b, c)) && edges((a, c))
+      x <- Seq(a, b, c)
+    } triOf(x) = triOf.getOrElse(x, 0L) + 1L
+
+    val got = Graph.triangles.run(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.size === 25)
+    assert(got.map(_._1) === got.map(_._1).sorted, "ordered by nationkey")
+    got.foreach { case (nk, _, tri) =>
+      assert(tri === triOf.getOrElse(nk, 0L), s"nation $nk")
+    }
+    assert(got.map(_._3).sum > 0, "trade graph is dense — triangles must exist")
+  }
 }

@@ -304,4 +304,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("misraGries sketch never loses a true heavy hitter, across partitions") {
+    import graft.functions.TypedAggs
+    // skewed stream: "hot0" ×600, "hot1" ×300, 2100 distinct cold items ×1
+    val items = Seq.fill(600)("hot0") ++ Seq.fill(300)("hot1") ++
+      (0 until 2100).map(i => s"cold$i")
+    val n = items.size
+    val k = 20
+    val ds = spark.createDataset(scala.util.Random.shuffle(items))(
+      org.apache.spark.sql.Encoders.STRING).repartition(7)
+    val cand = ds.select(TypedAggs.misraGries(k).toColumn).head().ws.toSet
+    // guarantee: freq > n/(k+1) survives partials + merges
+    val exact = items.groupBy(identity).view.mapValues(_.size).toMap
+    exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { hh =>
+      assert(cand.contains(hh), s"true heavy hitter $hh evicted from sketch")
+    }
+    assert(cand.size <= k, "buffer bound violated")
+  }
+
+  test("heavy_hitters equals the exact group-everything query") {
+    val toks = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"text").as[String].collect().toSeq
+      .flatMap(_.split(" ", -1))
+    val n = toks.size
+    val expect = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter { case (_, c) => c * 35 > n }
+      .map { case (w, c) => (w, c) }
+      .sortBy { case (w, c) => (-c, w) }
+    val got = TextAnalysis.heavyHitters.run(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "uniform tiny vocabulary ⇒ every word is frequent")
+  }
 }
