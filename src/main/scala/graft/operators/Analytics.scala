@@ -1225,6 +1225,52 @@ object Analytics {
       .orderBy(col("col"))
   }
 
+  /** TPC-H Q17 shape — "small-quantity order revenue": lineitems whose
+    * quantity is below 20% of their part's average, summed per brand. The
+    * classic correlated-scalar-subquery decorrelation case. The oracle
+    * states it as the textbook self-join against a per-part aggregate;
+    * the Spark side uses the WINDOW formulation instead — `sum/count
+    * OVER (PARTITION BY l_partkey)` — so the per-part statistics and the
+    * per-row comparison ride ONE hash exchange on l_partkey with no
+    * second scan and no join of lineitem against itself. The subsequent
+    * part join needs the same l_partkey distribution, and the final
+    * brand aggregation's exchange carries ≤ |brands| groups. At 100 TB
+    * that is one full-fact shuffle total, vs two scans + two shuffles
+    * for the naive decorrelation.
+    *
+    * Exactness: the threshold `qty·5·cnt < sum_qty` is the cross-
+    * multiplied integer form of `qty < 0.2·avg(qty)` over cents-scaled
+    * BIGINTs — no float division on either engine; revenue is the
+    * DECIMAL(18,2)-sum idiom.
+    */
+  val smallOrders: Q = Q("small_order_revenue",
+    """WITH pq AS (SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT p.p_brand, count(*) AS n_small,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_rev
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN pq ON l.l_partkey = pq.l_partkey
+      |WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pq.cnt < pq.sq
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+    val byPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
+      .withColumn("sq", sum(col("qty_c")).over(byPart))
+      .withColumn("cnt", count(lit(1)).over(byPart))
+      .where(col("qty_c") * lit(5L) * col("cnt") < col("sq"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        exactSum(col("l_extendedprice")).as("small_rev"))
+      .orderBy(col("p_brand"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
@@ -1232,5 +1278,5 @@ object Analytics {
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
-    eventsTopPaths)
+    eventsTopPaths, smallOrders)
 }

@@ -185,5 +185,121 @@ object Graph {
       .orderBy(col("nationkey"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles)
+  private val CoreK = 3
+  private val MaxPeel = 25 // ≥ |V|: peeling converges in < |V| rounds
+
+  /** One DuckDB peeling round: restrict edges to surviving nodes,
+    * recompute degrees, keep nodes with degree ≥ k. Rounds after the
+    * fixpoint are no-ops, so unrolling MaxPeel rounds is exact. Every
+    * n$i is MATERIALIZED — each round references its predecessor twice
+    * (both join legs), so inlining would replicate the chain 2^rounds
+    * times. */
+  private def peelSql(i: Int): String = {
+    val prev = if (i == 1) "n0" else s"n${i - 1}"
+    s"""d$i AS (SELECT d.u, d.v FROM d
+       |  JOIN $prev a ON d.u = a.x JOIN $prev b ON d.v = b.x),
+       |g$i AS (SELECT x, count(*) AS deg FROM
+       |    (SELECT u AS x FROM d$i UNION ALL SELECT v FROM d$i) GROUP BY x),
+       |n$i AS MATERIALIZED (SELECT x FROM g$i WHERE deg >= $CoreK)""".stripMargin
+  }
+
+  private val kcoreOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT
+       |    CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+       |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v,
+       |    count(*) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |stat AS (SELECT count(*) AS ne, CAST(sum(w) AS BIGINT) AS sw FROM e),
+       |d AS MATERIALIZED (SELECT u, v FROM e CROSS JOIN stat WHERE w * ne > sw),
+       |n0 AS MATERIALIZED (SELECT DISTINCT x FROM
+       |    (SELECT u AS x FROM d UNION ALL SELECT v FROM d)),
+       |${(1 to MaxPeel).map(peelSql).mkString(",\n")},
+       |fd AS (SELECT x, count(*) AS deg FROM (
+       |    SELECT d.u AS x FROM d
+       |      JOIN n$MaxPeel a ON d.u = a.x JOIN n$MaxPeel b ON d.v = b.x
+       |    UNION ALL
+       |    SELECT d.v FROM d
+       |      JOIN n$MaxPeel a ON d.u = a.x JOIN n$MaxPeel b ON d.v = b.x)
+       |  GROUP BY x)
+       |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+       |  (fd.x IS NOT NULL) AS in_core,
+       |  CAST(coalesce(fd.deg, 0) AS BIGINT) AS core_deg
+       |FROM nation n LEFT JOIN fd ON n.n_nationkey = fd.x
+       |ORDER BY nationkey""".stripMargin
+
+  /** k-core decomposition (k = $CoreK) of the trade graph, on edges with
+    * strictly above-average weight — the density-based community
+    * primitive next to [[pagerank]] and [[triangles]]: which nations sit
+    * in a mutually-dense trading cluster once weak links are pruned.
+    *
+    * Scale shape — same "aggregate to model size, then iterate" split as
+    * [[pagerank]]: the 100 TB stage is the 4-way fact join + weighted
+    * edge aggregation (touches every lineitem once, shuffle-parallel);
+    * the peeling loop runs over the surviving ≤ |V|²/2-row edge model,
+    * single-partition, with broadcast node-set semijoins and a per-round
+    * eager localCheckpoint. The loop early-exits on the exact fixpoint —
+    * node count is monotone non-increasing, so an unchanged count IS
+    * convergence (a one-task count on a ≤ |V|-row cached frame, not a
+    * data collect). The oracle unrolls MaxPeel rounds; post-fixpoint
+    * rounds are identity, so fixed-unroll and early-exit agree exactly.
+    * The above-average edge filter is pure integer cross-multiplication
+    * (w · ne > sw) — no float threshold to diverge between engines, and
+    * it sparsifies proportionally at ANY scale factor.
+    */
+  val kcore: Q = Q("graph_kcore", kcoreOracle) { (s, dir) =>
+    def t(name: String): DataFrame = Tables.load(s, dir, name)
+    val edges = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t("supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long").as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .coalesce(1).persist()
+    val stat = edges.agg(count(lit(1)).as("ne"), sum(col("w")).as("sw"))
+    val d = edges.crossJoin(broadcast(stat))
+      .where(col("w") * col("ne") > col("sw"))
+      .select(col("u"), col("v"))
+      .coalesce(1).persist()
+    def restrict(nodes: DataFrame): DataFrame = d
+      .join(broadcast(nodes.select(col("x").as("a"))), col("u") === col("a"))
+      .join(broadcast(nodes.select(col("x").as("b"))), col("v") === col("b"))
+      .select(col("u"), col("v"))
+    def degrees(de: DataFrame): DataFrame = de.select(col("u").as("x"))
+      .unionAll(de.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    var nodes = d.select(col("u").as("x"))
+      .unionAll(d.select(col("v").as("x"))).distinct()
+      .coalesce(1).localCheckpoint()
+    var prev = nodes.count()
+    var converged = false
+    for (_ <- 1 to MaxPeel if !converged) {
+      val next = degrees(restrict(nodes))
+        .where(col("deg") >= CoreK).select(col("x"))
+        .coalesce(1).localCheckpoint()
+      val c = next.count()
+      converged = c == prev
+      prev = c
+      nodes = next
+    }
+    val fd = degrees(restrict(nodes))
+    t("nation")
+      .select(col("n_nationkey").cast("long").as("nationkey"), col("n_name"))
+      .join(broadcast(fd), col("nationkey") === col("x"), "left")
+      .select(col("nationkey"), col("n_name"),
+        col("x").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("nationkey"))
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, kcore)
 }

@@ -771,9 +771,91 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("w"))
   }
 
+  /** Inverted index construction — the retrieval-side primitive every
+    * RAG / dedup-audit pipeline wants next to the corpus: term → document
+    * frequency + an order-canonical digest of the full posting list. Two
+    * shuffles, both load-bearing: the (doc, term) DISTINCT dedups
+    * repeated in-doc terms with map-side partial aggregation, then the
+    * term groupBy builds each posting list exactly once. The gate carries
+    * an md5 of the sorted posting list, not the list itself — at 100 TB
+    * the real artifact is postings written out partitioned by term bucket
+    * (the groupBy's exchange IS that partitioning; add
+    * `.write.partitionBy` and the index is materialized), while the
+    * digest keeps the cross-engine comparison payload at 32 bytes per
+    * term no matter how long the list grows. df ≥ 5 + top-200 bounds the
+    * gate output; the index itself has no such cap.
+    */
+  val invertedIndex: Q = Q("text_inverted_index",
+    """WITH td AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |g AS (SELECT w, count(*) AS df,
+      |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+      |  FROM td GROUP BY w)
+      |SELECT w, df, postings_md5 FROM g WHERE df >= 5
+      |ORDER BY df DESC, w LIMIT 200""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        // numeric sort BEFORE the cast-to-string: DuckDB's ORDER BY doc_id
+        // is numeric, and "10" < "2" lexicographically would diverge
+        md5(expr("array_join(transform(sort_array(collect_list(doc_id))," +
+          " x -> cast(x as string)), ',')")).as("postings_md5"))
+      .where(col("df") >= 5)
+      .orderBy(col("df").desc, col("w"))
+      .limit(200)
+  }
+
+  /** Bigram language model — per-prefix next-token distribution with
+    * exact parts-per-million probabilities, the counting backbone of
+    * n-gram LM scoring / synthetic-data filtering. Bigrams are built
+    * map-side from each document's token array (no self-join); ONE
+    * exchange hashes (w1, w2) for the pair counts, and the prefix
+    * totals + per-prefix top-3 both ride a window over the SAME w1
+    * partitioning — Catalyst reuses one exchange for the sum and the
+    * row_number, so the whole query is two shuffles end to end (pairs,
+    * then w1) regardless of corpus size. p_ppm = c·10⁶ // prefix_count
+    * is pure BIGINT floor division — bit-identical across engines, no
+    * float probability in the path.
+    */
+  val bigramLm: Q = Q("text_bigram_lm",
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || chr(9) || ws[i + 1])) AS bg
+      |  FROM t WHERE len(ws) >= 2),
+      |bc AS (SELECT split_part(bg, chr(9), 1) AS w1,
+      |    split_part(bg, chr(9), 2) AS w2, count(*) AS c
+      |  FROM b GROUP BY 1, 2),
+      |r AS (SELECT w1, w2, c,
+      |    CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS pc,
+      |    row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+      |  FROM bc)
+      |SELECT w1, CAST(rn AS BIGINT) AS rn, w2, c,
+      |  CAST((c * 1000000) // pc AS BIGINT) AS p_ppm
+      |FROM r WHERE pc >= 50 AND rn <= 3
+      |ORDER BY w1, rn""".stripMargin) { (s, dir) =>
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val top = byW1.orderBy(col("c").desc, col("w2"))
+    docs(s, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .withColumn("pc", sum(col("c")).over(byW1))
+      .withColumn("rn", row_number().over(top).cast("long"))
+      .where(col("pc") >= 50 && col("rn") <= 3)
+      .select(col("w1"), col("rn"), col("w2"), col("c"),
+        expr("(c * 1000000L) div pc").as("p_ppm"))
+      .orderBy(col("w1"), col("rn"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
-      heavyHitters)
+      heavyHitters, invertedIndex, bigramLm)
 }

@@ -433,4 +433,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.registry.map(_.name).distinct.size === SparkEntry.registry.size)
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("small_order_revenue scans lineitem once and matches a scalar replay") {
+    import spark.implicits._
+    val df = SparkEntry.queries("small_order_revenue")(spark, dir)
+    val got = df.as[(String, Long, Double)].collect().toSeq
+    // window formulation, not the decorrelated self-join: exactly ONE
+    // lineitem scan in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) === 1, p)
+
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .as[(Long, Double, Double)].collect()
+    val brand = graft.sources.Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val stats = li.groupBy(_._1).view.mapValues { rows =>
+      (rows.map(r => math.round(r._2 * 100)).sum, rows.size.toLong)
+    }.toMap
+    val small = li.filter { case (pk, q, _) =>
+      val (sq, cnt) = stats(pk); math.round(q * 100) * 5 * cnt < sq
+    }
+    val expect = small.groupBy(r => brand(r._1)).view.mapValues { rows =>
+      val rev = rows.map(r => BigDecimal(r._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (rows.size.toLong, rev.toDouble)
+    }.toSeq.map { case (b, (n, rev)) => (b, n, rev) }.sortBy(_._1)
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

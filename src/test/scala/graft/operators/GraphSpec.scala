@@ -93,4 +93,56 @@ class GraphSpec extends SparkSpec {
     }
     assert(got.map(_._3).sum > 0, "trade graph is dense — triangles must exist")
   }
+
+  test("graph_kcore matches a scalar peeling replay run to fixpoint") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val ordCust = tbl("orders").select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val custNat = tbl("customer").select($"c_custkey", $"c_nationkey")
+      .as[(Long, Int)].collect().toMap
+    val suppNat = tbl("supplier").select($"s_suppkey", $"s_nationkey")
+      .as[(Long, Int)].collect().toMap
+
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    tbl("lineitem").select($"l_orderkey", $"l_suppkey").as[(Long, Long)]
+      .collect().foreach { case (ok, sk) =>
+        val (cu, sv) = (custNat(ordCust(ok)).toLong, suppNat(sk).toLong)
+        if (cu != sv) {
+          val e = (math.min(cu, sv), math.max(cu, sv))
+          w(e) = w.getOrElse(e, 0L) + 1L
+        }
+      }
+    val (ne, sw) = (w.size.toLong, w.values.sum)
+    // NB: not `w.collect { ... => key }` — collecting pairs out of a Map
+    // rebuilds a Map and silently collapses edges sharing a source node
+    val d: Set[(Long, Long)] =
+      w.filter { case (_, c) => c * ne > sw }.keySet.toSet
+
+    var nodes = d.flatMap { case (u, v) => Seq(u, v) }
+    var changed = true
+    while (changed) {
+      val de = d.filter { case (u, v) => nodes(u) && nodes(v) }
+      val deg = de.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val next = nodes.filter(x => deg.getOrElse(x, 0L) >= 3L)
+      changed = next != nodes
+      nodes = next
+    }
+    val finalDeg = d.filter { case (u, v) => nodes(u) && nodes(v) }
+      .toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val got = Graph.kcore.run(spark, dir)
+      .as[(Long, String, Boolean, Long)].collect().toSeq
+    assert(got.size === 25)
+    assert(got.map(_._1) === got.map(_._1).sorted, "ordered by nationkey")
+    got.foreach { case (nk, _, inCore, deg) =>
+      assert(inCore === nodes.contains(nk), s"nation $nk membership")
+      assert(deg === finalDeg.getOrElse(nk, 0L), s"nation $nk core degree")
+    }
+    // the above-average filter must actually sparsify: some edge endpoints
+    // peel away, otherwise the query degenerates to "everything is core"
+    assert(got.exists(!_._3), "at least one nation outside the 3-core")
+    assert(got.exists(_._3), "the dense trade graph keeps a non-empty 3-core")
+  }
 }

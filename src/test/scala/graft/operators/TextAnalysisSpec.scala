@@ -337,4 +337,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty, "uniform tiny vocabulary ⇒ every word is frequent")
   }
+
+  test("text_inverted_index matches a scalar index build, digests included") {
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val postings = scala.collection.mutable.Map.empty[String, Set[Long]]
+    raw.foreach { case (id, text) =>
+      text.split(" ", -1).distinct.foreach { w =>
+        postings(w) = postings.getOrElse(w, Set.empty) + id
+      }
+    }
+    val expect = postings.toSeq
+      .map { case (w, ids) =>
+        (w, ids.size.toLong, md5hex(ids.toSeq.sorted.mkString(",")))
+      }
+      .filter(_._2 >= 5)
+      .sortBy { case (w, df, _) => (-df, w) }
+      .take(200)
+    val got = TextAnalysis.invertedIndex.run(spark, dir)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("text_bigram_lm matches a scalar bigram count with exact ppm") {
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"text").as[String].collect()
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    raw.foreach { t =>
+      val ws = t.split(" ", -1)
+      ws.sliding(2).filter(_.size == 2).foreach { p =>
+        pair((p(0), p(1))) = pair.getOrElse((p(0), p(1)), 0L) + 1L
+      }
+    }
+    val prefix = pair.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expect = pair.toSeq
+      .map { case ((w1, w2), c) => (w1, w2, c) }
+      .groupBy(_._1).toSeq
+      .filter { case (w1, _) => prefix(w1) >= 50L }
+      .flatMap { case (w1, rows) =>
+        rows.sortBy { case (_, w2, c) => (-c, w2) }.take(3).zipWithIndex.map {
+          case ((_, w2, c), i) =>
+            (w1, i + 1L, w2, c, c * 1000000L / prefix(w1))
+        }
+      }
+      .sortBy { case (w1, rn, _, _, _) => (w1, rn) }
+    val got = TextAnalysis.bigramLm.run(spark, dir)
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, _, ppm) =>
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
 }
