@@ -1271,6 +1271,49 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** A/B experiment readout — deterministic digest assignment plus exact
+    * integer lift: users are split into arms by the parity of the first
+    * hex nibble of `md5(user_id)` (the engine-portable hash-based
+    * assignment every experimentation platform uses — reproducible on
+    * any cluster, no RNG, no assignment table to join), conversion is
+    * "has ≥ 1 purchase event", and the readout is per-arm conversion in
+    * exact parts-per-million (`converted·10⁶ ∕∕ users`, BIGINT floor
+    * division — no float rate) plus the DECIMAL-exact revenue sum.
+    *
+    * Shape: ONE user_id exchange for the per-user collapse (conversion
+    * flag + revenue partial-aggregate map-side), then a 2-row final
+    * aggregate — the corpus is touched once, and the readout frame is
+    * constant-size at any scale.
+    */
+  val abLift: Q = Q("events_ab_lift",
+    """WITH u AS (SELECT user_id,
+      |    CASE WHEN strpos('02468ace', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) > 0
+      |      THEN 'A' ELSE 'B' END AS arm,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev
+      |  FROM events GROUP BY 1, 2)
+      |SELECT arm, count(*) AS n_users,
+      |  CAST(sum(conv) AS BIGINT) AS n_converted,
+      |  CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+      |  CAST(sum(rev) AS DOUBLE) AS revenue
+      |FROM u GROUP BY arm ORDER BY arm""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"),
+        when(expr("instr('02468ace', substr(md5(CAST(user_id AS STRING)), 1, 1))") > 0,
+          lit("A")).otherwise(lit("B")).as("arm"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(dec(lit(0)))).as("rev"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("conv")).as("n_converted"),
+        expr("(sum(conv) * 1000000L) div count(1)").as("conv_ppm"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("arm"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
@@ -1278,5 +1321,5 @@ object Analytics {
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
-    eventsTopPaths, smallOrders)
+    eventsTopPaths, smallOrders, abLift)
 }

@@ -853,9 +853,53 @@ object TextAnalysis {
       .orderBy(col("w1"), col("rn"))
   }
 
+  /** Per-document novelty scoring — what fraction (exact ppm) of a
+    * document's distinct word-8-grams appear here FIRST (minimum doc_id
+    * over the corpus)? The incremental-ingest signal behind "is this
+    * batch new material or a rehash": boilerplate-heavy and near-dup
+    * documents score low, genuinely new text scores 10⁶. Doc-id order
+    * stands in for arrival order; on a real pipeline the same query runs
+    * with an ingest timestamp as the tiebreak.
+    *
+    * Shape: gram explode + per-doc DISTINCT (map-side partial dedup),
+    * first-occurrence = min(doc_id) per gram (two-phase agg), then the
+    * gram-keyed join back and a per-doc count — every exchange is keyed
+    * on the gram or the doc id, nothing global. The gram STRINGS are the
+    * shuffle payload twice (df agg + join); the documented scale lever
+    * (as for [[boilerplate]]) is digesting grams to 16 bytes before the
+    * exchange. novelty_ppm = novel·10⁶ ∕∕ total is BIGINT floor division
+    * — no float ratio to diverge. Documents with < 8 tokens have no
+    * grams and are (by design) absent.
+    */
+  val novelty: Q = Q("text_novelty",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g0 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS g FROM toks),
+       |dg AS (SELECT DISTINCT doc_id, g FROM g0),
+       |fo AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+       |SELECT dg.doc_id, count(*) AS n_grams,
+       |  CAST(count(*) FILTER (WHERE fo.first_doc = dg.doc_id) AS BIGINT) AS n_novel,
+       |  CAST(count(*) FILTER (WHERE fo.first_doc = dg.doc_id) * 1000000
+       |    // count(*) AS BIGINT) AS novelty_ppm
+       |FROM dg JOIN fo USING (g)
+       |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+    val dg = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
+      .distinct()
+    val fo = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    dg.join(fo, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000L) div n_grams").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
-      heavyHitters, invertedIndex, bigramLm)
+      heavyHitters, invertedIndex, bigramLm, novelty)
 }

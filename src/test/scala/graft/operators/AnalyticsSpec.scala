@@ -463,4 +463,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("events_ab_lift: digest assignment is deterministic and exhaustive") {
+    import spark.implicits._
+    val out = SparkEntry.queries("events_ab_lift")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq("A", "B"))
+    val users = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id").distinct().as[Long].collect()
+    // replay the assignment rule driver-side: every user lands in exactly
+    // one arm and the two arm sizes add up to the distinct-user count
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("02468ace".contains("%02x".format(h(0)).charAt(0))) "A" else "B"
+    }
+    val byArm = users.groupBy(arm).view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => r._1 -> r._2).toMap === byArm)
+    out.foreach { case (_, n, conv, ppm, _) =>
+      assert(conv <= n)
+      assert(ppm === conv * 1000000L / n)
+    }
+  }
 }

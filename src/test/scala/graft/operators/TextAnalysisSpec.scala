@@ -390,4 +390,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ppm >= 0L && ppm <= 1000000L)
     }
   }
+
+  test("text_novelty matches a scalar first-occurrence replay") {
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val grams: Map[Long, Set[String]] = raw.map { case (id, text) =>
+      id -> text.split(" ", -1).sliding(8).filter(_.size == 8)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    grams.toSeq.sortBy(_._1).foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val expect = grams.toSeq
+      .filter(_._2.nonEmpty)
+      .map { case (id, gs) =>
+        val novel = gs.count(g => firstDoc(g) == id).toLong
+        (id, gs.size.toLong, novel, novel * 1000000L / gs.size)
+      }
+      .sortBy(_._1)
+    val got = TextAnalysis.novelty.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the lowest doc_id with grams is 100% novel by construction
+    assert(got.head._4 === 1000000L)
+  }
 }
