@@ -542,6 +542,76 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
+  private val classStatsOracle: String = {
+    import graft.functions.LshPlanes.Dims
+    s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |e AS (SELECT label, d.r AS dim, qv[d.r + 1] AS x
+       |  FROM q, (SELECT unnest(range($Dims)) AS r) d),
+       |s AS (SELECT label, dim, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+       |  FROM e GROUP BY 1, 2),
+       |c AS MATERIALIZED (SELECT label, n,
+       |    list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS cq
+       |  FROM s GROUP BY label, n),
+       |coh AS (SELECT q.label,
+       |    CAST(sum(CAST(list_dot_product(q.qv, c.cq) AS BIGINT)) AS BIGINT) AS coh
+       |  FROM q JOIN c USING (label) GROUP BY q.label)
+       |SELECT ce.label, ce.dim, ce.c, ce.n,
+       |  CAST(list_dot_product(c2.cq, c2.cq) AS BIGINT) AS cnorm2, coh.coh
+       |FROM (SELECT label, n, d.r AS dim, cq[d.r + 1] AS c
+       |      FROM c, (SELECT unnest(range($Dims)) AS r) d) ce
+       |JOIN c c2 USING (label)
+       |JOIN coh USING (label)
+       |ORDER BY ce.label, ce.dim""".stripMargin
+  }
+
+  /** Per-label embedding-space report — the class-quality readout a
+    * labeled-embedding pipeline (classifier data audit, clustering sanity
+    * pass) wants: each label's member count, exact integer centroid
+    * (flattened to (label, dim, c) for hash-gating, the [[kmeansTrain]]
+    * convention), the centroid's squared norm, and the class COHESION —
+    * the exact int64 sum over members of dot(member, centroid), the
+    * un-normalized numerator of average-cosine-to-centroid. Everything is
+    * quantized integer arithmetic: member sums are order-independent
+    * int64, the centroid is `floorDiv(sum, n)` (pmod idiom, replayed by
+    * DuckDB's exact `//` on the pmod-adjusted multiple), and cohesion
+    * sums per-member BIGINT dots — no float accumulation anywhere.
+    *
+    * Shape: one posexplode into slim (label, dim, x) rows feeding a
+    * two-phase agg (≤ |labels|·Dims partials per partition reach the
+    * exchange); the assembled |labels|-row centroid model broadcasts back
+    * for the cohesion pass — the corpus is scanned twice, shuffled never
+    * (both aggregations collapse map-side to model-size partials).
+    */
+  val classStats: Q = Q("embed_class_stats", classStatsOracle) { (s, dir) =>
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        quantize(col("embedding")).as("qv"))
+    val sums = base
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val cvec = sums
+      .select(col("label"), col("n"), col("dim"),
+        expr("(s - pmod(s, n)) div n").as("c"))
+      .groupBy(col("label"), col("n"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cq"))
+    val coh = base.join(broadcast(cvec.select(col("label"), col("cq"))), "label")
+      .select(col("label"), dotQ(col("qv"), col("cq")).as("d"))
+      .groupBy(col("label")).agg(sum(col("d")).as("coh"))
+    cvec
+      .select(col("label"), col("n"),
+        posexplode(col("cq")).as(Seq("dim", "c")),
+        dotQ(col("cq"), col("cq")).as("cnorm2"))
+      .join(broadcast(coh), "label")
+      .select(col("label"), col("dim").cast("long").as("dim"), col("c"),
+        col("n"), col("cnorm2"), col("coh"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val all: Seq[Q] =
-    Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall, embedProject)
+    Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall, embedProject,
+      classStats)
 }

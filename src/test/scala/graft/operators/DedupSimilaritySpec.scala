@@ -223,4 +223,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === expect)
     assert(got.exists(_._3 > 0), "tiny name vocabulary must produce exact dupes")
   }
+
+  test("embed_class_stats matches a scalar centroid/cohesion replay") {
+    val raw = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val byLabel = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = byLabel.toSeq.sortBy(_._1).flatMap { case (label, vecs) =>
+      // Spark round() is HALF_UP away from zero (Math.round is toward
+      // +inf for negatives) — replay with BigDecimal to match exactly
+      val q = vecs.map(_.map(x => BigDecimal(x.toDouble * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      val n = q.length.toLong
+      val cent = q.head.indices.map { d =>
+        Math.floorDiv(q.map(_(d)).sum, n)
+      }
+      val cnorm2 = cent.map(c => c * c).sum
+      val coh = q.map(v => v.indices.map(i => v(i) * cent(i)).sum).sum
+      cent.zipWithIndex.map { case (c, d) =>
+        (label, d.toLong, c, n, cnorm2, coh)
+      }
+    }
+    val got = Similarity.classStats.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.size === byLabel.size * 64)
+    // cohesion must be positive: members correlate with their own centroid
+    assert(got.forall(_._6 > 0L))
+  }
 }
