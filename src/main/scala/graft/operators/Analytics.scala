@@ -1314,6 +1314,74 @@ object Analytics {
       .orderBy(col("arm"))
   }
 
+  /** RFM customer segmentation — the classic warehouse cohorting:
+    * recency (days since the customer's last order, relative to the
+    * corpus' latest order), frequency (order count), monetary (exact
+    * cents sum), each mapped to a 1–5 quintile score, reported as
+    * segment sizes. Quintiles use the repo's exact-order-statistics
+    * idiom ([[winsorize]]/[[groupMedian]]): a distinct-VALUE histogram
+    * cumulated by one ordered window, so the window walks |value
+    * domain| rows, never |customers|. Recency (days) and frequency
+    * (small counts) have naturally bounded domains; monetary is
+    * quantized to $1000 bands BEFORE scoring precisely to keep its
+    * domain bounded by the price range rather than customer cardinality
+    * — the documented contract for exact quantiles at 100 TB. Score =
+    * `(cum−1)·5 ∕∕ n + 1` is pure integer rank arithmetic (ties share a
+    * score on both engines); all dates are post-epoch so day floor-div
+    * is exact; the score maps and the total are broadcast model-size
+    * frames, so after the ONE per-customer aggregation nothing larger
+    * than a histogram moves.
+    */
+  val rfm: Q = Q("orders_rfm",
+    """WITH o AS (SELECT o_custkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |mx AS (SELECT max(day) AS dmax FROM o),
+      |rfm AS MATERIALIZED (SELECT o_custkey,
+      |    (SELECT dmax FROM mx) - max(day) AS r, count(*) AS f,
+      |    CAST(sum(cents) AS BIGINT) // 100000 AS mk
+      |  FROM o GROUP BY o_custkey),
+      |n AS MATERIALIZED (SELECT count(*) AS n FROM rfm),
+      |rs AS (SELECT r, CAST(((cum - 1) * 5) // n + 1 AS BIGINT) AS r_score
+      |  FROM (SELECT r, sum(cnt) OVER (ORDER BY r) AS cum
+      |    FROM (SELECT r, count(*) AS cnt FROM rfm GROUP BY r)) CROSS JOIN n),
+      |fs AS (SELECT f, CAST(((cum - 1) * 5) // n + 1 AS BIGINT) AS f_score
+      |  FROM (SELECT f, sum(cnt) OVER (ORDER BY f) AS cum
+      |    FROM (SELECT f, count(*) AS cnt FROM rfm GROUP BY f)) CROSS JOIN n),
+      |ms AS (SELECT mk, CAST(((cum - 1) * 5) // n + 1 AS BIGINT) AS m_score
+      |  FROM (SELECT mk, sum(cnt) OVER (ORDER BY mk) AS cum
+      |    FROM (SELECT mk, count(*) AS cnt FROM rfm GROUP BY mk)) CROSS JOIN n)
+      |SELECT rs.r_score, fs.f_score, ms.m_score, count(*) AS n_customers
+      |FROM rfm JOIN rs USING (r) JOIN fs USING (f) JOIN ms USING (mk)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      expr("unix_micros(o_orderdate) div 86400000000L").as("day"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("day")).as("dmax"))
+    val rfmF = o.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"), (col("dmax") - col("lastd")).as("r"),
+        col("f"), expr("m div 100000L").as("mk"))
+    val nF = rfmF.agg(count(lit(1)).as("n"))
+    def scoreMap(dim: String, out: String): DataFrame = rfmF
+      .groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col(dim))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nF))
+      .select(col(dim), expr("((cum - 1) * 5) div n + 1").as(out))
+    rfmF
+      .join(broadcast(scoreMap("r", "r_score")), "r")
+      .join(broadcast(scoreMap("f", "f_score")), "f")
+      .join(broadcast(scoreMap("mk", "m_score")), "mk")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
@@ -1321,5 +1389,5 @@ object Analytics {
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
-    eventsTopPaths, smallOrders, abLift)
+    eventsTopPaths, smallOrders, abLift, rfm)
 }

@@ -864,16 +864,22 @@ object TextAnalysis {
     * Shape: gram explode + per-doc DISTINCT (map-side partial dedup),
     * first-occurrence = min(doc_id) per gram (two-phase agg), then the
     * gram-keyed join back and a per-doc count — every exchange is keyed
-    * on the gram or the doc id, nothing global. The gram STRINGS are the
-    * shuffle payload twice (df agg + join); the documented scale lever
-    * (as for [[boilerplate]]) is digesting grams to 16 bytes before the
-    * exchange. novelty_ppm = novel·10⁶ ∕∕ total is BIGINT floor division
-    * — no float ratio to diverge. Documents with < 8 tokens have no
-    * grams and are (by design) absent.
+    * on the gram or the doc id, nothing global. This query SHIPS the
+    * scale lever [[boilerplate]] only documents: grams are digested to a
+    * 16-hex-char (64-bit) md5 prefix BEFORE the first exchange, so the
+    * distinct, the first-occurrence agg, and the join all carry a fixed
+    * 16-char key instead of the ~48-char gram text (the output needs no
+    * gram text, so nothing joins back). Both engines apply the identical
+    * digest, so a (astronomically unlikely, ~n²/2⁶⁵) collision merges
+    * the same two grams on both sides — determinism is untouched.
+    * novelty_ppm = novel·10⁶ ∕∕ total is BIGINT floor division — no
+    * float ratio to diverge. Documents with < 8 tokens have no grams and
+    * are (by design) absent.
     */
   val novelty: Q = Q("text_novelty",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |g0 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS g FROM toks),
+       |g00 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS gt FROM toks),
+       |g0 AS (SELECT doc_id, substr(md5(gt), 1, 16) AS g FROM g00),
        |dg AS (SELECT DISTINCT doc_id, g FROM g0),
        |fo AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
        |SELECT dg.doc_id, count(*) AS n_grams,
@@ -884,7 +890,8 @@ object TextAnalysis {
        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
     val dg = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
+      .select(col("doc_id"), wordGramsCol(DecontamGram).as("gt"))
+      .select(col("doc_id"), substring(md5(col("gt")), 1, 16).as("g"))
       .distinct()
     val fo = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     dg.join(fo, "g")

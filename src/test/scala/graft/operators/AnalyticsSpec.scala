@@ -485,4 +485,40 @@ class AnalyticsSpec extends SparkSpec {
       assert(ppm === conv * 1000000L / n)
     }
   }
+
+  test("orders_rfm matches a scalar quintile replay and partitions customers") {
+    import spark.implicits._
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_custkey",
+        org.apache.spark.sql.functions.expr("unix_micros(o_orderdate)").as("us"),
+        $"o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val dmax = o.map(_._2 / 86400000000L).max
+    val rfm = o.groupBy(_._1).map { case (_, rows) =>
+      val r = dmax - rows.map(_._2 / 86400000000L).max
+      val f = rows.size.toLong
+      val mk = rows.map(x => BigDecimal(x._3 * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum / 100000L
+      (r, f, mk)
+    }.toSeq
+    val n = rfm.size.toLong
+    def scores(vals: Seq[Long]): Map[Long, Long] = {
+      val hist = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      hist.scanLeft((0L, 0L)) { case ((_, cum), (v, c)) => (v, cum + c) }
+        .drop(1).map { case (v, cum) => v -> ((cum - 1) * 5 / n + 1) }.toMap
+    }
+    val (rs, fs, ms) =
+      (scores(rfm.map(_._1)), scores(rfm.map(_._2)), scores(rfm.map(_._3)))
+    val expect = rfm.groupBy { case (r, f, mk) => (rs(r), fs(f), ms(mk)) }
+      .view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), k) => (a, b, c, k) }.sortBy(x => (x._1, x._2, x._3))
+    val got = SparkEntry.queries("orders_rfm")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.map(_._4).sum === n, "segments partition the customer base")
+    got.foreach { case (a, b, c, _) =>
+      assert(Seq(a, b, c).forall(s => s >= 1 && s <= 5))
+    }
+  }
 }
