@@ -881,20 +881,24 @@ object TextAnalysis {
        |g00 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS gt FROM toks),
        |g0 AS (SELECT doc_id, substr(md5(gt), 1, 16) AS g FROM g00),
        |dg AS (SELECT DISTINCT doc_id, g FROM g0),
-       |fo AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
-       |SELECT dg.doc_id, count(*) AS n_grams,
-       |  CAST(count(*) FILTER (WHERE fo.first_doc = dg.doc_id) AS BIGINT) AS n_novel,
-       |  CAST(count(*) FILTER (WHERE fo.first_doc = dg.doc_id) * 1000000
+       |fw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc
+       |  FROM dg)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel,
+       |  CAST(count(*) FILTER (WHERE first_doc = doc_id) * 1000000
        |    // count(*) AS BIGINT) AS novelty_ppm
-       |FROM dg JOIN fo USING (g)
-       |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
-    val dg = docs(s, dir)
+       |FROM fw GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // first-occurrence as a WINDOW over the gram partition, not an
+    // agg + self-join: the join formulation recomputes the gram explode
+    // and distinct for each side (two full document scans); this is one
+    // scan and three keyed exchanges (distinct, gram window, doc agg).
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), wordGramsCol(DecontamGram).as("gt"))
       .select(col("doc_id"), substring(md5(col("gt")), 1, 16).as("g"))
       .distinct()
-    val fo = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    dg.join(fo, "g")
+      .withColumn("first_doc", min(col("doc_id")).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
