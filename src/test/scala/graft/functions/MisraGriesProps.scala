@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property suite for [[TypedAggs.misraGries]] — the mergeable heavy-hitter
+  * sketch behind `heavy_hitters`. The query's correctness rests on ONE
+  * distributed invariant: for ANY input multiset, ANY permutation, ANY
+  * partitioning into partial buffers, and ANY merge order of the partials,
+  * the candidate set must contain every element whose true count exceeds
+  * n/(k+1) (Misra–Gries / Agarwal et al. "Mergeable Summaries": per-element
+  * undercount ≤ n/(k+1), so such elements keep a positive counter). The
+  * exact verification pass that follows the sketch restores determinism but
+  * can only RESTRICT the candidate set — a missed true heavy hitter would
+  * be lost for good, which is exactly what these properties rule out.
+  *
+  * Words are drawn from a tiny skewed alphabet so genuine heavy hitters
+  * (and near-threshold elements) occur in most generated cases.
+  */
+object MisraGriesProps extends Properties("misraGries") {
+
+  private val wordGen: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("a", "a", "a", "b", "b", "c"), // skew: real heavy hitters
+    3 -> Gen.choose(0, 30).map("w" + _),          // mid-frequency tail
+    1 -> Gen.choose(0, 1000).map("r" + _))        // near-unique noise
+
+  private val caseGen: Gen[(List[String], Int, Int, Long)] = for {
+    words <- Gen.listOf(wordGen)
+    k <- Gen.choose(1, 8)
+    nParts <- Gen.choose(1, 6)
+    seed <- Gen.long
+  } yield (words, k, nParts, seed)
+
+  /** Run the aggregator the way Spark does: shuffle rows, scatter into
+    * partitions, fold each partition with `reduce`, merge the partials in
+    * shuffled order (zero-initialized), `finish`. Asserts the k-bound on
+    * every intermediate buffer along the way.
+    */
+  private def runAgg(words: List[String], k: Int, nParts: Int,
+      seed: Long): (Set[String], Boolean) = {
+    val agg = TypedAggs.misraGries(k)
+    val rng = new scala.util.Random(seed)
+    val parts = Array.fill(nParts)(List.newBuilder[String])
+    rng.shuffle(words).foreach(w => parts(rng.nextInt(nParts)) += w)
+    var bounded = true
+    val partials = parts.toList.map(_.result().foldLeft(agg.zero) { (b, w) =>
+      val r = agg.reduce(b, w)
+      bounded &&= r.ws.size <= k
+      r
+    })
+    val merged = rng.shuffle(partials).foldLeft(agg.zero) { (x, y) =>
+      val m = agg.merge(x, y)
+      bounded &&= m.ws.size <= k
+      m
+    }
+    (agg.finish(merged).ws.toSet, bounded)
+  }
+
+  property("candidates ⊇ every element with count · (k+1) > n; buffers stay k-bounded") =
+    forAll(caseGen) { case (words, k, nParts, seed) =>
+      val (cand, bounded) = runAgg(words, k, nParts, seed)
+      val n = words.size.toLong
+      val counts = words.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = counts.collect {
+        case (w, c) if c * (k + 1) > n => w
+      }.toSet
+      bounded && mustKeep.subsetOf(cand)
+    }
+
+  property("the guarantee is independent of partitioning and merge order") =
+    forAll(caseGen, Gen.long) { case ((words, k, nParts, seed), seed2) =>
+      val n = words.size.toLong
+      val counts = words.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = counts.collect {
+        case (w, c) if c * (k + 1) > n => w
+      }.toSet
+      val (c1, b1) = runAgg(words, k, nParts, seed)
+      val (c2, b2) = runAgg(words, k, math.max(1, nParts - 1), seed2)
+      b1 && b2 && mustKeep.subsetOf(c1) && mustKeep.subsetOf(c2)
+    }
+
+  property("a single dominant element always survives to the candidates") =
+    forAll(Gen.choose(1, 8), Gen.choose(10, 200), Gen.long) { (k, m, seed) =>
+      // m copies of "hot" mixed into m distinct cold words: hot holds a
+      // strict majority, the strongest form of heavy hitter
+      val words = List.fill(m)("hot") ++ (0 until m).map("cold" + _).toList
+      val (cand, bounded) = runAgg(words, k, 4, seed)
+      bounded && cand.contains("hot")
+    }
+}
