@@ -672,21 +672,33 @@ object Dedup {
     * identical unit-cost semantics in DuckDB, so the oracle replays the
     * join bit-for-bit.
     *
-    * Scale shape: the self-join shuffles on the block key once; within a
-    * block the pair count is quadratic, which is the universal record-
-    * linkage trade — production sizing picks block keys so blocks stay
-    * O(10³) (here: 25 brands, the worst block is |part|/25 rows; a skewed
-    * blocking key would get the [[graft.operators.Analytics]] salting
-    * treatment, and a second key — length band, sorted-neighborhood
-    * window — multiplies blocks, divides pairs). The per-pair DP cost runs
-    * AFTER the cheap length gate inside one codegen stage, and the output
-    * aggregates to one row per brand, so the exchange out of the join is
-    * constant-size at any corpus scale.
+    * Scale shape: TWO sound blocking keys, not one. Brand alone leaves
+    * |part|/25-row blocks whose pair count grows quadratically with the
+    * linked table (constant in the shipped smokes — ScaleUp holds `part`
+    * fixed as a dimension — but a real linkage corpus scales, and blocks
+    * must not), so the equi-join key is (brand, length band): bands of
+    * width 3 mean
+    * a pair within the |Δlen| ≤ 2 prefilter spans at most ADJACENT bands,
+    * and probing the left row's band from the right side's {b−1, b, b+1}
+    * (a 3-row explode of the smaller projection, long before the join)
+    * keeps the join equi-keyed while finding every qualifying pair
+    * exactly once — banding is pure refinement, provably lossless under
+    * the length gate the predicate already carries. Within a (brand,
+    * band) block the pair count is the universal record-linkage trade;
+    * width 3 divides block sizes by the name-length spread, and a skewed
+    * key would get the [[graft.operators.Analytics]] salting treatment.
+    * The per-pair DP cost runs AFTER the cheap length gate inside one
+    * codegen stage, and the output aggregates to one row per brand, so
+    * the exchange out of the join is constant-size at any corpus scale.
     */
   val fuzzyJoin: Q = Q("fuzzy_join",
-    """WITH c AS (SELECT p1.p_brand AS brand,
+    """WITH b2 AS (SELECT p_partkey, p_brand, p_name,
+      |    length(p_name) // 3 + d.d AS band
+      |  FROM part, (SELECT unnest([-1, 0, 1]) AS d) d),
+      |c AS (SELECT p1.p_brand AS brand,
       |    levenshtein(p1.p_name, p2.p_name) AS dist
-      |  FROM part p1 JOIN part p2 ON p1.p_brand = p2.p_brand
+      |  FROM part p1 JOIN b2 p2 ON p1.p_brand = p2.p_brand
+      |    AND length(p1.p_name) // 3 = p2.band
       |    AND p1.p_partkey < p2.p_partkey
       |    AND abs(length(p1.p_name) - length(p2.p_name)) <= 2)
       |SELECT brand, count(*) AS n_pairs,
@@ -696,10 +708,15 @@ object Dedup {
       |GROUP BY brand ORDER BY brand""".stripMargin) { (s, dir) =>
     val p = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val p1 = p.as("p1")
-    val p2 = p.as("p2")
+    val p1 = p.withColumn("band", expr("length(p_name) div 3")).as("p1")
+    val p2 = p
+      .withColumn("band",
+        explode(expr("array(length(p_name) div 3 - 1," +
+          " length(p_name) div 3, length(p_name) div 3 + 1)")))
+      .as("p2")
     p1.join(p2,
         col("p1.p_brand") === col("p2.p_brand") &&
+          col("p1.band") === col("p2.band") &&
           col("p1.p_partkey") < col("p2.p_partkey") &&
           abs(length(col("p1.p_name")) - length(col("p2.p_name"))) <= 2)
       .select(col("p1.p_brand").as("brand"),
