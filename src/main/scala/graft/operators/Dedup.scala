@@ -554,8 +554,10 @@ object Dedup {
     * near-neighbor count per vector. The bucket join replaces the O(n²)
     * all-pairs cosine — the scale path for embedding dedup.
     */
-  val embed: Q = Q("dedup_embed",
-    s"""WITH ${Similarity.quantizedSql},
+  /** Shared oracle CTE chain for the embedding near-dup pairs: ends with
+    * `near` (id1 < id2, exact cosine ≥ 0.8). Requires nothing upstream. */
+  private val embedNearSql: String =
+    s"""${Similarity.quantizedSql},
        |${Similarity.lshBucketsSql},
        |bcnt AS (SELECT t, bucket, count(*) AS bsz FROM buckets
        |  GROUP BY t, bucket),
@@ -566,21 +568,20 @@ object Dedup {
        |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |near AS (SELECT id1, id2 FROM prs p
        |  JOIN nz a ON a.vec_id = p.id1 JOIN nz b ON b.vec_id = p.id2
-       |  WHERE ${Similarity.cosSql("a.qv", "a.nrm", "b.qv", "b.nrm")} >= 0.8),
-       |cnt AS (SELECT vec_id, count(*) AS n_near FROM (
-       |    SELECT id1 AS vec_id FROM near UNION ALL SELECT id2 FROM near) e
-       |  GROUP BY vec_id)
-       |SELECT n.vec_id, coalesce(c.n_near, 0) AS n_near
-       |FROM nz n LEFT JOIN cnt c USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
-    // pair generation over slim (vec_id, t, bucket) entries — the explode
-    // never copies vector payloads ×tables (see Similarity.bucketEntries).
-    // Hot buckets are capped like every band self-join in this file
-    // ([[capBuckets]]): the LSH geometry knob is the primary guard, but a
-    // corpus whose embeddings correlate with the fixed hyperplanes can
-    // still concentrate one bucket, and a >cap bucket carries no
-    // discriminating signal at any geometry. Binds nowhere at the shipped
-    // SFs (oracle replays the identical cap).
+       |  WHERE ${Similarity.cosSql("a.qv", "a.nrm", "b.qv", "b.nrm")} >= 0.8)""".stripMargin
+
+  /** Embedding near-dup pairs (id1 < id2, cosine ≥ 0.8) from a signature
+    * frame — the shared pair stage of [[embed]] and [[agreement]].
+    * Pair generation runs over slim (vec_id, t, bucket) entries — the
+    * explode never copies vector payloads ×tables
+    * ([[Similarity.bucketEntries]]). Hot buckets are capped like every
+    * band self-join in this file ([[capBuckets]]): the LSH geometry knob
+    * is the primary guard, but a corpus whose embeddings correlate with
+    * the fixed hyperplanes can still concentrate one bucket, and a >cap
+    * bucket carries no discriminating signal at any geometry. Binds
+    * nowhere at the shipped SFs (oracle replays the identical cap).
+    */
+  def embedNearPairs(sig: DataFrame): DataFrame = {
     val entries = capBuckets(Similarity.bucketEntries(sig), Seq("t", "bucket"))
     val pairIds = entries.as("x").join(entries.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
@@ -589,7 +590,7 @@ object Dedup {
       .distinct() // a pair co-bucketed in several tables scores once
     // fetch both sides' vectors for exact rescoring
     val v = sig.select(col("vec_id"), col("qv"), col("nrm"))
-    val pairs = pairIds
+    pairIds
       .join(v.select(col("vec_id").as("id1"), col("qv").as("qv1"), col("nrm").as("nrm1")), Seq("id1"))
       .join(v.select(col("vec_id").as("id2"), col("qv").as("qv2"), col("nrm").as("nrm2")), Seq("id2"))
       .select(col("id1"), col("id2"),
@@ -600,7 +601,68 @@ object Dedup {
       // projections, re-evaluating the full dot-product `nrm` expression
       // inside scan-side filters on every corpus row (2× per branch).
       .filter(coalesce(col("cos") >= 0.8, lit(false)))
+      .select(col("id1"), col("id2"))
+  }
+
+  val embed: Q = Q("dedup_embed",
+    s"""WITH $embedNearSql,
+       |cnt AS (SELECT vec_id, count(*) AS n_near FROM (
+       |    SELECT id1 AS vec_id FROM near UNION ALL SELECT id2 FROM near) e
+       |  GROUP BY vec_id)
+       |SELECT n.vec_id, coalesce(c.n_near, 0) AS n_near
+       |FROM nz n LEFT JOIN cnt c USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
+    val pairs = embedNearPairs(sig)
     candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
+  }
+
+  /** Dedup METHOD-AGREEMENT audit — the meta-analysis a pipeline owner
+    * runs before trusting a near-dup strategy: how much do the TEXT
+    * near-dup candidates (MinHash band collisions over word 3-shingles,
+    * [[minhash]]) and the EMBEDDING near-dups (LSH buckets + exact
+    * cosine ≥ 0.8, [[embed]]) agree on the same corpus? Documents and
+    * embeddings share the id space (doc_id ≡ vec_id in the test corpus —
+    * the row-aligned layout a multimodal corpus ships), so both methods
+    * emit canonical (id1 < id2) pairs and the report is a full-outer
+    * pair join: pairs found by both, by text only, by embedding only,
+    * and the Jaccard agreement of the two pair sets in exact ppm.
+    *
+    * Scale shape: both pair pipelines are the banded (never all-pairs)
+    * forms with the shared [[MaxBandBucket]] cap; the full-outer join
+    * keys on the pair itself — candidate-set-sized, orders of magnitude
+    * below the corpus — and the output is ONE row. agree_ppm is BIGINT
+    * floor division, zero-guarded in both engines.
+    */
+  val agreement: Q = Q("dedup_agreement",
+    s"""WITH $minhashPairsSql,
+       |$embedNearSql,
+       |u AS (SELECT coalesce(t.id1, n.id1) AS id1,
+       |    (t.id1 IS NOT NULL) AS by_text, (n.id1 IS NOT NULL) AS by_embed
+       |  FROM pairs t FULL JOIN near n ON t.id1 = n.id1 AND t.id2 = n.id2)
+       |SELECT
+       |  CAST(count(*) FILTER (WHERE by_text AND by_embed) AS BIGINT) AS n_both,
+       |  CAST(count(*) FILTER (WHERE by_text AND NOT by_embed) AS BIGINT) AS n_text_only,
+       |  CAST(count(*) FILTER (WHERE NOT by_text AND by_embed) AS BIGINT) AS n_embed_only,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0
+       |    ELSE count(*) FILTER (WHERE by_text AND by_embed) * 1000000 // count(*)
+       |  END AS BIGINT) AS agree_ppm
+       |FROM u""".stripMargin) { (s, dir) =>
+    val textPairs = minhashCandidatesFromSig(minhashSignatures(docs(s, dir)))
+      .withColumn("bt", lit(1))
+    val embPairs = embedNearPairs(
+        Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings")))
+      .withColumn("be", lit(1))
+    textPairs.join(embPairs, Seq("id1", "id2"), "full")
+      .agg(
+        coalesce(sum(when(col("bt").isNotNull && col("be").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_both"),
+        coalesce(sum(when(col("bt").isNotNull && col("be").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_text_only"),
+        coalesce(sum(when(col("bt").isNull && col("be").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_embed_only"),
+        when(count(lit(1)) === 0, 0L).otherwise(
+          expr("sum(CASE WHEN bt IS NOT NULL AND be IS NOT NULL THEN 1L ELSE 0L END)" +
+            " * 1000000L div count(1)")).as("agree_ppm"))
   }
 
   private val CrossEvalSize = 50
@@ -731,5 +793,5 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical,
-      crossEval, fuzzyJoin)
+      crossEval, fuzzyJoin, agreement)
 }

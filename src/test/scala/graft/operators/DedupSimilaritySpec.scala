@@ -224,6 +224,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "tiny name vocabulary must produce exact dupes")
   }
 
+  test("dedup_agreement: planted dual-modality duplicates land in n_both") {
+    // one document duplicated in BOTH spaces under aligned ids: the text
+    // copy collides in every MinHash band, the identical vector has
+    // cosine 1.0 — the pair must surface from both pipelines
+    val baseDocs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val dupDocs = baseDocs.unionByName(
+      baseDocs.filter($"doc_id" === 0).withColumn("doc_id", lit(9000000L)))
+    val baseEmb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val dupEmb = baseEmb.unionByName(
+      baseEmb.filter($"vec_id" === 0).withColumn("vec_id", lit(9000000L)))
+
+    val textPairs = Dedup
+      .minhashCandidatesFromSig(Dedup.minhashSignatures(dupDocs))
+      .as[(Long, Long)].collect().toSet
+    val embPairs = Dedup
+      .embedNearPairs(Similarity.hyperplaneSignatures(spark, dupEmb))
+      .as[(Long, Long)].collect().toSet
+    assert(textPairs.contains((0L, 9000000L)), "text dup must band-collide")
+    assert(embPairs.contains((0L, 9000000L)), "identical vector must pass cosine")
+    assert((textPairs intersect embPairs).nonEmpty)
+  }
+
+  test("dedup_agreement totals reconcile with the two pair pipelines") {
+    val nText = Dedup.minhashCandidatesFromSig(Dedup.minhashSignatures(
+      graft.sources.Tables.load(spark, dir, "documents"))).count()
+    val nEmb = Dedup.embedNearPairs(Similarity.hyperplaneSignatures(spark,
+      graft.sources.Tables.load(spark, dir, "embeddings"))).count()
+    val Seq((both, textOnly, embedOnly, ppm)) = Dedup.agreement.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(both + textOnly === nText)
+    assert(both + embedOnly === nEmb)
+    val union = both + textOnly + embedOnly
+    assert(ppm === (if (union == 0) 0L else both * 1000000L / union))
+  }
+
   test("embed_class_stats matches a scalar centroid/cohesion replay") {
     val raw = graft.sources.Tables.load(spark, dir, "embeddings")
       .select($"label".cast("long"), $"embedding")
