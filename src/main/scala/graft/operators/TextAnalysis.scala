@@ -600,32 +600,49 @@ object TextAnalysis {
     * high-df spans, and the resulting span list is what a cleaning pass
     * subtracts from every document before training.
     *
-    * Shape: one gram explode (linear in corpus tokens), per-doc distinct,
-    * then a two-phase count per gram (map-side partials collapse repeats
-    * before the exchange) and a TakeOrdered top-K — no global sort ever
-    * materializes the full df table. At 100 TB the gram strings themselves
-    * are the shuffle payload; hashing grams to 16-byte digests and
-    * re-joining the top-K back for display text would halve the exchange,
-    * noted here as the scale lever (the df≥3 filter after the agg is what
-    * keeps the OUTPUT tiny either way).
+    * Shape — the gram-digest lever [[novelty]] also ships, plus a text
+    * join-back because this output DOES need span text: grams are
+    * digested to a 16-hex-char (64-bit) md5 prefix map-side, so the
+    * per-doc distinct and the two-phase df count — the only corpus-sized
+    * exchanges — carry a fixed 16-char key instead of the ~48-char gram
+    * text (~3× less shuffle payload). The top-K TakeOrdered selects by
+    * (df DESC, digest) — an arbitrary-but-deterministic tie-break both
+    * engines replay — and span text is recovered by a SECOND corpus scan
+    * broadcast-joined against the ≤[[SpanTopK]]-row winner set: scans
+    * parallelize over 1000 executors for free, the join-back shuffles
+    * only the ≤K matching grams, and no full-text gram ever reaches an
+    * exchange. min(gt) per digest guards the astronomically-unlikely
+    * (~n²/2⁶⁵) collision identically on both engines. The df≥
+    * [[SpanMinDocs]] filter after the agg keeps the OUTPUT tiny.
     */
   val boilerplate: Q = Q("text_boilerplate",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |g0 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS g FROM toks),
-       |g AS (SELECT DISTINCT doc_id, g FROM g0),
-       |gdf AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
-       |SELECT g AS span, n_docs FROM gdf WHERE n_docs >= $SpanMinDocs
-       |ORDER BY n_docs DESC, span LIMIT $SpanTopK""".stripMargin) { (s, dir) =>
-    docs(s, dir)
+       |g00 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS gt FROM toks),
+       |g0 AS (SELECT doc_id, substr(md5(gt), 1, 16) AS g, gt FROM g00),
+       |dg AS (SELECT DISTINCT doc_id, g FROM g0),
+       |gdf AS (SELECT g, count(*) AS n_docs FROM dg GROUP BY g),
+       |topk AS (SELECT g, n_docs FROM gdf WHERE n_docs >= $SpanMinDocs
+       |  ORDER BY n_docs DESC, g LIMIT $SpanTopK)
+       |SELECT min(g0.gt) AS span, t.n_docs
+       |FROM topk t JOIN g0 ON g0.g = t.g GROUP BY t.g, t.n_docs
+       |ORDER BY n_docs DESC, span""".stripMargin) { (s, dir) =>
+    val grams = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), wordGramsCol(DecontamGram).as("g"))
+      .select(col("doc_id"), wordGramsCol(DecontamGram).as("gt"))
+      .select(col("doc_id"), substring(md5(col("gt")), 1, 16).as("g"),
+        col("gt"))
+    val top = grams.select(col("doc_id"), col("g"))
       .distinct()
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= SpanMinDocs)
       .orderBy(col("n_docs").desc, col("g"))
       .limit(SpanTopK)
-      .select(col("g").as("span"), col("n_docs"))
+    grams.join(broadcast(top), Seq("g"))
+      .groupBy(col("g"), col("n_docs"))
+      .agg(min(col("gt")).as("span"))
+      .orderBy(col("n_docs").desc, col("span"))
+      .select(col("span"), col("n_docs"))
   }
 
   private val CooccurVocab = 50

@@ -273,8 +273,11 @@ class TextAnalysisSpec extends SparkSpec {
         .map(_.mkString(" ")).toSet
         .foreach((g: String) => df(g) = df.getOrElse(g, 0L) + 1L)
     }
+    // selection replays the digest tie-break (df DESC, md5-prefix ASC);
+    // display order is (df DESC, span ASC) like the query output
     val expect = df.toSeq.filter(_._2 >= 3)
-      .sortBy { case (g, n) => (-n, g) }.take(100)
+      .sortBy { case (g, n) => (-n, md5hex(g).take(16)) }.take(100)
+      .sortBy { case (g, n) => (-n, g) }
     val q = TextAnalysis.boilerplate.run(spark, dir)
     val got = q.select($"span", $"n_docs").as[(String, Long)].collect().toSeq
     assert(got === expect)
