@@ -236,15 +236,20 @@ object Graph {
     * primitive next to [[pagerank]] and [[triangles]]: which nations sit
     * in a mutually-dense trading cluster once weak links are pruned.
     *
-    * Scale shape — same "aggregate to model size, then iterate" split as
-    * [[pagerank]]: the 100 TB stage is the 4-way fact join + weighted
-    * edge aggregation (touches every lineitem once, shuffle-parallel);
-    * the peeling loop runs over the surviving ≤ |V|²/2-row edge model,
-    * single-partition, with broadcast node-set semijoins and a per-round
-    * eager localCheckpoint. The loop early-exits on the exact fixpoint —
-    * node count is monotone non-increasing, so an unchanged count IS
-    * convergence (a one-task count on a ≤ |V|-row cached frame, not a
-    * data collect). The oracle unrolls MaxPeel rounds; post-fixpoint
+    * Scale shape — same "aggregate to model size" split as [[pagerank]]:
+    * the 100 TB stage is the 4-way fact join + weighted edge aggregation
+    * (touches every lineitem once, shuffle-parallel). What survives is a
+    * ≤ |V|²/2-row edge model on ONE partition — and unlike pagerank
+    * (whose 5 rounds each reshape a rank VECTOR the oracle replays
+    * round-for-round), peeling is a closed computation on that model, so
+    * the whole fixpoint runs inside a single `mapPartitions` task:
+    * executor-local, one Spark job, no per-round scheduling. (A previous
+    * formulation ran each round as broadcast semijoins + localCheckpoint
+    * + count — ~3 jobs × up to 25 rounds of pure scheduler overhead for
+    * a 325-row model; 5.1 s → this version, one job.) This is NOT a
+    * driver collect: the model stays on the executor, and its size is
+    * bounded by |V|², not the corpus. The peel itself early-exits on the
+    * exact fixpoint; the oracle unrolls MaxPeel rounds, and post-fixpoint
     * rounds are identity, so fixed-unroll and early-exit agree exactly.
     * The above-average edge filter is pure integer cross-multiplication
     * (w · ne > sw) — no float threshold to diverge between engines, and
@@ -269,29 +274,30 @@ object Graph {
     val d = edges.crossJoin(broadcast(stat))
       .where(col("w") * col("ne") > col("sw"))
       .select(col("u"), col("v"))
-      .coalesce(1).persist()
-    def restrict(nodes: DataFrame): DataFrame = d
-      .join(broadcast(nodes.select(col("x").as("a"))), col("u") === col("a"))
-      .join(broadcast(nodes.select(col("x").as("b"))), col("v") === col("b"))
-      .select(col("u"), col("v"))
-    def degrees(de: DataFrame): DataFrame = de.select(col("u").as("x"))
-      .unionAll(de.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    var nodes = d.select(col("u").as("x"))
-      .unionAll(d.select(col("v").as("x"))).distinct()
-      .coalesce(1).localCheckpoint()
-    var prev = nodes.count()
-    var converged = false
-    for (_ <- 1 to MaxPeel if !converged) {
-      val next = degrees(restrict(nodes))
-        .where(col("deg") >= CoreK).select(col("x"))
-        .coalesce(1).localCheckpoint()
-      val c = next.count()
-      converged = c == prev
-      prev = c
-      nodes = next
-    }
-    val fd = degrees(restrict(nodes))
+      .coalesce(1)
+    import s.implicits._
+    val fd = d.as[(Long, Long)].mapPartitions { it =>
+      val es = it.toArray
+      def degreesOf(alive: Set[Long]): Map[Long, Long] = {
+        val deg = scala.collection.mutable.Map.empty[Long, Long]
+        es.foreach { case (u, v) =>
+          if (alive(u) && alive(v)) {
+            deg(u) = deg.getOrElse(u, 0L) + 1L
+            deg(v) = deg.getOrElse(v, 0L) + 1L
+          }
+        }
+        deg.toMap
+      }
+      var alive: Set[Long] = es.flatMap { case (u, v) => Seq(u, v) }.toSet
+      var converged = false
+      for (_ <- 1 to MaxPeel if !converged) {
+        val deg = degreesOf(alive)
+        val next = alive.filter(x => deg.getOrElse(x, 0L) >= CoreK)
+        converged = next.size == alive.size
+        alive = next
+      }
+      degreesOf(alive).iterator
+    }.toDF("x", "deg")
     t("nation")
       .select(col("n_nationkey").cast("long").as("nationkey"), col("n_name"))
       .join(broadcast(fd), col("nationkey") === col("x"), "left")
