@@ -263,9 +263,38 @@ object Dedup {
   def minhashCandidates(documents: DataFrame): DataFrame =
     minhashCandidatesFromSig(minhashSignatures(documents))
 
+  /** Per-session memo of the two near-dup PAIR sets — the same
+    * "materialize once, consume everywhere" contract as
+    * [[componentLabels]]: a production pipeline computes its candidate
+    * pairs one time and every downstream consumer (per-doc counts, the
+    * component search, the method-agreement audit) reads that
+    * materialization, so the engine's registered queries do too. The
+    * frames are persisted (MEMORY_AND_DISK): the first consumer pays the
+    * corpus pass, later consumers read back candidate-set-sized frames —
+    * two longs per CANDIDATE PAIR, orders of magnitude below the corpus,
+    * retained for the session's lifetime like every model-sized cache in
+    * this file.
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized [[minhashCandidatesFromSig]] over the session's corpus. */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir, "minhash"),
+      minhashCandidatesFromSig(minhashSignatures(docs(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Memoized [[embedNearPairs]] over the session's embedding table. */
+  private[operators] def embedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir, "embed"),
+      embedNearPairs(Similarity.hyperplaneSignatures(s,
+          Tables.load(s, dir, "embeddings")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Per-document signature prefix + LSH candidate count over `documents`.
-    * The signature frame feeds BOTH outputs (prefix + candidates) — one
-    * shingle/min-agg pass over the corpus, not two. Fully oracle-checked:
+    * Candidates come from the session-shared [[minhashPairs]]
+    * materialization (first consumer pays the corpus pass); the prefix
+    * columns are one further shingle/min-agg pass. Fully oracle-checked:
     * the md5-chunk hash family is replayed in DuckDB ([[minhashPairsSql]]).
     */
   val minhash: Q = Q("dedup_minhash",
@@ -278,7 +307,7 @@ object Dedup {
     val sig = minhashSignatures(docs(s, dir))
     candidateCounts(
       sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3")),
-      minhashCandidatesFromSig(sig), "doc_id", "n_candidates")
+      minhashPairs(s, dir), "doc_id", "n_candidates")
   }
 
   /** Connected components over an undirected candidate-pair graph (id1,
@@ -378,7 +407,7 @@ object Dedup {
 
   private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
     componentCache.getOrElseUpdate((s, dir),
-      connectedComponents(minhashCandidates(docs(s, dir)))
+      connectedComponents(minhashPairs(s, dir))
         .select(col("id").as("doc_id"), col("label")))
 
   /** Near-dup clustering end-to-end: MinHash+LSH candidate pairs →
@@ -612,8 +641,8 @@ object Dedup {
        |SELECT n.vec_id, coalesce(c.n_near, 0) AS n_near
        |FROM nz n LEFT JOIN cnt c USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val sig = Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings"))
-    val pairs = embedNearPairs(sig)
-    candidateCounts(sig.select(col("vec_id")), pairs, "vec_id", "n_near")
+    candidateCounts(sig.select(col("vec_id")), embedPairs(s, dir),
+      "vec_id", "n_near")
   }
 
   /** Dedup METHOD-AGREEMENT audit — the meta-analysis a pipeline owner
@@ -628,10 +657,13 @@ object Dedup {
     * and the Jaccard agreement of the two pair sets in exact ppm.
     *
     * Scale shape: both pair pipelines are the banded (never all-pairs)
-    * forms with the shared [[MaxBandBucket]] cap; the full-outer join
-    * keys on the pair itself — candidate-set-sized, orders of magnitude
-    * below the corpus — and the output is ONE row. agree_ppm is BIGINT
-    * floor division, zero-guarded in both engines.
+    * forms with the shared [[MaxBandBucket]] cap, consumed through the
+    * session's [[minhashPairs]]/[[embedPairs]] materializations (the
+    * audit reads the SAME pair sets the dedup queries counted — which is
+    * also what makes it an audit); the full-outer join keys on the pair
+    * itself — candidate-set-sized, orders of magnitude below the corpus —
+    * and the output is ONE row. agree_ppm is BIGINT floor division,
+    * zero-guarded in both engines.
     */
   val agreement: Q = Q("dedup_agreement",
     s"""WITH $minhashPairsSql,
@@ -647,11 +679,8 @@ object Dedup {
        |    ELSE count(*) FILTER (WHERE by_text AND by_embed) * 1000000 // count(*)
        |  END AS BIGINT) AS agree_ppm
        |FROM u""".stripMargin) { (s, dir) =>
-    val textPairs = minhashCandidatesFromSig(minhashSignatures(docs(s, dir)))
-      .withColumn("bt", lit(1))
-    val embPairs = embedNearPairs(
-        Similarity.hyperplaneSignatures(s, Tables.load(s, dir, "embeddings")))
-      .withColumn("be", lit(1))
+    val textPairs = minhashPairs(s, dir).withColumn("bt", lit(1))
+    val embPairs = embedPairs(s, dir).withColumn("be", lit(1))
     textPairs.join(embPairs, Seq("id1", "id2"), "full")
       .agg(
         coalesce(sum(when(col("bt").isNotNull && col("be").isNotNull, 1L)
