@@ -16,7 +16,7 @@ object SparkEntry {
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.Sampling.all ++
       operators.AsofJoin.all ++ operators.Graph.all ++ operators.Layout.all ++
-      sources.Ingest.all
+      operators.DataQuality.all ++ sources.Ingest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Scalar replay of the data-quality audit: recompute every declared
+  * constraint driver-side with plain Scala collections and demand exact
+  * agreement — including the one check that is NONZERO on this corpus
+  * (the composite lineitem key is genuinely non-unique in the testdata),
+  * so the suite proves the audit counts real violations rather than
+  * echoing zeros.
+  */
+class DataQualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("dq_audit matches a scalar replay of every declared constraint") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val li = tbl("lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity".cast("double"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val orders = tbl("orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice".cast("double"))
+      .as[(Long, Long, Double)].collect()
+    val custs = tbl("customer").select($"c_custkey", $"c_nationkey")
+      .as[(Long, Int)].collect()
+    val supps = tbl("supplier").select($"s_suppkey", $"s_nationkey")
+      .as[(Long, Int)].collect()
+    val parts = tbl("part").select($"p_partkey").as[Long].collect().toSet
+    val nats = tbl("nation").select($"n_nationkey").as[Int].collect().toSet
+
+    val okeys = orders.map(_._1).toSet
+    val skeys = supps.map(_._1).toSet
+    val ckeys = custs.map(_._1).toSet
+    val expected = Map(
+      "fk_lineitem_orders" -> li.count(r => !okeys(r._1)).toLong,
+      "fk_lineitem_part" -> li.count(r => !parts(r._3)).toLong,
+      "fk_lineitem_supplier" -> li.count(r => !skeys(r._4)).toLong,
+      "pk_dup_lineitem" ->
+        (li.length - li.map(r => (r._1, r._2)).distinct.length).toLong,
+      "dom_lineitem_nonpos_qty" -> li.count(_._5 <= 0).toLong,
+      "fk_orders_customer" -> orders.count(r => !ckeys(r._2)).toLong,
+      "pk_dup_orders" ->
+        (orders.length - orders.map(_._1).distinct.length).toLong,
+      "dom_orders_nonpos_total" -> orders.count(_._3 <= 0).toLong,
+      "fk_customer_nation" -> custs.count(r => !nats(r._2)).toLong,
+      "pk_dup_customer" ->
+        (custs.length - custs.map(_._1).distinct.length).toLong,
+      "fk_supplier_nation" -> supps.count(r => !nats(r._2)).toLong,
+      "pk_dup_supplier" ->
+        (supps.length - supps.map(_._1).distinct.length).toLong)
+
+    val got = DataQuality.audit.run(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(_._1) === expected.keys.toSeq.sorted,
+      "one row per declared check, ordered by check name")
+    got.foreach { case (check, n) =>
+      assert(n === expected(check), s"check $check")
+    }
+    // the discriminating check: the corpus' composite lineitem key is
+    // non-unique by construction, so the audit must surface REAL
+    // violations here — an all-zero result would mean it counts nothing
+    assert(got.toMap.apply("pk_dup_lineitem") > 0,
+      "testdata's (l_orderkey, l_linenumber) is non-unique — the dup " +
+        "check must be nonzero or the audit is vacuous")
+  }
+}
