@@ -1387,6 +1387,118 @@ object Analytics {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Last-touch marketing attribution — the warehouse workload behind
+    * every "which channel drove this purchase" report: each purchase is
+    * attributed to the user's most recent preceding (or simultaneous,
+    * (ts, event_id)-ordered) click, bucketed by conversion lag
+    * (<1 h / 1 h–24 h / 1 d–7 d / organic = none within 7 days), with
+    * purchase counts and DECIMAL-exact revenue per bucket.
+    *
+    * Shape — the as-of join collapsed into ONE exchange: instead of
+    * joining purchases against clicks, both ride a single user_id
+    * window whose running `max(CASE click THEN ts END)` IS the as-of
+    * lookup ([[AsofJoin]]'s tagged-union idiom, window form), evaluated
+    * incrementally per user history. Lag arithmetic runs on the RAW
+    * int64 nanos (`ts` reads as long under nanosAsLong; DuckDB replays
+    * via `epoch_ns`) — no timestamp truncation to diverge between
+    * engines — and the output is ≤ 4 rows at any corpus size.
+    */
+  val eventsAttribution: Q = Q("events_attribution",
+    """WITH e AS (SELECT epoch_ns(ts) AS tns, event_id, user_id, event_type, value
+      |  FROM events),
+      |u AS (SELECT user_id, tns, event_type, value,
+      |    max(CASE WHEN event_type = 'click' THEN tns END)
+      |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS last_click
+      |  FROM e),
+      |p AS (SELECT CASE
+      |    WHEN last_click IS NULL THEN 'organic'
+      |    WHEN tns - last_click <= 3600000000000 THEN 'lt_1h'
+      |    WHEN tns - last_click <= 86400000000000 THEN '1h_24h'
+      |    WHEN tns - last_click <= 604800000000000 THEN '1d_7d'
+      |    ELSE 'organic' END AS attribution, value
+      |  FROM u WHERE event_type = 'purchase')
+      |SELECT attribution, count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM p GROUP BY attribution ORDER BY attribution""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lag = col("ts") - col("last_click")
+    t(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attribution",
+        when(col("last_click").isNull, "organic")
+          .when(lag <= 3600000000000L, "lt_1h")
+          .when(lag <= 86400000000000L, "1h_24h")
+          .when(lag <= 604800000000000L, "1d_7d")
+          .otherwise("organic"))
+      .groupBy(col("attribution"))
+      .agg(count(lit(1)).as("n_purchases"),
+        exactSum(col("value")).as("revenue"))
+      .orderBy(col("attribution"))
+  }
+
+  /** Market-basket affinity — part pairs that co-occur within orders,
+    * ranked by support with exact integer-ppm lift (npair · |orders| ·
+    * 10⁶ ∕∕ (sup1 · sup2); no float ratios to diverge cross-engine).
+    *
+    * Shape — ONE orderkey exchange, not a self-join: the oracle states
+    * the textbook `d ⋈ d ON same order, p1 < p2`; the Spark side
+    * aggregates each order's distinct parts into a sorted array and
+    * expands the C(k,2) pairs MAP-SIDE with nested `transform`/`slice`
+    * (order sizes are bounded by basket semantics, so the expansion is
+    * a constant per order and the pair stream is linear in the fact
+    * table). The per-order frame is persisted and derives all three
+    * consumers — pair counts, per-part supports, and the order total —
+    * so the fact table is scanned and shuffled exactly once. Supports
+    * join the pair counts unhinted (AQE broadcasts at small SF, shuffles
+    * when |parts| grows); top-20 is TakeOrdered with a full-key
+    * tiebreak.
+    */
+  val basketPairs: Q = Q("basket_pairs",
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |no AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+      |s AS (SELECT l_partkey, count(*) AS sup FROM d GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS npair
+      |  FROM d a JOIN d b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT p1, p2, npair, s1.sup AS sup1, s2.sup AS sup2,
+      |  CAST(npair * no.n * 1000000 // (s1.sup * s2.sup) AS BIGINT) AS lift_ppm
+      |FROM pr JOIN s s1 ON p1 = s1.l_partkey JOIN s s2 ON p2 = s2.l_partkey
+      |CROSS JOIN no
+      |ORDER BY npair DESC, p1, p2 LIMIT 20""".stripMargin) { (s, dir) =>
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .persist()
+    val supports = perOrder
+      .select(explode(col("parts")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("sup"))
+    val nOrders = perOrder.agg(count(lit(1)).as("n"))
+    val pairs = perOrder
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pq"))
+      .select(col("pq.p1").as("p1"), col("pq.p2").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("npair"))
+    pairs
+      .join(supports.select(col("p").as("p1"), col("sup").as("sup1")), Seq("p1"))
+      .join(supports.select(col("p").as("p2"), col("sup").as("sup2")), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("npair"), col("sup1"), col("sup2"),
+        expr("(npair * n * 1000000L) div (sup1 * sup2)").as("lift_ppm"))
+      .orderBy(col("npair").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
@@ -1394,5 +1506,5 @@ object Analytics {
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
-    eventsTopPaths, smallOrders, abLift, rfm)
+    eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs)
 }

@@ -486,6 +486,71 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_attribution matches a scalar last-touch replay") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var lastClick: Option[Long] = None
+      ordered.flatMap { case (_, tns, _, typ, value) =>
+        if (typ == "click") { lastClick = Some(tns); None }
+        else if (typ == "purchase") {
+          val attr = lastClick match {
+            case None => "organic"
+            case Some(c) if tns - c <= 3600000000000L => "lt_1h"
+            case Some(c) if tns - c <= 86400000000000L => "1h_24h"
+            case Some(c) if tns - c <= 604800000000000L => "1d_7d"
+            case _ => "organic"
+          }
+          Some(attr -> value)
+        } else None
+      }
+    }.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toLong,
+        vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }.toMap
+    val got = Analytics.eventsAttribution.run(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === got.map(_._1).sorted, "ordered by attribution")
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (attr, n, rev) =>
+      assert((n, rev) === expected(attr), s"bucket $attr")
+    }
+    // simultaneous click+purchase ordering and the organic fallback are
+    // both exercised only if more than one bucket materializes
+    assert(got.size >= 2, "attribution must discriminate buckets")
+  }
+
+  test("basket_pairs expands exactly the C(k,2) per-order pairs with exact lift") {
+    import spark.implicits._
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val perOrder = li.distinct.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nOrders = perOrder.size.toLong
+    val sup = perOrder.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    perOrder.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.size)
+        pairCount((parts(i), parts(j))) =
+          pairCount.getOrElse((parts(i), parts(j)), 0L) + 1L
+    }
+    val expected = pairCount.toSeq
+      .map { case ((p1, p2), n) =>
+        (p1, p2, n, sup(p1), sup(p2),
+          Math.floorDiv(n * nOrders * 1000000L, sup(p1) * sup(p2)))
+      }
+      .sortBy { case (p1, p2, n, _, _, _) => (-n, p1, p2) }
+      .take(20)
+    val got = Analytics.basketPairs.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.exists(_._3 > 1), "replicated baskets must yield repeat pairs")
+  }
+
   test("orders_rfm matches a scalar quintile replay and partitions customers") {
     import spark.implicits._
     val o = graft.sources.Tables.load(spark, dir, "orders")
