@@ -1499,6 +1499,49 @@ object Analytics {
       .limit(20)
   }
 
+  /** Incremental aggregate maintenance — the materialized-view update
+    * path every warehouse runs nightly: the per-customer order aggregate
+    * is maintained as STATE (built from the orders strictly before the
+    * corpus' midpoint day — "yesterday's materialization") merged with
+    * the aggregate of the newly-arrived partition (the on/after-midpoint
+    * orders) via a full-outer coalesce-sum join, WITHOUT re-aggregating
+    * history. The ORACLE is the plain full recompute over all orders —
+    * for algebraic aggregates merge(agg(base), agg(δ)) ≡ agg(base ∪ δ),
+    * so the hash gate IS the incremental-equals-full theorem, proven on
+    * every run at every SF.
+    *
+    * Shape: the two batch scans stand in for genuinely separate arrivals
+    * (a real pipeline reads state from storage, not from a rescan); both
+    * aggregates collapse map-side to |customers| partials, the merge
+    * join keys on the same custkey distribution, and money rides the
+    * exact-cents BIGINT idiom so merge order cannot perturb a float sum.
+    * The midpoint cutoff derives from the orders' own min/max days
+    * (broadcast scalar — no hardcoded calendar), so the split is
+    * deterministic, SF-independent, and always two non-empty batches on
+    * a multi-day corpus.
+    */
+  val incrAgg: Q = Q("incr_agg_merge",
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      expr("unix_micros(o_orderdate) div 86400000000L").as("day"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mid = o.agg(((min(col("day")) + max(col("day"))) / lit(2))
+      .cast("long").as("mid"))
+    def aggOf(df: DataFrame, n: String, c: String): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as(n), sum(col("cents")).as(c))
+    val withMid = o.crossJoin(broadcast(mid))
+    val state = aggOf(withMid.filter(col("day") < col("mid")), "n1", "c1")
+    val delta = aggOf(withMid.filter(col("day") >= col("mid")), "n2", "c2")
+    state.join(delta, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_orders"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("c2"), lit(0L))).as("cents"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
@@ -1506,5 +1549,6 @@ object Analytics {
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
-    eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs)
+    eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
+    incrAgg)
 }

@@ -545,10 +545,44 @@ class AnalyticsSpec extends SparkSpec {
       }
       .sortBy { case (p1, p2, n, _, _, _) => (-n, p1, p2) }
       .take(20)
-    val got = Analytics.basketPairs.run(spark, dir)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val df = Analytics.basketPairs.run(spark, dir)
+    val got = df.as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === expected)
     assert(got.exists(_._3 > 1), "replicated baskets must yield repeat pairs")
+    // per-order aggregation + map-side pair expansion, not the textbook
+    // self-join: every consumer (pairs, both support joins, the order
+    // total) must read the PERSISTED per-order frame — InMemoryTableScan
+    // in the executed plan, one lineitem pass at materialization time.
+    // (Counting FileScan lines is a trap here: each InMemoryRelation
+    // reference re-prints the cached child plan, FileScan included.)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
+  test("incr_agg_merge: both batches non-empty and merge equals full recompute") {
+    import spark.implicits._
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_custkey",
+        org.apache.spark.sql.functions.expr("unix_micros(o_orderdate) div 86400000000L"),
+        $"o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val days = o.map(_._2)
+    val mid = (days.min + days.max) / 2
+    // the cutoff must genuinely split the corpus into two arrivals, or
+    // the "incremental" path degenerates to a plain aggregate
+    assert(o.exists(_._2 < mid) && o.exists(_._2 >= mid),
+      "midpoint cutoff must produce non-empty base AND delta batches")
+    val expected = o.groupBy(_._1).view.mapValues { rows =>
+      (rows.size.toLong, rows.map(r => math.round(r._3 * 100)).sum)
+    }.toMap
+    val got = Analytics.incrAgg.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === got.map(_._1).sorted, "ordered by custkey")
+    assert(got.size === expected.size)
+    got.foreach { case (ck, n, cents) =>
+      assert((n, cents) === expected(ck), s"customer $ck")
+    }
   }
 
   test("orders_rfm matches a scalar quintile replay and partitions customers") {
