@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * Dimension key sets broadcast; the lineitem→orders probe is the one
   * genuine fact-to-fact check and rides a single orderkey shuffle. The
   * composite-key uniqueness check runs as `count(*) − count(DISTINCT
-  * l_orderkey, l_linenumber)` inside the same aggregate (Spark plans the
-  * distinct via expand — still one scan) — and it is NONZERO on this
+  * struct(l_orderkey, l_linenumber))` inside the same aggregate (Spark
+  * plans the distinct via expand — still one scan; the struct form, not
+  * multi-arg countDistinct, so NULL-keyed tuples count like the oracle's
+  * DISTINCT subquery) — and it is NONZERO on this
   * corpus: the testdata's composite lineitem key is genuinely non-unique
   * (the repo's window queries carry a tiebreaker for the same reason), so
   * the oracle gate discriminates real counting, not all-zero echoes.
@@ -87,7 +89,13 @@ object DataQuality {
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fk_o"),
         sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p"),
         sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup"),
+        // countDistinct over the STRUCT, not the two columns: Spark's
+        // multi-arg count(DISTINCT a, b) silently drops tuples where any
+        // column is NULL, while the oracle's SELECT DISTINCT subquery
+        // keeps them (NULLs grouping as equal) — the struct form counts
+        // NULL-keyed tuples the same way, so the audit stays exact on
+        // precisely the dirty keys it exists to find
+        (count(lit(1)) - countDistinct(struct(col("l_orderkey"), col("l_linenumber")))).as("dup"),
         sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom"))
       .select(expr(
         """stack(5,

@@ -757,9 +757,10 @@ object Dedup {
     * bounded Levenshtein distance EXACTLY, using blocking to stay off the
     * O(n²) cliff. Block key = `p_brand` (records in different blocks can
     * never pair), plus a length-difference prefilter — |len(a)−len(b)| is
-    * a lower bound on edit distance, so pairs it rejects are rejected by
-    * the real predicate too, and it costs two `length()`s instead of a
-    * DP-table evaluation. The surviving pairs run `levenshtein(a, b, 3)`
+    * a lower bound on edit distance, so a |Δlen| ≤ 3 gate rejects ONLY
+    * pairs the dist ≤ 3 predicate rejects (±2 would silently drop the
+    * boundary case of three pure insertions), and it costs two
+    * `length()`s instead of a DP-table evaluation. The surviving pairs run `levenshtein(a, b, 3)`
     * — the THRESHOLD form (Spark 3.5+): a banded DP that visits only the
     * 2·3+1 diagonal stripe, O(threshold·len) per pair instead of
     * O(len²), returning the exact distance when ≤ 3 and −1 past it. For
@@ -790,7 +791,7 @@ object Dedup {
   val fuzzyJoin: Q = Q("fuzzy_join",
     """WITH b2 AS (SELECT p_partkey, p_brand, p_name,
       |    length(p_name) + d.d AS band
-      |  FROM part, (SELECT unnest([-2, -1, 0, 1, 2]) AS d) d),
+      |  FROM part, (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS d) d),
       |c AS (SELECT p1.p_brand AS brand,
       |    levenshtein(p1.p_name, p2.p_name) AS dist
       |  FROM part p1 JOIN b2 p2 ON p1.p_brand = p2.p_brand
@@ -812,8 +813,9 @@ object Dedup {
       .withColumn("band", length(col("p_name"))).as("p1")
     val p2 = p
       .withColumn("band",
-        explode(expr("array(length(p_name) - 2, length(p_name) - 1," +
-          " length(p_name), length(p_name) + 1, length(p_name) + 2)")))
+        explode(expr("array(length(p_name) - 3, length(p_name) - 2," +
+          " length(p_name) - 1, length(p_name), length(p_name) + 1," +
+          " length(p_name) + 2, length(p_name) + 3)")))
       .as("p2")
     p1.join(p2,
         col("p1.p_brand") === col("p2.p_brand") &&

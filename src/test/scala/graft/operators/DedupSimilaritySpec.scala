@@ -211,7 +211,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val expect = parts.groupBy(_._2).toSeq.flatMap { case (brand, ps) =>
       val pairs = for {
         (k1, _, n1) <- ps; (k2, _, n2) <- ps
-        if k1 < k2 && math.abs(n1.length - n2.length) <= 2
+        if k1 < k2 && math.abs(n1.length - n2.length) <= 3
         d = lev(n1, n2) if d <= 3
       } yield d
       if (pairs.isEmpty) None
