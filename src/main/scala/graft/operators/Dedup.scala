@@ -503,9 +503,8 @@ object Dedup {
       .mkString(" + ")
     val mask = (1L << SimhashBandBits) - 1
     s"""WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |words AS (SELECT DISTINCT doc_id, w FROM w0),
-       |wh AS (SELECT doc_id, ($hExpr) AS h
-       |  FROM (SELECT doc_id, md5(w) AS d FROM words)),
+       |wh AS (SELECT DISTINCT doc_id, ($hExpr) AS h
+       |  FROM (SELECT doc_id, md5(w) AS d FROM w0)),
        |sums AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
        |sig AS (SELECT doc_id, ($shCol) AS simhash FROM sums),
        |bands AS (SELECT doc_id, u.b,
@@ -522,8 +521,9 @@ object Dedup {
        |FROM sig s LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash: 60-bit signature where bit j is the sign of Σ over distinct
-    * words of ±1 according to bit j of the word's hash. Near-dup candidates
+  /** SimHash: 60-bit signature where bit j is the sign of Σ over a doc's
+    * DISTINCT WORD HASHES of ±1 according to bit j of the hash (hashes
+    * are distinct-ed, not words — the digest rides the dedup exchange). Near-dup candidates
     * share a 15-bit band (Hamming-distance banding). Integer sums → fully
     * deterministic under any partitioning.
     *
@@ -534,10 +534,17 @@ object Dedup {
     * read the SAME md5 hex).
     */
   val simhash: Q = Q("dedup_simhash", simhashOracleSql) { (s, dir) =>
+    // Digest BEFORE the distinct exchange (the gram-digest shuffle lever,
+    // same as text_novelty): the dedup shuffle carries an 8-byte long per
+    // (doc, word) instead of the word string, and the signature semantics
+    // become "distinct word HASHES per doc" — identical in both engines
+    // (the oracle distincts the same nibble-parsed value), deterministic,
+    // and within 60-bit collision odds of the distinct-words form.
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
     // SWAR-packed bit counting: a naive per-bit layout is 60 aggregation
     // buffer updates per word row and dominated the scale smoke (19.6 s at
     // ×10). Packing 4 bit-counters per long in 16-bit lanes cuts that to
