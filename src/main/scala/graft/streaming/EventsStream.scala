@@ -142,6 +142,66 @@ object EventsStream {
       }
   }
 
+  case class Attribution(user_id: Long, ts_us: Long, attribution: String,
+      value: Double)
+
+  // public: Catalyst's generated deserializer instantiates it reflectively
+  case class TouchState(lastClickUs: Long)
+
+  /** Streaming last-touch attribution — the online half of the batch
+    * `events_attribution` query: every purchase is emitted with the lag
+    * bucket to its user's most recent preceding click (<1 h / 1 h–24 h /
+    * 1 d–7 d / organic), using the IDENTICAL inclusive thresholds the
+    * batch running-max window evaluates, so stream and batch agree
+    * row-for-row on in-order input (asserted in EventsStreamSpec).
+    *
+    * State per user is ONE long (the last click's event-time micros) —
+    * constant regardless of history length, the smallest state any
+    * attribution join can carry: where [[clickPurchaseJoin]] buffers a
+    * watermark horizon of BOTH streams, the last-touch rule is a running
+    * fold, so flatMapGroupsWithState with a scalar state replaces the
+    * join entirely. A click older than the 7-day organic horizon can
+    * never change a verdict, so a deployment bounding state for dormant
+    * users sets an event-time TTL at 7 days (same cap note as
+    * [[rateLimit]] — correctness is unaffected either way).
+    * Rows inside a micro-batch are event-time-sorted per user (stable,
+    * so a same-timestamp click counts when the source delivers it before
+    * the purchase — the batch (ts, event_id) tiebreak's contract);
+    * cross-batch order is the source's responsibility.
+    */
+  def lastTouch(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    def micros(e: Event): Long =
+      (e.ts.getTime / 1000L) * 1000000L + (e.ts.getNanos / 1000L)
+    val (hourUs, dayUs, weekUs) =
+      (3600000000L, 86400000000L, 604800000000L)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          var lastClick = state.getOption.map(_.lastClickUs)
+          val out = rows.toSeq.sortBy(micros).flatMap { e =>
+            val t = micros(e)
+            e.event_type match {
+              case "click" =>
+                lastClick = Some(t); None
+              case "purchase" =>
+                val bucket = lastClick match {
+                  case Some(c) if t - c <= hourUs => "lt_1h"
+                  case Some(c) if t - c <= dayUs => "1h_24h"
+                  case Some(c) if t - c <= weekUs => "1d_7d"
+                  case _ => "organic"
+                }
+                Some(Attribution(userId, t, bucket, e.value))
+              case _ => None
+            }
+          }
+          lastClick.foreach(c => state.update(TouchState(c)))
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: every `click` joins the same user's
     * `purchase` events that arrive within the 10 minutes AFTER the click —
     * the attribution join a real event pipeline runs continuously. Both

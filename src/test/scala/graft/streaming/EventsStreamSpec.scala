@@ -221,6 +221,60 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("lastTouch attributes purchases identical to the batch lag buckets") {
+    implicit val sq = spark.sqlContext
+    def at(day: Int, hour: Int, min: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:$min%02d:00")
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.lastTouch(input.toDS())
+      .writeStream.format("memory").queryName("touch_out")
+      .outputMode(OutputMode.Append).start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[EventsStream.Event]
+    def feed(batch: EventsStream.Event*): Unit = {
+      fed ++= batch; input.addData(batch); query.processAllAvailable()
+    }
+    try {
+      feed(EventsStream.Event(at(0, 10), 1L, "click", 0.0),
+        // same-timestamp click + purchase: the click arrives first, so
+        // the purchase attributes at lag 0 (the batch event_id tiebreak)
+        EventsStream.Event(at(0, 10), 1L, "purchase", 5.0),
+        EventsStream.Event(at(0, 10, 30), 1L, "purchase", 7.0), // lt_1h
+        EventsStream.Event(at(0, 15), 1L, "purchase", 9.0),     // 1h_24h
+        EventsStream.Event(at(0, 11), 2L, "purchase", 3.0))     // organic
+      // state survives the micro-batch boundary: day-3 purchase still
+      // sees the day-0 click (1d_7d); day-9 purchase aged past 7d
+      feed(EventsStream.Event(at(3, 10), 1L, "purchase", 2.0),
+        EventsStream.Event(at(9, 10), 1L, "purchase", 1.0),
+        EventsStream.Event(at(3, 11), 2L, "view", 1.0))
+      val got = spark.table("touch_out").as[EventsStream.Attribution]
+        .collect().toSeq.sortBy(r => (r.user_id, r.ts_us, r.value))
+      // scalar replay of the batch events_attribution bucket rule
+      def us(t: Timestamp) = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val expect = fed.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        var lastClick = Option.empty[Long]
+        es.flatMap { e =>
+          val t = us(e.ts)
+          e.event_type match {
+            case "click" => lastClick = Some(t); None
+            case "purchase" =>
+              val b = lastClick match {
+                case Some(c) if t - c <= 3600000000L => "lt_1h"
+                case Some(c) if t - c <= 86400000000L => "1h_24h"
+                case Some(c) if t - c <= 604800000000L => "1d_7d"
+                case _ => "organic"
+              }
+              Some(EventsStream.Attribution(u, t, b, e.value))
+            case _ => None
+          }
+        }
+      }.sortBy(r => (r.user_id, r.ts_us, r.value))
+      assert(got === expect)
+      // every bucket including the 7-day age-out must have materialized
+      assert(got.map(_.attribution).toSet ===
+        Set("lt_1h", "1h_24h", "1d_7d", "organic"))
+    } finally query.stop()
+  }
+
   test("rateLimit annotates trailing-window counts identical to the batch frame") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
