@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-query scratch-persist tracker — the lifecycle half of every
+  * `persist()` a single query plants for its own multi-consumer frames
+  * (basket_pairs' per-order baskets, orders_rfm's per-customer frame,
+  * cooccur's per-doc vocab arrays, the graph edge models).
+  *
+  * Those frames are REUSE within one query, not session state: once the
+  * query's result has materialized they are dead weight pinning executor
+  * storage memory, and across a 100+-query bench run the accumulated
+  * MEMORY_AND_DISK blocks force LRU churn against the caches that ARE
+  * meant to live (the dedup family's memoized pair frame). So: queries
+  * call [[track]] instead of bare `persist()`, and the entry points
+  * (Bench / Verify) call [[release]] after each result materializes —
+  * the same contract as `Ingest.QuarantinedRead.release()`.
+  *
+  * Deliberately NOT for session-scoped memos (Dedup.pairCache,
+  * Ingest.bucketedTables): their amortization across queries is the
+  * point; they keep their own explicit teardown.
+  *
+  * Thread-safety: a TrieMap keyed by session with a synchronized buffer
+  * per session — entry points are sequential today, but specs run
+  * suites in parallel against a shared session.
+  */
+object Scratch {
+
+  private val tracked = TrieMap.empty[SparkSession, ArrayBuffer[DataFrame]]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for the next
+    * [[release]] of its session. Returns the persisted frame.
+    */
+  def track(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    val buf = tracked.getOrElseUpdate(p.sparkSession, ArrayBuffer.empty)
+    buf.synchronized { buf += p }
+    p
+  }
+
+  /** Unpersist every frame tracked for `s` since the last release.
+    * Non-blocking: eviction proceeds async; correctness never depends on
+    * a persist (they are pure recompute-or-read-cache).
+    */
+  def release(s: SparkSession): Unit =
+    tracked.remove(s).foreach { buf =>
+      buf.synchronized { buf.foreach(_.unpersist(blocking = false)) }
+    }
+}

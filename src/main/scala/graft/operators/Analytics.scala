@@ -1360,17 +1360,16 @@ object Analytics {
       expr("unix_micros(o_orderdate) div 86400000000L").as("day"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val mx = o.agg(max(col("day")).as("dmax"))
-    // persisted: consumed by THREE histogram derivations plus the final
-    // scoring join — without it each consumer re-runs the orders scan and
-    // the per-customer aggregation (measured: 14 scans / 25 exchanges in
-    // the unpersisted plan). |customers| rows × 4 ints; MEMORY_AND_DISK.
-    val rfmF = o.groupBy(col("o_custkey"))
+    // persisted (Scratch-tracked): consumed by THREE histogram derivations
+    // plus the final scoring join — without it each consumer re-runs the
+    // orders scan and the per-customer aggregation (measured: 14 scans /
+    // 25 exchanges in the unpersisted plan). |customers| rows × 4 ints.
+    val rfmF = graft.Scratch.track(o.groupBy(col("o_custkey"))
       .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
         sum(col("cents")).as("m"))
       .crossJoin(broadcast(mx))
       .select(col("o_custkey"), (col("dmax") - col("lastd")).as("r"),
-        col("f"), expr("m div 100000L").as("mk"))
-      .persist()
+        col("f"), expr("m div 100000L").as("mk")))
     val nF = rfmF.agg(count(lit(1)).as("n"))
     def scoreMap(dim: String, out: String): DataFrame = rfmF
       .groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
@@ -1474,10 +1473,9 @@ object Analytics {
       |FROM pr JOIN s s1 ON p1 = s1.l_partkey JOIN s s2 ON p2 = s2.l_partkey
       |CROSS JOIN no
       |ORDER BY npair DESC, p1, p2 LIMIT 20""".stripMargin) { (s, dir) =>
-    val perOrder = t(s, dir, "lineitem")
+    val perOrder = graft.Scratch.track(t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .persist()
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
     val supports = perOrder
       .select(explode(col("parts")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("sup"))

@@ -781,9 +781,9 @@ object Dedup {
     * linked table (constant in the shipped smokes — ScaleUp holds `part`
     * fixed as a dimension — but a real linkage corpus scales, and blocks
     * must not), so the equi-join key is (brand, EXACT name length): the
-    * right side explodes each row to lengths {L−2..L+2} (5 copies of the
+    * right side explodes each row to lengths {L−3..L+3} (7 copies of the
     * smaller projection, long before the join), so an equi-match on
-    * (brand, length) IS the |Δlen| ≤ 2 gate — the join emits exactly the
+    * (brand, length) IS the |Δlen| ≤ 3 gate — the join emits exactly the
     * qualifying candidates, each exactly once, and zero band false
     * positives ever reach the DP (a width-3 banding variant measured 3×
     * more join output, all of it abs()-rejected after the match).

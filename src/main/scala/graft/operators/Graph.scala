@@ -65,7 +65,8 @@ object Graph {
 
   val pagerank: Q = Q("graph_pagerank", pagerankOracle) { (s, dir) =>
     def t(name: String): DataFrame = Tables.load(s, dir, name)
-    val edges = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = graft.Scratch.track(
+      t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(t("customer").select(col("c_custkey"), col("c_nationkey")),
@@ -79,14 +80,14 @@ object Graph {
       // (row weights and the transition join) read the cached matrix, so
       // the expensive 4-way fact join executes exactly once — without
       // this the outW branch re-derives it (measured 65 s → 24 s at the
-      // ×100 smoke)
-      .coalesce(1).persist()
+      // ×100 smoke); Scratch-tracked → released after the result lands
+      .coalesce(1))
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     // The aggregated model the iterations run over — single-partition so
     // every iteration is a one-task job instead of a 32-task shuffle.
-    val pe = edges.join(broadcast(outW), Seq("src"))
+    val pe = graft.Scratch.track(edges.join(broadcast(outW), Seq("src"))
       .select(col("src"), col("dst"), expr("(w * 1000000L) div wsum").as("p_ppm"))
-      .coalesce(1).persist()
+      .coalesce(1))
     val nations = t("nation")
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
     val nn = nations.select(count(lit(1)).as("n"))
@@ -152,7 +153,8 @@ object Graph {
     */
   val triangles: Q = Q("graph_triangles", triOracle) { (s, dir) =>
     def t(name: String): DataFrame = Tables.load(s, dir, name)
-    val edges = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = graft.Scratch.track(
+      t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(t("customer").select(col("c_custkey"), col("c_nationkey")),
@@ -165,9 +167,9 @@ object Graph {
         greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"))
       .distinct()
       // the aggregated model (≤ |V|²/2 rows) consumed by three join legs:
-      // persist so the fact join runs once, single-partition so the
-      // enumeration is broadcast work, not a 32-task shuffle
-      .coalesce(1).persist()
+      // persist (Scratch-tracked) so the fact join runs once, single-
+      // partition so the enumeration is broadcast work, not a shuffle
+      .coalesce(1))
     val tri = edges.as("e1")
       .join(broadcast(edges.as("e2")), col("e1.v") === col("e2.u"))
       .join(broadcast(edges.as("e3")),
@@ -257,7 +259,8 @@ object Graph {
     */
   val kcore: Q = Q("graph_kcore", kcoreOracle) { (s, dir) =>
     def t(name: String): DataFrame = Tables.load(s, dir, name)
-    val edges = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = graft.Scratch.track(
+      t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(t("customer").select(col("c_custkey"), col("c_nationkey")),
@@ -269,7 +272,7 @@ object Graph {
         least(col("c_nationkey"), col("s_nationkey")).cast("long").as("u"),
         greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"))
       .agg(count(lit(1)).as("w"))
-      .coalesce(1).persist()
+      .coalesce(1))
     val stat = edges.agg(count(lit(1)).as("ne"), sum(col("w")).as("sw"))
     val d = edges.crossJoin(broadcast(stat))
       .where(col("w") * col("ne") > col("sw"))

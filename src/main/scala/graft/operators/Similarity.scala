@@ -592,16 +592,16 @@ object Similarity {
       .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-    // the |labels|-row centroid model: persisted single-partition because
-    // BOTH the cohesion pass and the final per-dim flatten consume it —
-    // unpersisted, each consumer re-derives the corpus aggregation
-    val cvec = sums
+    // the |labels|-row centroid model: persisted (Scratch-tracked) single-
+    // partition because BOTH the cohesion pass and the final per-dim
+    // flatten consume it — unpersisted, each re-derives the aggregation
+    val cvec = graft.Scratch.track(sums
       .select(col("label"), col("n"), col("dim"),
         expr("(s - pmod(s, n)) div n").as("c"))
       .groupBy(col("label"), col("n"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
         .as("cq"))
-      .coalesce(1).persist()
+      .coalesce(1))
     val coh = base.join(broadcast(cvec.select(col("label"), col("cq"))), "label")
       .select(col("label"), dotQ(col("qv"), col("cq")).as("d"))
       .groupBy(col("label")).agg(sum(col("d")).as("coh"))

@@ -656,15 +656,22 @@ object TextAnalysis {
     * bit-portable across engines, the integer ratio is — and it orders
     * pairs identically.
     *
-    * Shape: per-doc distinct words (one explode + distinct), vocabulary =
-    * top-K document frequencies (TakeOrdered, broadcast back as the
-    * filter — the vocab is a constant-size dim at any corpus scale), then
-    * a SELF-join on doc_id restricted to vocab words. Both join inputs
-    * are the same frame, so Spark reuses one exchange; each document
-    * contributes ≤ vocab² pairs, keeping the join linear in corpus size
-    * with a constant per-doc factor. The pair counts collapse map-side
-    * (≤ vocab² partial rows per partition) before the final tiny join
-    * against the broadcast vocab dfs.
+    * Shape — ONE documents scan, no corpus-sized broadcast, no self-join
+    * (the basket_pairs pattern): the per-doc distinct-word array is built
+    * MAP-SIDE (`array_distinct(split(...))` — within-doc dedup needs no
+    * exchange, unlike the old global explode+distinct), persisted once
+    * ([[graft.Scratch.track]]) and derives all three consumers: the
+    * vocabulary (top-K document frequencies off one map-side-combined
+    * word exchange, TakeOrdered), the corpus doc count, and the pair
+    * stream. Pairs come from intersecting each doc's array with the
+    * broadcast ONE-ROW sorted vocab array (50 words — constant at any
+    * corpus scale) and expanding C(k,2) map-side via nested
+    * `transform`/`slice`, so each doc contributes ≤ vocab² pairs and the
+    * pair counts collapse to ≤ vocab² partial rows per partition before
+    * their exchange. The oracle states the textbook self-join; the plan
+    * never runs one — the old shape re-derived the explode+distinct four
+    * times and broadcast an O(corpus) vocab-filtered frame into the pair
+    * join, which no driver survives at real scale.
     */
   val cooccur: Q = Q("cooccur_lift",
     s"""WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -679,20 +686,22 @@ object TextAnalysis {
        |FROM p CROSS JOIN nd
        |  JOIN voc v1 ON p.w1 = v1.w JOIN voc v2 ON p.w2 = v2.w
        |ORDER BY lift_ppm DESC, w1, w2 LIMIT $CooccurTopK""".stripMargin) { (s, dir) =>
-    val d = docs(s, dir)
-    val words = d
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
-    val voc = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w")).limit(CooccurVocab)
-    val wv = words.join(broadcast(voc.select(col("w"))), Seq("w"))
-      .select(col("doc_id"), col("w"))
-    val pairs = wv.as("a")
-      .join(wv.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
-      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
-      .agg(count(lit(1)).as("docs_both"))
-    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    val perDoc = graft.Scratch.track(docs(s, dir)
+      .select(array_distinct(split(col("text"), " ")).as("ws")))
+    val voc = graft.Scratch.track(perDoc.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(CooccurVocab))
+    val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
+    val vocArr = voc.agg(sort_array(collect_list(col("w"))).as("vw"))
+    val pairs = perDoc
+      .crossJoin(broadcast(vocArr))
+      .select(sort_array(array_intersect(col("ws"), col("vw"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS w1, y AS w2))))""".stripMargin)).as("pq"))
+      .select(col("pq.w1").as("w1"), col("pq.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("docs_both"))
     pairs
       .crossJoin(broadcast(nDocs))
       .join(broadcast(voc).select(col("w").as("w1"), col("df").as("df1")), Seq("w1"))

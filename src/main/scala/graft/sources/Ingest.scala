@@ -207,7 +207,12 @@ object Ingest {
   private val bucketedReady = scala.collection.mutable.Set.empty[(SparkSession, String)]
 
   def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // tag = sanitized dir + a hash of the RAW dir: two dirs that sanitize
+    // to the same string (/x/sf0.1 vs /x/sf0_1) must not share tables —
+    // the second write would clobber the first while its memo entry still
+    // claimed readiness
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
     // A fresh session's in-memory catalog has no entry for a table whose
     // warehouse directory survived a previous run — drop both the entry
@@ -312,8 +317,18 @@ object Ingest {
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(dir + "._compact_bak")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    // renames are checked: a silent rename failure here would either lose
+    // the dataset (no live dir) or delete the only backup after a failed
+    // restore. On swap failure, put the original back and fail loudly.
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compactParquet: rename $path -> $bak failed")
+    if (!fs.rename(tmp, path)) {
+      val restored = fs.rename(bak, path)
+      throw new java.io.IOException(
+        s"compactParquet: rename $tmp -> $path failed" +
+          (if (restored) " (original restored)"
+           else s" AND restore failed — data is at $bak"))
+    }
     fs.delete(bak, true)
     val (filesAfter, bytesAfter) = layout()
     CompactReport(filesBefore, bytesBefore, filesAfter, bytesAfter)
