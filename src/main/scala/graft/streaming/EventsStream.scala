@@ -114,7 +114,17 @@ object EventsStream {
     * the BATCH sliding RANGE frame would buffer for the same data — the
     * streaming state is never worse than the batch window's working set
     * for that key (cap the list and saturate the verdict if a deployment
-    * wants a hard ceiling at the cost of exact counts above it).
+    * wants a hard ceiling at the cost of exact counts above it). DORMANT
+    * keys free their state via an event-time timeout at (newest entry +
+    * window): once the watermark passes it, every buffered timestamp is
+    * outside any future event's trailing window, so eviction cannot
+    * change a verdict — a user's first event after dormancy recreates
+    * state from scratch, exactly what the fold would have computed
+    * anyway. Eviction is asserted against the operator's state metrics
+    * in EventsStreamSpec.
+    * The per-batch fold is a head-drop on a mutable deque (timestamps
+    * are processed sorted, so expiry only ever removes from the front):
+    * O(batch + evictions) per key, not O(len²) list rebuilds.
     * Rows inside a micro-batch are event-time-sorted per user
     * before folding; cross-batch order is the source's responsibility
     * (in-order per user ⇒ stream output ≡ batch rolling count, asserted
@@ -126,19 +136,34 @@ object EventsStream {
     def micros(e: Event): Long =
       (e.ts.getTime / 1000L) * 1000000L + (e.ts.getNanos / 1000L)
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RateState, RateVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[RateState]) =>
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = rows.toSeq.map(e => (micros(e), e)).sortBy(_._1).map {
-            case (t, _) =>
-              recent = (recent :+ t).filter(_ >= t - windowMicros)
-              RateVerdict(userId, t, recent.size.toLong,
-                recent.size > maxInWindow)
+          if (state.hasTimedOut) {
+            // watermark passed (newest entry + window): no future event's
+            // trailing window can reach any buffered timestamp
+            state.remove()
+            Iterator.empty
+          } else {
+            val recent = scala.collection.mutable.ArrayDeque
+              .from(state.getOption.map(_.recent).getOrElse(Nil))
+            val out = rows.toSeq.map(e => (micros(e), e)).sortBy(_._1).map {
+              case (t, _) =>
+                recent.append(t)
+                while (recent.head < t - windowMicros) recent.removeHead()
+                RateVerdict(userId, t, recent.size.toLong,
+                  recent.size > maxInWindow)
+            }
+            if (recent.nonEmpty) {
+              state.update(RateState(recent.toList))
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                recent.last / 1000L + windowMicros / 1000L + 1))
+            }
+            out.iterator
           }
-          state.update(RateState(recent))
-          out.iterator
       }
   }
 
@@ -161,9 +186,13 @@ object EventsStream {
     * watermark horizon of BOTH streams, the last-touch rule is a running
     * fold, so flatMapGroupsWithState with a scalar state replaces the
     * join entirely. A click older than the 7-day organic horizon can
-    * never change a verdict, so a deployment bounding state for dormant
-    * users sets an event-time TTL at 7 days (same cap note as
-    * [[rateLimit]] — correctness is unaffected either way).
+    * never change a verdict, so state for dormant users is BOUNDED by an
+    * event-time timeout at (last click + 7 days): once the watermark
+    * passes it, any future purchase's lag exceeds the organic horizon,
+    * so eviction produces the identical "organic" verdict the retained
+    * click would have — TTL is semantics-free by construction, and the
+    * eviction itself is asserted against the operator's state metrics in
+    * EventsStreamSpec.
     * Rows inside a micro-batch are event-time-sorted per user (stable,
     * so a same-timestamp click counts when the source delivers it before
     * the purchase — the batch (ts, event_id) tiebreak's contract);
@@ -176,29 +205,42 @@ object EventsStream {
     val (hourUs, dayUs, weekUs) =
       (3600000000L, 86400000000L, 604800000000L)
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, Attribution](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
-          var lastClick = state.getOption.map(_.lastClickUs)
-          val out = rows.toSeq.sortBy(micros).flatMap { e =>
-            val t = micros(e)
-            e.event_type match {
-              case "click" =>
-                lastClick = Some(t); None
-              case "purchase" =>
-                val bucket = lastClick match {
-                  case Some(c) if t - c <= hourUs => "lt_1h"
-                  case Some(c) if t - c <= dayUs => "1h_24h"
-                  case Some(c) if t - c <= weekUs => "1d_7d"
-                  case _ => "organic"
-                }
-                Some(Attribution(userId, t, bucket, e.value))
-              case _ => None
+          if (state.hasTimedOut) {
+            // watermark passed (click + 7 days): every future purchase is
+            // "organic" with or without this state
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastClick = state.getOption.map(_.lastClickUs)
+            val out = rows.toSeq.sortBy(micros).flatMap { e =>
+              val t = micros(e)
+              e.event_type match {
+                case "click" =>
+                  lastClick = Some(t); None
+                case "purchase" =>
+                  val bucket = lastClick match {
+                    case Some(c) if t - c <= hourUs => "lt_1h"
+                    case Some(c) if t - c <= dayUs => "1h_24h"
+                    case Some(c) if t - c <= weekUs => "1d_7d"
+                    case _ => "organic"
+                  }
+                  Some(Attribution(userId, t, bucket, e.value))
+                case _ => None
+              }
             }
+            lastClick.foreach { c =>
+              state.update(TouchState(c))
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                c / 1000L + weekUs / 1000L + 1))
+            }
+            out.iterator
           }
-          lastClick.foreach(c => state.update(TouchState(c)))
-          out.iterator
       }
   }
 

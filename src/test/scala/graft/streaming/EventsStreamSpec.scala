@@ -246,6 +246,16 @@ class EventsStreamSpec extends SparkSpec {
       feed(EventsStream.Event(at(3, 10), 1L, "purchase", 2.0),
         EventsStream.Event(at(9, 10), 1L, "purchase", 1.0),
         EventsStream.Event(at(3, 11), 2L, "view", 1.0))
+      // day-20 batch runs with the day-9 watermark, which passed user 1's
+      // (click + 7 days) timeout → the TTL evicts user 1's state; user 3's
+      // click is the only state row left (a click yields no output row, so
+      // the scalar replay below is unaffected)
+      feed(EventsStream.Event(at(20, 10), 3L, "click", 0.0))
+      val stateRows = query.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+        .filter(_ >= 0)
+      assert(stateRows.lastOption === Some(1L),
+        s"7-day TTL must leave only user 3's state row: $stateRows")
       val got = spark.table("touch_out").as[EventsStream.Attribution]
         .collect().toSeq.sortBy(r => (r.user_id, r.ts_us, r.value))
       // scalar replay of the batch events_attribution bucket rule
@@ -294,6 +304,17 @@ class EventsStreamSpec extends SparkSpec {
       feed(EventsStream.Event(ts(1, 30), 1L, "click", 1.0), // 3 in 2min → limited
         EventsStream.Event(ts(2, 50), 1L, "click", 1.0))    // first two aged out
       feed(EventsStream.Event(ts(3), 2L, "view", 1.0))
+      // dormant-key TTL: user 1's timeout is (10:02:50 + window); the
+      // 10:31 batch runs with the 10:30-derived watermark (10:20), which
+      // passed it → user 1's state is evicted, only user 2 remains (the
+      // extra user-2 events fold into the replay below like any others)
+      feed(EventsStream.Event(ts(30), 2L, "view", 1.0))
+      feed(EventsStream.Event(ts(31), 2L, "view", 1.0))
+      val stateRows = query.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+        .filter(_ >= 0)
+      assert(stateRows.lastOption === Some(1L),
+        s"window TTL must leave only user 2's state row: $stateRows")
       val got = spark.table("rate_out").as[EventsStream.RateVerdict]
         .collect().toSeq.sortBy(r => (r.user_id, r.ts_us))
       // scalar replay of the batch events_rolling frame: [t-W, t] inclusive
