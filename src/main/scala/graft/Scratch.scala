@@ -29,6 +29,7 @@ import scala.collection.mutable.ArrayBuffer
 object Scratch {
 
   private val tracked = TrieMap.empty[SparkSession, ArrayBuffer[DataFrame]]
+  private val checkpointed = TrieMap.empty[SparkSession, ArrayBuffer[DataFrame]]
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for the next
     * [[release]] of its session. Returns the persisted frame.
@@ -40,12 +41,37 @@ object Scratch {
     p
   }
 
+  /** Register an already-`localCheckpoint`'d frame (e.g. the labels out
+    * of an iterative search) for release: checkpoint blocks live in the
+    * RDD layer, so `unpersist` on the Dataset is a no-op and release must
+    * unpersist the backing LogicalRDD itself — the Dedup.releaseCheckpoint
+    * contract, session-scoped. Callers must be done with the frame by the
+    * next [[release]]: unlike a persist, a released checkpoint CANNOT be
+    * recomputed (its lineage was truncated).
+    */
+  def trackCheckpointed(df: DataFrame): DataFrame = {
+    val buf = checkpointed.getOrElseUpdate(df.sparkSession, ArrayBuffer.empty)
+    buf.synchronized { buf += df }
+    df
+  }
+
   /** Unpersist every frame tracked for `s` since the last release.
     * Non-blocking: eviction proceeds async; correctness never depends on
-    * a persist (they are pure recompute-or-read-cache).
+    * a persist (they are pure recompute-or-read-cache; checkpointed
+    * frames are registered only once their consumer is the last one).
     */
-  def release(s: SparkSession): Unit =
+  def release(s: SparkSession): Unit = {
     tracked.remove(s).foreach { buf =>
       buf.synchronized { buf.foreach(_.unpersist(blocking = false)) }
     }
+    checkpointed.remove(s).foreach { buf =>
+      buf.synchronized {
+        buf.foreach(_.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ => ()
+        })
+      }
+    }
+  }
 }
