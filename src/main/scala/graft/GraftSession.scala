@@ -30,7 +30,10 @@ object GraftSession {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val bytes = fs.getContentSummary(p).getLength
-      val targetBytes = graft.functions.LshPlanes
+      // Knobs, NOT LshPlanes.envInt: this runs before the LSH corpus hint
+      // is recorded below, and touching LshPlanes here would freeze its
+      // geometry at the default
+      val targetBytes = Knobs
         .envInt("GRAFT_TARGET_PARTITION_MB", 6, 1, 4096).toLong << 20
       val n = ((bytes + targetBytes - 1) / targetBytes).toInt
       val bounded = math.min(math.max(n, cpus), 65536)
@@ -66,6 +69,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Record the embeddings corpus size for LSH geometry auto-sizing
+    // BEFORE any query object initializes (the knob-free path is the
+    // sized path — LshPlanes scaladoc). Parquet count() is
+    // metadata-only; a dir without an embeddings table keeps defaults.
+    dataDir.foreach { dir =>
+      try {
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        Knobs.sizeLshFor(n)
+        System.err.println(s"[graft] LSH corpus hint: $n vectors in $dir")
+      } catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     // Dedup.releaseCheckpoint unpersists each CC round's localCheckpoint
     // blocks ON PURPOSE (the next round's frame is already materialized, so
     // the truncated lineage is never re-run). Spark warns about exactly

@@ -26,26 +26,40 @@ object LshPlanes {
   // 2^TableBits, so within-bucket work (the all-pairs step of embedding
   // dedup) grows as n²/2^bits at fixed bits — the full-eval scale smoke
   // measured dedup_embed 2.8 s → 44 s from sf0.1 → ×10 on the default
-  // 6-bit geometry. Production sizing is bits ≈ log2(n / target_bucket);
-  // the env knobs below let one deployment/bench pick it without a
-  // rebuild. Every consumer — the native expression, the Spark pipelines,
-  // AND the generated DuckDB oracle SQL — derives from these constants at
-  // JVM init, so the correctness gate stays self-consistent at ANY
-  // setting (recall/candidate-volume tradeoffs shift, correctness never).
-  // private[graft]: the same validate-an-env-knob shape backs the other
-  // engine knobs (Dedup.MaxBandBucket) — one implementation, one contract
+  // 6-bit geometry. The KNOB-FREE path is therefore the sized path:
+  // GraftSession.build records the data dir's embeddings row count
+  // (Knobs.sizeLshFor) before anything touches this object, and the
+  // geometry resolves from it log-scaled at init — ≤20k vectors keeps
+  // the recall-tuned 16×6 default (every shipped correctness gate), and
+  // beyond that bits = ⌈log2(n/15)⌉ (≈15-vector average buckets) with 8
+  // tables: at the ×100 smoke (800k vectors) that derives 8×16, exactly
+  // the setting the ×100 run previously needed by hand. The env knobs
+  // remain the explicit override. Every consumer — the native
+  // expression, the Spark pipelines, AND the generated DuckDB oracle
+  // SQL — derives from these constants at JVM init, so the correctness
+  // gate stays self-consistent at ANY setting (recall/candidate-volume
+  // tradeoffs shift, correctness never).
+  // envInt lives on graft.Knobs (GraftSession reads knobs before the
+  // corpus hint exists, so the reader can't be here); this delegation
+  // keeps the established call sites (Dedup.MaxBandBucket etc.)
   private[graft] def envInt(name: String, default: Int, lo: Int, hi: Int): Int =
-    sys.env.get(name).map { raw =>
-      val v = raw.toIntOption.getOrElse(
-        throw new IllegalArgumentException(s"$name must be an integer, got '$raw'"))
-      require(v >= lo && v <= hi, s"$name must be in [$lo, $hi], got $v")
-      v
-    }.getOrElse(default)
+    graft.Knobs.envInt(name, default, lo, hi)
+
+  private val sized: Option[(Int, Int)] = graft.Knobs.freezeLshHint().map { n =>
+    if (n <= 20000L) (16, 6)
+    else {
+      val bits = math.ceil(math.log(n / 15.0) / math.log(2.0)).toInt
+      (8, math.min(24, math.max(8, bits)))
+    }
+  }
+  sized.foreach { case (t, b) =>
+    System.err.println(s"[graft] LSH geometry auto-sized to $t tables x $b bits")
+  }
 
   // bits capped at 62 so the MSB-first bucket shifts (1L << bits-1) and
   // the multi-probe flip masks stay inside a signed long
-  val NumTables: Int = envInt("GRAFT_LSH_TABLES", 16, 1, 64)
-  val TableBits: Int = envInt("GRAFT_LSH_BITS", 6, 1, 62)
+  val NumTables: Int = envInt("GRAFT_LSH_TABLES", sized.map(_._1).getOrElse(16), 1, 64)
+  val TableBits: Int = envInt("GRAFT_LSH_BITS", sized.map(_._2).getOrElse(6), 1, 62)
   val Dims = 64
 
   /** ±1 plane tensor flattened [t][b][i] — md5-derived: sign(t,b,i) is the
