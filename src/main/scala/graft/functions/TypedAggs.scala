@@ -141,4 +141,47 @@ object TypedAggs {
       override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
       override def outputEncoder: Encoder[MGOut] = Encoders.product[MGOut]
     }
+
+  /** Live bloom-filter buffer: the filter object stays a JVM object for
+    * the whole partition fold (typed-aggregation buffers serialize only at
+    * partial-output boundaries, not per row), so insertion is one hash per
+    * row with zero copying. Java serialization, not a product encoder —
+    * `BloomFilter` is Serializable and its bitset crosses the exchange
+    * once per partition.
+    */
+  class BloomBuf(var n: Long,
+      val bf: org.apache.spark.util.sketch.BloomFilter) extends Serializable
+
+  // public: Catalyst's generated deserializer instantiates it reflectively
+  case class BloomBuilt(n: Long, bytes: Array[Byte])
+
+  /** Count + bloom-insert over strings in ONE pass (the two-scan
+    * count-then-build shape needs the count only to SIZE the filter; a
+    * fixed `capacity` prior removes that dependency). An input that
+    * overflows `capacity` degrades the filter's fpp, never its one-sided
+    * guarantee — callers that confirm-join afterwards stay exact either
+    * way, and `n` in the result lets them detect overflow and re-size if
+    * the degraded selectivity ever matters.
+    */
+  def bloomBuild(capacity: Long, fpp: Double)
+      : Aggregator[String, BloomBuf, BloomBuilt] =
+    new Aggregator[String, BloomBuf, BloomBuilt] {
+      override def zero: BloomBuf = new BloomBuf(0L,
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp))
+      override def reduce(b: BloomBuf, s: String): BloomBuf = {
+        b.bf.putString(s); b.n += 1; b
+      }
+      override def merge(x: BloomBuf, y: BloomBuf): BloomBuf = {
+        x.bf.mergeInPlace(y.bf); x.n += y.n; x
+      }
+      override def finish(b: BloomBuf): BloomBuilt = {
+        val bos = new java.io.ByteArrayOutputStream()
+        b.bf.writeTo(bos)
+        BloomBuilt(b.n, bos.toByteArray)
+      }
+      override def bufferEncoder: Encoder[BloomBuf] =
+        Encoders.javaSerialization[BloomBuf]
+      override def outputEncoder: Encoder[BloomBuilt] =
+        Encoders.product[BloomBuilt]
+    }
 }

@@ -428,11 +428,41 @@ object TextAnalysis {
     * only); the result is EXACT — identical to [[decontam]]'s positive
     * rows — because the one-sided sketch error is confirmed away.
     *
-    * The filter build (`stat.bloomFilter`) and the eval-gram count are
-    * distributed aggregations over the SMALL eval side (benchmarks are
-    * small at any corpus scale) — the corpus-side pass stays one linear
-    * codegen'd scan.
+    * The filter build is ONE distributed pass over the SMALL eval side
+    * (benchmarks are small at any corpus scale): a typed Aggregator folds
+    * count + insert together against a fixed-capacity prior
+    * ([[graft.functions.TypedAggs.bloomBuild]]) — the count was only ever
+    * needed to size the filter, so carrying a capacity prior removes the
+    * sizing scan. Overflowing the prior degrades fpp, never exactness
+    * (the confirm join removes every false positive); the rare overflow
+    * path re-sizes from the now-known count. The corpus-side pass stays
+    * one linear codegen'd scan.
     */
+  /** Serialized bloom filter over a single-string-column frame in one
+    * distributed pass. `capacity` is the sizing prior (env-tunable;
+    * benchmarks-per-corpus rarely exceed the default's ~1.2 MB bitset);
+    * if the input turns out to overflow it, one sized rebuild pass runs —
+    * the two-scan shape as the exceptional path instead of the always
+    * path.
+    */
+  private[operators] def bloomBytes(evGrams: DataFrame,
+      capacity: Long = graft.Knobs
+        .envInt("GRAFT_BLOOM_CAPACITY", 1000000, 1000, 100000000).toLong)
+      : Array[Byte] = {
+    import org.apache.spark.sql.Encoders
+    val built = evGrams
+      .as[String](Encoders.STRING)
+      .select(graft.functions.TypedAggs.bloomBuild(capacity, 0.03).toColumn)
+      .head()
+    if (built.n <= capacity) built.bytes
+    else {
+      val bf = evGrams.stat.bloomFilter(evGrams.columns.head, built.n, 0.03)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
   val decontamBloom: Q = Q("text_decontam_bloom",
     s"""WITH ev AS (SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT $EvalSetSize),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -447,12 +477,7 @@ object TextAnalysis {
     val ev = evalSet(d)
     val grams = docGrams(d)
     val evGrams = grams.join(broadcast(ev), Seq("doc_id")).select(col("g")).distinct()
-    val bf = evGrams.stat.bloomFilter("g", math.max(1L, evGrams.count()), 0.03)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = bloomBytes(evGrams)
     grams.join(broadcast(ev), Seq("doc_id"), "left_anti")
       .filter(call_function("might_contain_bloom", lit(bytes), col("g")))
       .join(evGrams, Seq("g"))

@@ -221,6 +221,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bloom.nonEmpty, "fixture must actually contain contamination")
   }
 
+  test("bloomBytes builds in one pass and re-sizes on capacity overflow") {
+    import org.apache.spark.sql.functions.col
+    val items = (0 until 5000).map(i => s"gram-$i")
+    val df = items.toDF("g").repartition(4)
+    for (cap <- Seq(1000L /* overflow → sized rebuild */, 100000L /* single pass */)) {
+      val bytes = TextAnalysis.bloomBytes(df, cap)
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      // one-sided guarantee must hold on BOTH paths
+      items.foreach(s => assert(bf.mightContainString(s), s"false negative: $s cap=$cap"))
+      val fps = (0 until 5000).count(i => bf.mightContainString(s"absent-$i"))
+      assert(fps <= 500, s"implausible FP rate with cap=$cap: $fps/5000")
+    }
+    // the aggregator's count must be exact (it drives overflow detection)
+    val built = df.as[String](org.apache.spark.sql.Encoders.STRING)
+      .select(graft.functions.TypedAggs.bloomBuild(100000L, 0.03).toColumn)
+      .head()
+    assert(built.n === 5000L)
+    assert(df.select(col("g")).columns.head === "g")
+  }
+
   test("might_contain_bloom has no false negatives and null-propagates") {
     import org.apache.spark.sql.functions.{call_function, col, lit}
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
