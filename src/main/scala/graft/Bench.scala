@@ -77,6 +77,9 @@ object Bench {
     // fits, so a parser can recover the totals even from a clipped log
     println(s"""{"total_s":$total,"n":${results.size},"failed":${
       results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs}""")
+    // end-of-session memo teardown — see Dedup.releaseSession
+    graft.operators.Dedup.releaseSession(spark)
+    graft.sources.Ingest.releaseSession(spark)
     spark.stop()
   }
 }

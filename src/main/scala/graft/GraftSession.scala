@@ -67,6 +67,14 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       // events.parquet carries TIMESTAMP(NANOS) — read as raw int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner reclaims dead shuffle files / broadcast blocks only
+      // when driver GC collects their weak references — and a large-heap
+      // driver may not GC for the whole run, so a 100+-query session
+      // accretes every finished query's shuffle state until the block
+      // manager ooms (observed: the ×100 smoke died at ~90 queries on the
+      // default heap; default interval is 30 min). Two minutes keeps the
+      // reclaim cadence well under the accretion rate at any heap size.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Record the embeddings corpus size for LSH geometry auto-sizing

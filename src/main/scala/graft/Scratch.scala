@@ -56,13 +56,17 @@ object Scratch {
   }
 
   /** Unpersist every frame tracked for `s` since the last release.
-    * Non-blocking: eviction proceeds async; correctness never depends on
-    * a persist (they are pure recompute-or-read-cache; checkpointed
-    * frames are registered only once their consumer is the last one).
+    * BLOCKING: release runs between queries, where waiting for block
+    * removal costs ~nothing — while an async eviction racing the next
+    * query's allocations lets scratch blocks from N queries coexist,
+    * exactly the transient overshoot that OOMed the ×100 smoke on the
+    * default heap. Correctness never depends on a persist (they are pure
+    * recompute-or-read-cache; checkpointed frames are registered only
+    * once their consumer is the last one).
     */
   def release(s: SparkSession): Unit = {
     tracked.remove(s).foreach { buf =>
-      buf.synchronized { buf.foreach(_.unpersist(blocking = false)) }
+      buf.synchronized { buf.foreach(_.unpersist(blocking = true)) }
     }
     checkpointed.remove(s).foreach { buf =>
       buf.synchronized {

@@ -38,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // end-of-session memo teardown (pair frames, component labels,
+    // bucketed-table readiness) — see Dedup.releaseSession
+    operators.Dedup.releaseSession(spark)
+    sources.Ingest.releaseSession(spark)
     spark.stop()
   }
 }

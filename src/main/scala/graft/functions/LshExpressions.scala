@@ -29,11 +29,13 @@ object LshPlanes {
   // 6-bit geometry. The KNOB-FREE path is therefore the sized path:
   // GraftSession.build records the data dir's embeddings row count
   // (Knobs.sizeLshFor) before anything touches this object, and the
-  // geometry resolves from it log-scaled at init — ≤20k vectors keeps
-  // the recall-tuned 16×6 default (every shipped correctness gate), and
-  // beyond that bits = ⌈log2(n/15)⌉ (≈15-vector average buckets) with 8
-  // tables: at the ×100 smoke (800k vectors) that derives 8×16, exactly
-  // the setting the ×100 run previously needed by hand. The env knobs
+  // geometry resolves from it log-scaled at init — ≤4k vectors keeps
+  // the recall-tuned 16×6 default (every shipped correctness gate is
+  // ≤2k: 500 at sf0.01, 2k at sf0.1), and beyond that bits =
+  // ⌈log2(n/15)⌉ (≈15-vector average buckets) with 8 tables: the ×10
+  // smoke (20k vectors) derives 8×11, the ×100 smoke (200k) 8×14 — the
+  // same regime the ×100 run previously reached only via hand-set
+  // GRAFT_LSH_TABLES=8 GRAFT_LSH_BITS=16. The env knobs
   // remain the explicit override. Every consumer — the native
   // expression, the Spark pipelines, AND the generated DuckDB oracle
   // SQL — derives from these constants at JVM init, so the correctness
@@ -46,7 +48,7 @@ object LshPlanes {
     graft.Knobs.envInt(name, default, lo, hi)
 
   private val sized: Option[(Int, Int)] = graft.Knobs.freezeLshHint().map { n =>
-    if (n <= 20000L) (16, 6)
+    if (n <= 4000L) (16, 6)
     else {
       val bits = math.ceil(math.log(n / 15.0) / math.log(2.0)).toInt
       (8, math.min(24, math.max(8, bits)))

@@ -321,6 +321,31 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Stream-static enrichment, batch-gated: runs the SAME
+    * [[graft.streaming.EventsStream.segmentWindowCounts]] transform the
+    * streaming side executes per micro-batch (watermarks are no-ops in
+    * batch — the events_clickjoin contract), joining each event to its
+    * user's market segment (customer dim, broadcast; unmatched → UNKNOWN)
+    * and aggregating 5-minute windows per segment. The oracle gates the
+    * one shared plan's semantics; stream ≡ batch over micro-batch splits
+    * is asserted in EventsStreamSpec.
+    */
+  val eventsSegmentWindow: Q = Q("events_segment_window",
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket,
+      |  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY bucket, segment ORDER BY bucket, segment""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(timestamp_micros(Tables.nanosToMicros("ts")).as("ts"),
+        col("user_id"), col("value"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    graft.streaming.EventsStream.segmentWindowCounts(ev, dim)
+      .orderBy(col("bucket"), col("segment"))
+  }
+
   /** Semi-structured extraction: parse the `props` JSON string column with
     * an explicit schema (`from_json` + field projection — the Spark-native
     * form: the parse is a codegen'd expression, the schema is declared, and
@@ -1542,7 +1567,8 @@ object Analytics {
 
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
-    pitstop, orderByHidden, racetime, eventsWindow, eventsJson, sessionize,
+    pitstop, orderByHidden, racetime, eventsWindow, eventsSegmentWindow,
+    eventsJson, sessionize,
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,

@@ -291,6 +291,23 @@ object Dedup {
           Tables.load(s, dir, "embeddings")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Explicit end-of-session teardown for the family memos: unpersists
+    * every pair frame and component-label checkpoint cached for `s` and
+    * drops the map entries, so a long-lived JVM that builds many sessions
+    * (test suites, repeated bench rounds) neither pins dead SparkSessions
+    * through the TrieMap keys nor accretes storage blocks behind LRU.
+    * Entry points call this right before `spark.stop()` — mid-session the
+    * memos' whole point is to stay.
+    */
+  def releaseSession(s: SparkSession): Unit = {
+    pairCache.keys.filter(_._1 eq s).foreach { k =>
+      pairCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    componentCache.keys.filter(_._1 eq s).foreach { k =>
+      componentCache.remove(k).foreach(releaseCheckpoint)
+    }
+  }
+
   /** Per-document signature prefix + LSH candidate count over `documents`.
     * Candidates come from the session-shared [[minhashPairs]]
     * materialization (first consumer pays the corpus pass); the prefix

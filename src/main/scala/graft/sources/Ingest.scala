@@ -238,6 +238,16 @@ object Ingest {
     (ot, ct)
   }
 
+  /** Drop `s`'s readiness entries so a long-lived JVM doesn't pin dead
+    * sessions through the memo keys (the tables themselves are on-disk
+    * catalog state and die with the session's warehouse). Same
+    * end-of-session contract as `Dedup.releaseSession`.
+    */
+  def releaseSession(s: SparkSession): Unit =
+    bucketedReady.synchronized {
+      bucketedReady.filterInPlace { case (sess, _) => !(sess eq s) }; ()
+    }
+
   val bucketedJoin: graft.Q = graft.Q("bucketed_join",
     """SELECT c_mktsegment, count(*) AS n_orders,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

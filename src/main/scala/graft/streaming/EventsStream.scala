@@ -244,6 +244,35 @@ object EventsStream {
       }
   }
 
+  /** Stream-STATIC enrichment join + per-segment windowed aggregation —
+    * the third join shape of the streaming matrix (stateful fold:
+    * [[lastTouch]]; stream-stream: [[clickPurchaseJoin]]; stream-static:
+    * here). The dimension is a plain batch frame: Spark re-resolves it
+    * per micro-batch and the explicit `broadcast` ships it map-side, so
+    * the STREAM side never shuffles for the join and the operator holds
+    * NO join state at all (the canonical 100 TB/day enrichment: dim
+    * updates become visible on the next micro-batch for free).
+    * Unmatched users fall into an UNKNOWN segment rather than dropping —
+    * an enrichment must never lose fact rows.
+    *
+    * Batch-identical by construction: the registered
+    * `events_segment_window` query runs THIS transform over the batch
+    * events table (watermarks eliminate to no-ops in batch), so the
+    * DuckDB oracle gates the one shared plan — the events_clickjoin
+    * contract. The DECIMAL(18,2) sum keeps the aggregate exact and
+    * hash-stable cross-engine.
+    */
+  def segmentWindowCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** Stream-stream interval join: every `click` joins the same user's
     * `purchase` events that arrive within the 10 minutes AFTER the click —
     * the attribution join a real event pipeline runs continuously. Both

@@ -170,6 +170,43 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("segmentWindowCounts: stream-static enrichment emits exactly the batch result") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("user_id", "segment")
+    val events = Seq(
+      EventsStream.Event(ts(0, 10), 1L, "click", 1.5),
+      EventsStream.Event(ts(2, 0), 1L, "click", 2.25),
+      EventsStream.Event(ts(3, 0), 2L, "view", 4.0),
+      EventsStream.Event(ts(6, 0), 7L, "click", 8.0)) // no dim row → UNKNOWN
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream
+      .segmentWindowCounts(input.toDF().select($"ts", $"user_id", $"value"), dim)
+      .writeStream.format("memory").queryName("seg_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split mid-window so the agg state must carry across micro-batches
+      input.addData(events.take(2): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(2): _*)
+      query.processAllAvailable()
+      // sentinel far past the watermark closes every real window
+      input.addData(EventsStream.Event(ts(40), 99L, "view", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("seg_out")
+        .filter($"bucket" < ts(40).getTime / 1000)
+        .as[(Long, String, Long, Double)].collect().sorted
+      val batch = EventsStream
+        .segmentWindowCounts(events.toDF().select($"ts", $"user_id", $"value"), dim)
+        .as[(Long, String, Long, Double)].collect().sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(batch.map(_._2).toSet === Set("AUTO", "RETAIL", "UNKNOWN"),
+        "enrichment must hit, differ by user, and default unmatched")
+      assert(batch.find(r => r._1 == ts(0).getTime / 1000 && r._2 == "AUTO")
+        .exists(r => r._3 == 2L && r._4 == 3.75),
+        "same-window same-segment events must aggregate exactly")
+    } finally query.stop()
+  }
+
   test("runForeachBatch hands closed windows to the sink with increasing batch ids") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
