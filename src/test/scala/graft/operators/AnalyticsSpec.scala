@@ -276,13 +276,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2) -> r._3).toMap === expected)
   }
 
+  /** Write a synthetic events table (declared schema, int64-nanos ts) with
+    * one event per (type, hour, ordinal) to a fresh temp dir, so the
+    * data-dependent capability assertions below don't hinge on whether the
+    * driver's regenerated corpus happens to contain spikes or silent
+    * hours (round 8 regeneration had neither at sf0.001).
+    */
+  private def syntheticEventsDir(hourCounts: Seq[(String, Long, Int)]): String = {
+    import spark.implicits._
+    val HourNanos = 3600L * 1000000000L
+    val rows = for {
+      ((tpe, hour, n), i) <- hourCounts.zipWithIndex
+      j <- 0 until n
+    } yield (i * 10000L + j, hour * HourNanos + j * 1000000L, j.toLong,
+      tpe, 1.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
   test("events_anomaly flags exactly the >3-sigma hours of an exact replay") {
     import spark.implicits._
     val HourNanos = 3600L * 1000000000L
     val out = SparkEntry.queries("events_anomaly")(spark, dir)
       .select($"event_type", $"hour", $"n").as[(String, Long, Long)].collect()
-    assert(out.nonEmpty)
-    // exact-integer replay with BigInt (no overflow, no rounding)
+    // exact-integer replay with BigInt (no overflow, no rounding); the
+    // replay set may legitimately be empty on a spike-free corpus — the
+    // equality below still gates (both sides empty)
     val hourly = graft.sources.Tables.load(spark, dir, "events")
       .select($"event_type", $"ts").as[(String, Long)].collect()
       .groupBy(e => (e._1, Math.floorDiv(e._2, HourNanos)))
@@ -302,7 +323,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("events_resample produces a dense zero-filled hour axis") {
+  test("events_anomaly flags a constructed spike and nothing else") {
+    import spark.implicits._
+    // 20 quiet hours of 1 event + one 60-event spike: (60·21−80)² =
+    // 1,392,400 > 9·(21·3620−6400) = 626,580 → flagged; quiet hours are
+    // not. A zero-variance type must flag nothing (strict > vs 0).
+    val spiky = (0L until 20L).map(h => ("click", h, 1)) :+ (("click", 20L, 60))
+    val flat = (0L until 10L).map(h => ("view", h, 2))
+    val tmp = syntheticEventsDir(spiky ++ flat)
+    val got = SparkEntry.queries("events_anomaly")(spark, tmp)
+      .select($"event_type", $"hour", $"n").as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("click", 20L, 60L)))
+  }
+
+  test("events_resample produces a dense hour axis matching an exact replay") {
     import spark.implicits._
     val hourNanos = 3600L * 1000000000L
     val raw = graft.sources.Tables.load(spark, dir, "events")
@@ -317,8 +351,20 @@ class AnalyticsSpec extends SparkSpec {
     val expect = for (t <- types; h <- lo to hi)
       yield (t, h, hourly.getOrElse((t, h), 0L))
     assert(got === expect)
-    assert(got.exists(_._3 == 0L), "fixture must contain silent hours")
     assert(got.map(_._3).sum === raw.length.toLong)
+  }
+
+  test("events_resample zero-fills constructed silent hours") {
+    import spark.implicits._
+    // click fires in hours 0,1,3 (hour 2 silent); view only in hour 1 —
+    // the dense axis must carry explicit zeros for every gap
+    val tmp = syntheticEventsDir(
+      Seq(("click", 0L, 2), ("click", 1L, 1), ("click", 3L, 4), ("view", 1L, 3)))
+    val got = Analytics.eventsResample.run(spark, tmp)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("click", 0L, 2L), ("click", 1L, 1L), ("click", 2L, 0L), ("click", 3L, 4L),
+      ("view", 0L, 0L), ("view", 1L, 3L), ("view", 2L, 0L), ("view", 3L, 0L)))
   }
 
   test("winsorize_prices clips at the exact 1st/99th order statistics") {
