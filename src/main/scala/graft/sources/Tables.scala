@@ -97,9 +97,44 @@ object Tables {
   /** Parquet scan with declared schema (SURVEY.md S4). Declaring the schema
     * skips footer-based merging across 100k+ files at scale and guarantees
     * the analyzer's column pruning / filter pushdown target the right types.
+    *
+    * `events.ts` is normalized to int64 NANOS whatever the file's physical
+    * unit — see [[eventsTsNanosFactor]].
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.schema(schemas(name)).parquet(path)
+    if (name != "events") df
+    else {
+      val f = eventsTsNanosFactor(spark, path)
+      if (f == 1L) df
+      else df.withColumn("ts", org.apache.spark.sql.functions.col("ts") * f)
+    }
+  }
+
+  private val tsUnitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Multiplier converting the events file's raw int64 `ts` to NANOS.
+    * Driver corpora have shipped `ts` as both TIMESTAMP(NANOS) (rounds
+    * 1-7) and TIMESTAMP(MICROS) (the round-8 regeneration); a
+    * declared-LongType scan reads the raw physical INT64 either way, so
+    * the engine's nanos arithmetic (window buckets, session gaps, as-of
+    * bands — and every DuckDB oracle's `epoch_ns`) would silently run
+    * 1000× off on a micros file. One footer sniff per directory pins the
+    * unit: under `nanosAsLong`, a NANOS column INFERS as LongType while a
+    * MICROS column infers as a timestamp type (millis shipping is not a
+    * parquet-writer default anywhere in this pipeline; if it ever
+    * appears the inferred type is also a timestamp and this factor would
+    * need the footer's logical-type unit instead). Metadata-only — no
+    * data pass — and cached per path, so the per-query cost is nil.
+    */
+  def eventsTsNanosFactor(spark: SparkSession, path: String): Long =
+    tsUnitCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema.find(_.name == "ts") match {
+        case Some(f) if f.dataType == LongType => 1L
+        case _ => 1000L
+      })
 
   /** Floor-convert the events table's int64 NANOS (`nanosAsLong` read) to
     * microseconds. pmod-based floor, NOT `div`: plain integer division

@@ -329,13 +329,17 @@ object EventsStream {
     */
   def run(spark: SparkSession, eventsDir: String, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the raw int64 unit depends on the file's physical timestamp type
+    // (nanos vs micros — see Tables.eventsTsNanosFactor); normalize to
+    // nanos before the shared floor-conversion
+    val f = graft.sources.Tables.eventsTsNanosFactor(spark, eventsDir)
     val input = spark.readStream
       .schema("ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(eventsDir)
       // shared floor-conversion (see Tables.nanosToMicros scaladoc) keeps
       // window membership identical to the batch events_window bucketing
-      .withColumn("ts",
-        expr(s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql("ts")})"))
+      .withColumn("ts", expr(
+        s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql(s"(ts * ${f}L)")})"))
     windowedCounts(input).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
