@@ -959,9 +959,109 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed linear-model INFERENCE — the quality-classifier scoring pass a
+    * training-data pipeline runs over every document (fasttext-style
+    * filtering à la CCNet/RefinedWeb, with the trained weights stood in by
+    * a deterministic integer weight per hash bucket so both engines replay
+    * bit-for-bit). Each token hashes to one of [[HashDim]] buckets (the
+    * [[featureHash]] md5 idiom — no vocabulary, no dictionary broadcast),
+    * bucket b carries weight `(b·2654435761) mod 2001 − 1000` ∈ [−1000,
+    * 1000], and a document's score is the sum of its token weights; `keep`
+    * is the score>0 decision the downstream filter consumes.
+    *
+    * Shape: the ENTIRE inference is one whole-stage-codegen projection —
+    * `aggregate(transform(split(text)))` folds the token weights inside
+    * the row, so the plan has ZERO exchanges (no explode, no groupBy;
+    * `.explain` shows scan→project→sort only). That is the 100 TB form of
+    * model scoring: a real weight vector rides along as a broadcast /
+    * literal array exactly like this integer rule, and throughput is
+    * bounded by the scan, not a shuffle. The presentation sort is the only
+    * exchange.
+    */
+  val classify: Q = Q("text_classify",
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |    ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) % $HashDim AS b
+       |  FROM w)
+       |SELECT doc_id, count(*) AS n_tok,
+       |  CAST(sum((b * 2654435761) % 2001 - 1000) AS BIGINT) AS score,
+       |  CAST(CASE WHEN sum((b * 2654435761) % 2001 - 1000) > 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(
+          s"""aggregate(transform(split(text, ' '),
+             |  t -> (cast(conv(substring(md5(t), 1, 2), 16, 10) as bigint)
+             |        % $HashDim) * 2654435761L % 2001 - 1000),
+             |  0L, (acc, x) -> acc + x)""".stripMargin).as("score"))
+      .withColumn("keep", when(col("score") > 0, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document predictability under the corpus bigram LM — the
+    * perplexity-style quality signal (boilerplate and templated text score
+    * high, incoherent token soup scores low), kept in exact integer ppm so
+    * both engines agree without transcendental-function dialect risk: each
+    * bigram contributes `P(w2|w1)` as `c(w1,w2)·10⁶ div c(w1)` and a
+    * document's score is the occurrence-weighted mean over its bigrams.
+    *
+    * Shape: ONE corpus scan. Per-doc bigram counts aggregate on the
+    * (doc, bigram) key; the LM is a RE-aggregation of that same frame
+    * ([[graft.Scratch.track]]'d — its two consumers share the exchange
+    * output instead of re-scanning documents), the context total rides a
+    * w1-partitioned window over the |bigram-vocab|-sized LM frame (never
+    * over occurrences), and the score join is keyed on the bigram — LM
+    * and doc frames co-shuffle, nothing corpus-sized is broadcast (the
+    * LM grows with vocabulary², so the keyed join IS the scale path;
+    * Spark may still elect a broadcast when the LM is measured small —
+    * that's AQE's call, not the plan's requirement).
+    */
+  val predictability: Q = Q("text_predictability",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || chr(9) || ws[i + 1])) AS bg
+      |  FROM t WHERE len(ws) >= 2),
+      |bd AS (SELECT doc_id, split_part(bg, chr(9), 1) AS w1,
+      |    split_part(bg, chr(9), 2) AS w2, count(*) AS n
+      |  FROM b GROUP BY 1, 2, 3),
+      |lm AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c FROM bd GROUP BY 1, 2),
+      |lmp AS (SELECT w1, w2, c,
+      |    CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS pc FROM lm),
+      |sc AS (SELECT bd.doc_id, CAST(sum(bd.n) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(bd.n * ((lmp.c * 1000000) // lmp.pc)) AS BIGINT) AS tot
+      |  FROM bd JOIN lmp ON bd.w1 = lmp.w1 AND bd.w2 = lmp.w2
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(tot // n_bigrams AS BIGINT) AS predict_ppm
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bd = graft.Scratch.track(docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n")))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val lm = bd.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c"))
+      .withColumn("pc", sum(col("c")).over(byW1))
+    bd.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * expr("(c * 1000000L) div pc")).as("tot"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("tot div n_bigrams").as("predict_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
-      heavyHitters, invertedIndex, bigramLm, novelty)
+      heavyHitters, invertedIndex, bigramLm, novelty, classify,
+      predictability)
 }

@@ -440,4 +440,65 @@ class TextAnalysisSpec extends SparkSpec {
     // the lowest doc_id with grams is 100% novel by construction
     assert(got.head._4 === 1000000L)
   }
+
+  /** The engine-side hash bucket + weight rule, replayed scalar-side:
+    * first two md5 hex chars mod 64, weight (b·2654435761) mod 2001 −
+    * 1000 — must match TextAnalysis.classify's HashDim/weight constants.
+    */
+  private def tokenWeight(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    val hex = d.take(1).map(b => f"$b%02x").mkString
+    val b = java.lang.Integer.parseInt(hex, 16).toLong % 64L
+    b * 2654435761L % 2001L - 1000L
+  }
+
+  test("text_classify matches a scalar scorer and plans zero data exchanges") {
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = raw.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val score = ws.map(tokenWeight).sum
+      (id, ws.length.toLong, score, if (score > 0) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val df = TextAnalysis.classify.run(spark, dir)
+    val got = df.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // both decisions occur on the corpus, or the filter is vacuous
+    assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L))
+    // inference is one codegen'd projection: no explode, no aggregation
+    // exchange — the only Exchange is the presentation sort's range
+    // partitioning
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("text_predictability matches a scalar bigram-LM replay, one scan") {
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bigrams: Map[Long, Seq[(String, String)]] = raw.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val c = scala.collection.mutable.Map.empty[(String, String), Long]
+    bigrams.values.flatten.foreach(bg => c(bg) = c.getOrElse(bg, 0L) + 1L)
+    val pc = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expect = bigrams.toSeq
+      .filter(_._2.nonEmpty)
+      .map { case (id, bgs) =>
+        val tot = bgs.map(bg => c(bg) * 1000000L / pc(bg._1)).sum
+        (id, bgs.size.toLong, tot / bgs.size)
+      }
+      .sortBy(_._1)
+    val df = TextAnalysis.predictability.run(spark, dir)
+    val got = df.as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    got.foreach { case (_, _, ppm) => assert(ppm >= 0L && ppm <= 1000000L) }
+    // the (doc, bigram) frame is Scratch-persisted: LM derivation and the
+    // score join both read the cache instead of re-scanning documents
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+    graft.Scratch.release(spark)
+  }
 }
