@@ -39,15 +39,22 @@ object Bench {
     // bucketed-table LAYOUT write is one-time amortized cost, not query
     // cost — build the fixture here and report its seconds separately so
     // the timed entry measures only the join.
-    val fixtureSecs: Double =
-      if (selected.contains("bucketed_join")) {
-        val t0 = System.nanoTime()
+    val fixtureSecs: Double = {
+      val t0 = System.nanoTime()
+      if (selected.contains("bucketed_join"))
         try { graft.sources.Ingest.bucketedTables(spark, sfDir); () }
         catch { case e: Throwable =>
           System.err.println(s"[bench] bucketed fixture failed: $e")
         }
-        (System.nanoTime() - t0) / 1e9
-      } else 0.0
+      // same contract for the ORC interchange copy: layout writes are
+      // one-time amortized cost, the timed entries measure the reads
+      if (selected.contains("orc_roundtrip"))
+        try { graft.sources.Ingest.orcPartCopy(spark, sfDir); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] orc fixture failed: $e")
+        }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = selected.map { case (name, _) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE as -1, not recorded as a plausible

@@ -218,5 +218,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFrames, mediaFeaturesQ, mediaResize)
+  /** Frame-level content dedup — the chunk-hash storage-dedup every media
+    * lake runs (identical 64-byte segments shared across assets are stored
+    * once; whole-asset hashing misses them — this corpus has zero
+    * whole-payload duplicates but ~4% duplicated frames). Per modality:
+    * total frames, distinct frame contents, and the exact bytes a
+    * content-addressed store reclaims (every copy past the first, at that
+    * frame's true length — trailing frames are short).
+    *
+    * Shape: one scan, map-side frame explode + md5 (the hash, not the
+    * frame bytes, is what the first exchange carries — 16 bytes per frame
+    * regardless of frame size, the [[graft.operators.Dedup]] digest
+    * lever), a (modality, hash) dedup agg, then a 3-row modality rollup.
+    * Output is model-sized; nothing corpus-sized is collected or
+    * broadcast.
+    */
+  val mediaDedup: Q = Q("media_dedup",
+    """WITH f AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS fno, text
+      |  FROM documents),
+      |h AS (SELECT media_type,
+      |    md5(substr(text, CAST(fno * 64 + 1 AS BIGINT), 64)) AS fh,
+      |    octet_length(encode(substr(text, CAST(fno * 64 + 1 AS BIGINT), 64))) AS fb
+      |  FROM f),
+      |d AS (SELECT media_type, fh, count(*) AS n_copies,
+      |    CAST(min(fb) AS BIGINT) AS fb
+      |  FROM h GROUP BY 1, 2)
+      |SELECT media_type, CAST(sum(n_copies) AS BIGINT) AS n_frames,
+      |  count(*) AS n_distinct,
+      |  CAST(sum((n_copies - 1) * fb) AS BIGINT) AS reclaim_bytes
+      |FROM d GROUP BY 1 ORDER BY media_type""".stripMargin) { (s, dir) =>
+    media(s, dir)
+      .select(col("media_type"), col("payload"),
+        // empty payload → empty array (explode drops the row, matching
+        // range(0, 0)); sequence(0, -1) would emit a DESCENDING pair
+        explode(expr(
+          """CASE WHEN length(payload) > 0
+            |  THEN sequence(0L, cast(ceil(length(payload) / 64.0) as bigint) - 1)
+            |  ELSE cast(array() as array<bigint>) END""".stripMargin))
+          .as("fno"))
+      .select(col("media_type"),
+        expr("md5(substring(payload, cast(fno * 64 + 1 as int), 64))").as("fh"),
+        expr("length(substring(payload, cast(fno * 64 + 1 as int), 64))")
+          .cast("long").as("fb"))
+      .groupBy(col("media_type"), col("fh"))
+      .agg(count(lit(1)).as("n_copies"), min(col("fb")).as("fb"))
+      .groupBy(col("media_type"))
+      .agg(sum(col("n_copies")).as("n_frames"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("n_copies") - 1) * col("fb")).as("reclaim_bytes"))
+      .orderBy(col("media_type"))
+  }
+
+  val all: Seq[Q] =
+    Seq(mediaMeta, mediaFrames, mediaFeaturesQ, mediaResize, mediaDedup)
 }

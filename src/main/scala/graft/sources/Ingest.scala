@@ -243,10 +243,14 @@ object Ingest {
     * catalog state and die with the session's warehouse). Same
     * end-of-session contract as `Dedup.releaseSession`.
     */
-  def releaseSession(s: SparkSession): Unit =
+  def releaseSession(s: SparkSession): Unit = {
     bucketedReady.synchronized {
       bucketedReady.filterInPlace { case (sess, _) => !(sess eq s) }; ()
     }
+    orcReady.synchronized {
+      orcReady.filterInPlace { case ((sess, _), _) => !(sess eq s) }; ()
+    }
+  }
 
   val bucketedJoin: graft.Q = graft.Q("bucketed_join",
     """SELECT c_mktsegment, count(*) AS n_orders,
@@ -262,7 +266,49 @@ object Ingest {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[graft.Q] = Seq(bucketedJoin)
+  private val orcReady =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** One-time ORC interchange copy of `part` per (session, dir) — the
+    * fixture for [[orcRoundtrip]], memoized with the same contract as
+    * [[bucketedTables]] (collision-proof dir tag; Bench builds it outside
+    * the timed window and reports the seconds separately).
+    */
+  def orcPartCopy(s: SparkSession, dir: String): String = orcReady.synchronized {
+    orcReady.getOrElseUpdate((s, dir), {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$tag/part.orc"
+      Tables.load(s, dir, "part").write.mode(SaveMode.Overwrite).orc(out)
+      out
+    })
+  }
+
+  /** Multi-format interchange: the same declared-schema scan discipline as
+    * parquet (S4), over an ORC copy — the cross-team handoff format a
+    * 100 TB lake meets in practice (ORC ships in Spark's core jars; Avro
+    * needs the external spark-avro module, absent here). The ORC reader
+    * gets the identical Catalyst treatment — column pruning and predicate
+    * pushdown reach the OrcScan (plan-asserted in IngestSpec) — so the
+    * oracle, which runs on the ORIGINAL parquet table, gates write→read
+    * fidelity: any value the ORC sink or source mangled would break the
+    * hash match. Aggregation uses the DECIMAL(18,2) sum trick (Analytics
+    * header) for cross-engine float determinism.
+    */
+  val orcRoundtrip: graft.Q = graft.Q("orc_roundtrip",
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    s.read.schema(Tables.part).orc(orcPartCopy(s, dir))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+          .as("retail"))
+      .orderBy(col("p_brand"))
+  }
+
+  val all: Seq[graft.Q] = Seq(bucketedJoin, orcRoundtrip)
 
   /** Schema-evolution read — a long-lived dataset's files span schema
     * versions (columns added over months of ingest); `mergeSchema` unions

@@ -76,4 +76,28 @@ class MultimodalSpec extends SparkSpec {
     rows.init.foreach { case (_, b) => assert(b === 64L) }
     assert(rows.map(_._1).forall(_ % 4 == 0))
   }
+
+  test("media_dedup matches a scalar frame-hash replay") {
+    val raw = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val modality = Array("image", "audio", "video")
+    // (media_type, frame-content) multiset, replayed byte-for-byte
+    val frames = raw.flatMap { case (id, text) =>
+      val m = modality((id % 3).toInt)
+      text.getBytes("UTF-8").grouped(64).map(b => (m, new String(b, "UTF-8")))
+    }
+    val expect = frames.groupBy(f => f._1).toSeq.map { case (m, fs) =>
+      val byContent = fs.groupBy(_._2)
+      val reclaim = byContent.values
+        .map(cs => (cs.size - 1).toLong * cs.head._2.getBytes("UTF-8").length)
+        .sum
+      (m, fs.length.toLong, byContent.size.toLong, reclaim)
+    }.sortBy(_._1)
+    val got = Multimodal.mediaDedup.run(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    got.foreach { case (_, nf, nd, rb) =>
+      assert(nf >= nd && rb >= 0L)
+    }
+  }
 }

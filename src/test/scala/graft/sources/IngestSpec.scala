@@ -138,6 +138,30 @@ class IngestSpec extends SparkSpec {
     // batch of 5 lands
     assert(report === Ingest.IndexReport(5, 1, 1, 1, 5))
   }
+
+  test("orc_roundtrip preserves values through the ORC sink/source, pruned scan") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val df = Ingest.orcRoundtrip.run(spark, dir)
+    // fidelity: the ORC-read aggregate equals the same aggregate straight
+    // off the parquet table
+    val fromParquet = graft.sources.Tables.load(spark, dir, "part")
+      .groupBy($"p_brand")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_parts"),
+        org.apache.spark.sql.functions.sum($"p_retailprice".cast("decimal(18,2)"))
+          .cast("double").as("retail"))
+      .orderBy($"p_brand")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(df.as[(String, Long, Double)].collect().toSeq === fromParquet)
+    assert(fromParquet.nonEmpty)
+    // the ORC scan must prune to the 2 referenced columns, same catalyst
+    // treatment as parquet
+    val read = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("p_brand") && read.contains("p_retailprice") &&
+      !read.contains("p_name"), read)
+  }
 }
 
 /** Shared state for the bulkIndex specs: the injected post fn executes on
