@@ -301,6 +301,35 @@ object EventsStream {
         col("click_value"), col("purchase_value"))
   }
 
+  /** LEFT OUTER watermarked interval join — the abandoned-click stream.
+    * Same band as [[clickPurchaseJoin]], but a click with NO purchase in
+    * its 10-minute window must still be emitted (purchase columns null) —
+    * and in a stream that answer is only knowable once the watermark has
+    * passed the window's end, so the engine holds the click in state
+    * exactly that long and emits the null row on watermark advance. That
+    * deferred-null semantics is THE capability inner joins don't
+    * exercise; conversion-rate and remarketing pipelines are built on it.
+    * State stays watermark-bounded on both sides, identical to the inner
+    * form — at 100 TB/day the horizon, not the corpus, sizes state.
+    */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** `foreachBatch` sink wiring: each micro-batch arrives as a plain
     * DataFrame plus a monotonically increasing `batchId` — the pattern for
     * sinks Spark has no native connector for (JDBC upsert, bulk indexers

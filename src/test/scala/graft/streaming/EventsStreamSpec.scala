@@ -170,6 +170,50 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("clickPurchaseJoinOuter emits unmatched clicks as nulls on watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.clickPurchaseJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0), 1L, "click", 1.0),
+        EventsStream.Event(ts(5), 1L, "purchase", 50.0), // converts
+        EventsStream.Event(ts(6), 3L, "click", 2.0)) // abandoned
+      query.processAllAvailable()
+      // the user-3 null row must NOT exist yet: within the horizon a
+      // purchase could still arrive, so the engine may not decide
+      val early = spark.table("attr_outer")
+        .filter($"user_id" === 3L).count()
+      assert(early === 0L, "null row emitted before the watermark decided")
+      // sentinel far past every window end → watermark advances → the
+      // abandoned click's fate is decidable and the null row flushes
+      // the global watermark is min(click side, purchase side): sentinels
+      // must advance BOTH streams or the outer state never becomes
+      // decidable (the inner-join tests learned the same lesson)
+      input.addData(
+        EventsStream.Event(ts(59), 99L, "click", 0.0),
+        EventsStream.Event(ts(59), 99L, "purchase", 0.0))
+      query.processAllAvailable()
+      input.addData(
+        EventsStream.Event(Timestamp.valueOf("2024-01-01 12:00:00"), 98L, "click", 0.0),
+        EventsStream.Event(Timestamp.valueOf("2024-01-01 12:00:00"), 98L, "purchase", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("attr_outer")
+        .select($"user_id", $"purchase_value".as[Option[Double]],
+          $"click_value")
+        .as[(Long, Option[Double], Double)].collect()
+      assert(rows.exists(r => r._1 == 1L && r._2.contains(50.0)),
+        s"converted click lost its purchase: ${rows.toSeq}")
+      assert(rows.exists(r => r._1 == 3L && r._2.isEmpty),
+        s"abandoned click never emitted with null purchase: ${rows.toSeq}")
+      // matched rows agree with the inner join on the same data
+      val matchedUsers = rows.filter(_._2.nonEmpty).map(_._1).toSet
+      assert(matchedUsers.intersect(Set(1L, 3L)) === Set(1L))
+    } finally query.stop()
+  }
+
   test("segmentWindowCounts: stream-static enrichment emits exactly the batch result") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("user_id", "segment")
