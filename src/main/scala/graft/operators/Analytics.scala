@@ -321,6 +321,31 @@ object Analytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** First-event-wins dedup per (user, type, minute) — the batch twin of
+    * the streaming `dropDuplicatesWithinWatermark` dedup
+    * ([[graft.streaming.EventsStream.dedupStream]]): collapse repeated
+    * clicks/views inside a minute to their first occurrence and account
+    * the replays — the idempotence pass every at-least-once event
+    * pipeline runs before aggregation. `min(event_id)` IS the
+    * first-arrival rule (ids are assigned in arrival order), so the
+    * survivor choice is deterministic on any partitioning. One keyed
+    * exchange with map-side partial aggregation; output is bounded by
+    * distinct (user, type, minute) keys.
+    */
+  val eventsDedup: Q = Q("events_dedup",
+    """SELECT user_id, event_type,
+      |  CAST((epoch_ns(ts) - ((epoch_ns(ts) % 60000000000 + 60000000000) % 60000000000)) // 60000000000 AS BIGINT) AS minute,
+      |  min(event_id) AS first_event_id, count(*) AS n_events
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, minute""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"),
+        expr("(ts - pmod(ts, 60000000000)) div 60000000000").as("minute"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("event_type"), col("minute"))
+  }
+
   /** Stream-static enrichment, batch-gated: runs the SAME
     * [[graft.streaming.EventsStream.segmentWindowCounts]] transform the
     * streaming side executes per micro-batch (watermarks are no-ops in
@@ -1574,5 +1599,5 @@ object Analytics {
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
-    incrAgg)
+    incrAgg, eventsDedup)
 }

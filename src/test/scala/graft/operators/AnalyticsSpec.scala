@@ -354,6 +354,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._3).sum === raw.length.toLong)
   }
 
+  test("events_dedup keeps the first event per (user, type, minute)") {
+    import spark.implicits._
+    val MinuteNanos = 60L * 1000000000L
+    val raw = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val expect = raw
+      .groupBy(e => (e._1, e._2, Math.floorDiv(e._3, MinuteNanos)))
+      .map { case ((u, t, m), es) =>
+        (u, t, m, es.map(_._4).min, es.size.toLong)
+      }
+      .toSeq.sortBy(r => (r._1, r._2, r._3))
+    val got = Analytics.eventsDedup.run(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.map(_._5).sum === raw.length.toLong)
+  }
+
   test("events_resample zero-fills constructed silent hours") {
     import spark.implicits._
     // click fires in hours 0,1,3 (hour 2 silent); view only in hour 1 —
