@@ -93,6 +93,39 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("run() restarted from its checkpoint resumes exactly-once") {
+    import org.apache.spark.sql.functions.expr
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val eventsDir = s"$tmp/events"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
+    def landing(events: Seq[EventsStream.Event]) = events.toDF()
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    landing(Seq(
+      EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+      EventsStream.Event(ts(0, 40), 2L, "click", 2.0),
+      EventsStream.Event(ts(2, 0), 2L, "view", 3.0)))
+      .write.parquet(eventsDir)
+    val q1 = EventsStream.run(spark, eventsDir, outDir, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    // crash/redeploy: a NEW query object, SAME checkpoint. New data lands
+    // while the query is down; the restart must pick up only the unseen
+    // file, close the first windows once, and never re-emit them.
+    landing(Seq(EventsStream.Event(ts(20, 0), 3L, "view", 9.0)))
+      .write.mode("append").parquet(eventsDir)
+    val q2 = EventsStream.run(spark, eventsDir, outDir, ck)
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select($"bucket_start", $"event_type", $"n", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      // the [10:00, 10:05) click window closed EXACTLY once with both rows
+      val clickRows = out.filter(r => r._2 == "click")
+      assert(clickRows === Seq((ts(0, 0), "click", 2L, 3.0)),
+        s"restart must not duplicate or split the closed window: $out")
+      // and the pre-crash view event survived into its own window once
+      assert(out.count(r => r._2 == "view" && r._3 == 1L && r._4 == 3.0) === 1)
+    } finally q2.stop()
+  }
+
   test("clickPurchaseJoin attributes purchases within 10 minutes of a click") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
