@@ -1,0 +1,224 @@
+package graft.sources.racezone
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's raw race zone — one JSON
+  * document per race in files named `races_<year>_<round>.json`
+  * (`Lucas files/finalversion:89`; document shape FIXTURES.md A1). The
+  * reference walks these files driver-side in Python; this connector makes
+  * the zone a first-class Spark table with the two source-level
+  * optimizations a 100 TB lake depends on:
+  *
+  *   - **File-level filter pushdown** (`SupportsPushDownFilters`):
+  *     predicates on `year`/`round` — which are FILENAME facts — prune
+  *     whole files at PLANNING time; a pruned file is never opened, never
+  *     read, never scheduled. Predicates on content columns stay residual
+  *     and Spark evaluates them post-scan as usual.
+  *   - **Column pruning** (`SupportsPushDownRequiredColumns`): a query
+  *     touching only `year`/`round` is answered from file NAMES — the
+  *     reader skips JSON parsing entirely (metadata-only scan, the
+  *     manifest-read shape table formats build whole query tiers on).
+  *
+  * One `InputPartition` per file — the zone's natural parallelism (the
+  * reference lands ~20 races/season; a real lake's raw zone is millions of
+  * files, and this partitioning plus pushdown is exactly what keeps a
+  * year-scoped backfill from touching them all).
+  *
+  * Usage: `spark.read.format("graft.sources.racezone.RaceZoneSource")
+  * .load(dir)`. Parsing uses Jackson (ships in Spark's own jars).
+  */
+object RaceZone {
+
+  val schema: StructType = StructType(Seq(
+    StructField("year", IntegerType, nullable = false),
+    StructField("round", IntegerType, nullable = false),
+    StructField("raceName", StringType),
+    StructField("date", StringType),
+    StructField("circuit", StringType),
+    StructField("city", StringType),
+    StructField("country", StringType)))
+
+  /** Columns derivable from the file NAME alone. */
+  val fileLevelCols: Set[String] = Set("year", "round")
+
+  private val FileName = """races_(\d+)_(\d+)\.json""".r
+
+  def parseName(name: String): Option[(Int, Int)] = name match {
+    case FileName(y, r) => Some((y.toInt, r.toInt))
+    case _ => None
+  }
+
+  /** Can `f` be decided from (year, round) alone? */
+  def isFileLevel(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => fileLevelCols(a)
+    case GreaterThan(a, _) => fileLevelCols(a)
+    case GreaterThanOrEqual(a, _) => fileLevelCols(a)
+    case LessThan(a, _) => fileLevelCols(a)
+    case LessThanOrEqual(a, _) => fileLevelCols(a)
+    case In(a, _) => fileLevelCols(a)
+    case _ => false
+  }
+
+  private def toInt(v: Any): Option[Int] = v match {
+    case i: Int => Some(i)
+    case l: Long => Some(l.toInt)
+    case s: Short => Some(s.toInt)
+    case b: Byte => Some(b.toInt)
+    case _ => None // unexpected literal type: keep the file (safe over-read)
+  }
+
+  /** Evaluate a file-level filter against this file's (year, round).
+    * Unknown literal types keep the file — pruning must only ever
+    * over-read, never drop a matching file.
+    */
+  def accepts(f: Filter, year: Int, round: Int): Boolean = {
+    def field(a: String): Int = if (a == "year") year else round
+    f match {
+      case EqualTo(a, v) => toInt(v).forall(field(a) == _)
+      case GreaterThan(a, v) => toInt(v).forall(field(a) > _)
+      case GreaterThanOrEqual(a, v) => toInt(v).forall(field(a) >= _)
+      case LessThan(a, v) => toInt(v).forall(field(a) < _)
+      case LessThanOrEqual(a, v) => toInt(v).forall(field(a) <= _)
+      case In(a, vs) => vs.flatMap(toInt).contains(field(a)) || vs.exists(toInt(_).isEmpty)
+      case _ => true
+    }
+  }
+
+  /** Test observability: every file whose CONTENT is actually opened is
+    * recorded here (never the pruned or metadata-only ones). Tests drain
+    * it; production ignores it — a bounded queue of path strings.
+    */
+  val opened = new ConcurrentLinkedQueue[String]()
+}
+
+final class RaceZoneSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RaceZone.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new RaceZoneTable(properties.get("path"))
+}
+
+final class RaceZoneTable(path: String) extends Table with SupportsRead {
+  require(path != null, "racezone requires .load(<raw zone dir>)")
+  override def name(): String = s"racezone($path)"
+  override def schema(): StructType = RaceZone.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RaceZoneScanBuilder(path)
+}
+
+final class RaceZoneScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = RaceZone.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (fileLevel, residual) = filters.partition(RaceZone.isFileLevel)
+    pushed = fileLevel
+    residual // Spark evaluates these after the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new RaceZoneScan(path, pushed, required)
+}
+
+final case class RaceFilePartition(path: String, year: Int, round: Int)
+    extends InputPartition
+
+final class RaceZoneScan(path: String, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"racezone($path) pushed=[${pushed.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .flatMap { st =>
+        RaceZone.parseName(st.getPath.getName)
+          .map { case (y, r) => RaceFilePartition(st.getPath.toString, y, r) }
+      }
+      // planning-time pruning: a file failing ANY pushed predicate is
+      // never scheduled
+      .filter(fp => pushed.forall(RaceZone.accepts(_, fp.year, fp.round)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RaceZoneReaderFactory(required)
+}
+
+final class RaceZoneReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RaceZoneReader(partition.asInstanceOf[RaceFilePartition], required)
+}
+
+/** Reads ONE race file into one row. If the required schema touches no
+  * content column, the JSON is never opened (metadata-only read).
+  */
+final class RaceZoneReader(fp: RaceFilePartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+
+  private lazy val content: Map[String, String] = {
+    RaceZone.opened.add(fp.path)
+    val p = new Path(fp.path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    def str(n: com.fasterxml.jackson.databind.JsonNode): String =
+      if (n == null || n.isMissingNode || n.isNull) null else n.asText()
+    Map(
+      "raceName" -> str(root.path("raceName")),
+      "date" -> str(root.path("date")),
+      "circuit" -> str(root.path("Circuit").path("circuitName")),
+      "city" -> str(root.path("city")),
+      "country" -> str(root.path("country")))
+  }
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = {
+    val values: Array[Any] = required.fields.map { f =>
+      f.name match {
+        case "year" => fp.year
+        case "round" => fp.round
+        case other => // content column → forces the file open (lazy val)
+          val s = content.getOrElse(other, null)
+          if (s == null) null else UTF8String.fromString(s)
+      }
+    }
+    InternalRow.fromSeq(values.toSeq)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.racezone.RaceZone
+
+/** DSv2 raw-zone connector: correctness, file-level pushdown pruning, and
+  * the metadata-only (never-open-a-file) column-pruned path.
+  */
+class RaceZoneSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.racezone.RaceZoneSource"
+
+  private def writeZone(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-racezone").toString
+    def race(year: Int, round: Int, name: String, city: String): Unit = {
+      val json =
+        s"""{"season":"$year","round":"$round","raceName":"$name",
+           |"date":"$year-03-${10 + round}",
+           |"Circuit":{"circuitId":"c$round","circuitName":"Circuit $name"},
+           |"city":"$city","country":"Country$round"}""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/races_${year}_$round.json"), json)
+    }
+    race(2022, 1, "Bahrain GP", "Sakhir")
+    race(2022, 2, "Saudi GP", "Jeddah")
+    race(2023, 1, "Bahrain GP", "Sakhir")
+    race(2023, 2, "Saudi GP", "Jeddah")
+    race(2024, 1, "Bahrain GP", "Sakhir")
+    // a non-matching file must be ignored, not crash the listing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_manifest.txt"), "not a race")
+    dir
+  }
+
+  test("reads every race file with filename-derived year/round") {
+    val dir = writeZone()
+    val rows = spark.read.format(Fmt).load(dir)
+      .select($"year", $"round", $"raceName", $"circuit", $"city")
+      .as[(Int, Int, String, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.length === 5)
+    assert(rows.head === ((2022, 1, "Bahrain GP", "Circuit Bahrain GP", "Sakhir")))
+    assert(rows.map(_._1).distinct.toSeq === Seq(2022, 2023, 2024))
+  }
+
+  test("year predicate prunes files at planning: pruned files never open") {
+    val dir = writeZone()
+    RaceZone.opened.clear()
+    val df = spark.read.format(Fmt).load(dir).filter($"year" === 2022)
+    // planning-time pruning → only the 2022 files become partitions
+    assert(df.rdd.getNumPartitions === 2)
+    val got = df.select($"round", $"raceName")
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, "Bahrain GP"), (2, "Saudi GP")))
+    val openedFiles = RaceZone.opened.iterator()
+    val paths = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(openedFiles).asScala.toSet
+    assert(paths.forall(_.contains("races_2022_")),
+      s"pruned files were opened: $paths")
+  }
+
+  test("content predicates stay residual and still filter correctly") {
+    val dir = writeZone()
+    val got = spark.read.format(Fmt).load(dir)
+      .filter($"city" === "Jeddah" && $"year" >= 2023)
+      .select($"year", $"round").as[(Int, Int)].collect().sorted
+    assert(got.toSeq === Seq((2023, 2)))
+  }
+
+  test("a (year, round)-only projection answers from file names alone") {
+    val dir = writeZone()
+    RaceZone.opened.clear()
+    val got = spark.read.format(Fmt).load(dir)
+      .select($"year", $"round").as[(Int, Int)].collect()
+    assert(got.length === 5)
+    assert(RaceZone.opened.isEmpty,
+      "metadata-only projection must not open any file content")
+  }
+}
