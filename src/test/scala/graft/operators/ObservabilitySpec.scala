@@ -39,6 +39,31 @@ class ObservabilitySpec extends SparkSpec {
     assert(exchanges(decorated) === exchanges(plain))
   }
 
+  test("the same audited transform surfaces metrics per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val audited = Observability.audited(
+      input.toDF(), "stream_audit", "user_id", "value")
+    val query = audited.writeStream.format("memory")
+      .queryName("obs_stream_out").start()
+    try {
+      input.addData(
+        EventsStream.Event(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          1L, "click", 2.0),
+        EventsStream.Event(java.sql.Timestamp.valueOf("2024-01-01 10:01:00"),
+          2L, "view", 8.0))
+      query.processAllAvailable()
+      val obs = query.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("stream_audit")))
+        .filter(_.getAs[Long]("n_rows") > 0)
+      assert(obs.nonEmpty, "no micro-batch carried the observed metrics")
+      assert(obs.map(_.getAs[Long]("n_rows")).sum === 2L)
+      assert(obs.last.getAs[Double]("max_value") === 8.0)
+    } finally query.stop()
+  }
+
   test("a null-key batch surfaces through the audit metrics") {
     val bad = Seq((Some(1L), 5.0), (None, 7.0), (Some(3L), 9.0))
       .toDF("k", "v")
