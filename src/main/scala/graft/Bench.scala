@@ -39,22 +39,29 @@ object Bench {
     // bucketed-table LAYOUT write is one-time amortized cost, not query
     // cost — build the fixture here and report its seconds separately so
     // the timed entry measures only the join.
-    val fixtureSecs: Double = {
-      val t0 = System.nanoTime()
-      if (selected.contains("bucketed_join"))
-        try { graft.sources.Ingest.bucketedTables(spark, sfDir); () }
+    // fixtures timed SEPARATELY — bucketed_fixture_s must keep meaning
+    // exactly what it meant in BENCH_r01-r07 (the bucketed write alone)
+    // for round-over-round comparisons
+    def timedFixture(name: String, wanted: Boolean)(build: => Unit): Double =
+      if (!wanted) 0.0
+      else {
+        val t0 = System.nanoTime()
+        try build
         catch { case e: Throwable =>
-          System.err.println(s"[bench] bucketed fixture failed: $e")
+          System.err.println(s"[bench] $name fixture failed: $e")
         }
-      // same contract for the ORC interchange copy: layout writes are
-      // one-time amortized cost, the timed entries measure the reads
-      if (selected.contains("orc_roundtrip"))
-        try { graft.sources.Ingest.orcPartCopy(spark, sfDir); () }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] orc fixture failed: $e")
-        }
-      (System.nanoTime() - t0) / 1e9
-    }
+        (System.nanoTime() - t0) / 1e9
+      }
+    val fixtureSecs: Double =
+      timedFixture("bucketed", selected.contains("bucketed_join")) {
+        graft.sources.Ingest.bucketedTables(spark, sfDir); ()
+      }
+    // same contract for the ORC interchange copy: layout writes are
+    // one-time amortized cost, the timed entries measure the reads
+    val orcFixtureSecs: Double =
+      timedFixture("orc", selected.contains("orc_roundtrip")) {
+        graft.sources.Ingest.orcPartCopy(spark, sfDir); ()
+      }
     val results = selected.map { case (name, _) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE as -1, not recorded as a plausible
@@ -83,7 +90,7 @@ object Bench {
     // that captured tails have cut it mid-map; this compact line always
     // fits, so a parser can recover the totals even from a clipped log
     println(s"""{"total_s":$total,"n":${results.size},"failed":${
-      results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs}""")
+      results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs}""")
     // end-of-session memo teardown — see Dedup.releaseSession
     graft.operators.Dedup.releaseSession(spark)
     graft.sources.Ingest.releaseSession(spark)

@@ -26,6 +26,13 @@ object Multimodal {
     * payload = UTF-8 bytes of the text (stand-in for encoded media),
     * media_type cycles image/audio/video, metadata struct carries the typed
     * fields a real decoder would fill (dimensions, sample rate, frame size).
+    *
+    * ASCII corpus contract: oracles for byte-sliced payload operators
+    * ([[mediaDedup]], [[mediaFrames]]) replay in DuckDB's CHARACTER
+    * domain (it has no BLOB substring) — equal to the engine's byte
+    * slicing only because the synthetic corpus is ASCII. A real binary
+    * payload keeps the engine side unchanged; only the test oracle needs
+    * a byte-capable replay.
     */
   def media(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(
@@ -234,9 +241,13 @@ object Multimodal {
     * broadcast.
     */
   val mediaDedup: Q = Q("media_dedup",
+    // NOTE the oracle slices by CHARACTERS (DuckDB has no BLOB substring)
+    // while the engine slices payload BYTES — identical under the ASCII
+    // corpus contract stated on [[media]]; the frame count below uses
+    // char length too so the oracle is internally single-domain.
     """WITH f AS (SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS fno, text
+      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS fno, text
       |  FROM documents),
       |h AS (SELECT media_type,
       |    md5(substr(text, CAST(fno * 64 + 1 AS BIGINT), 64)) AS fh,

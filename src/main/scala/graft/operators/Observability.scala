@@ -67,21 +67,25 @@ object Observability {
   /** Run `body` with a fresh [[MetricsLog]] registered, unregistering on
     * the way out (listener leaks accumulate across a 100+-query session).
     * Returns (body result, drained observations). The listener bus is
-    * asynchronous — `spark.sparkContext.listenerBus` processing is forced
-    * via `waitUntilEmpty` equivalent: we poll briefly for the expected
-    * metric, which keeps the helper free of private Spark API.
+    * asynchronous, so the helper polls briefly — for the NAMED metric the
+    * caller is waiting on, not a raw count: if `body` runs several
+    * actions, an unrelated observation arriving first must not end the
+    * wait while the wanted one is still on the bus.
     */
-  def withMetrics[A](spark: SparkSession, expectAtLeast: Int = 1)(
+  def withMetrics[A](spark: SparkSession, expectName: String)(
       body: => A): (A, Seq[Observed]) = {
     val l = new MetricsLog
     spark.listenerManager.register(l)
+    def seen: Boolean = {
+      val it = l.log.iterator()
+      var found = false
+      while (!found && it.hasNext) found = it.next().name == expectName
+      found
+    }
     try {
       val a = body
-      // listener delivery is async; bounded poll instead of a private-API
-      // bus flush
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (l.log.size < expectAtLeast && System.nanoTime() < deadline)
-        Thread.sleep(20)
+      while (!seen && System.nanoTime() < deadline) Thread.sleep(20)
       (a, scala.jdk.CollectionConverters.IteratorHasAsScala(
         l.log.iterator).asScala.toSeq)
     } finally spark.listenerManager.unregister(l)

@@ -276,8 +276,11 @@ object Ingest {
     */
   def orcPartCopy(s: SparkSession, dir: String): String = orcReady.synchronized {
     orcReady.getOrElseUpdate((s, dir), {
+      // the tag includes the SESSION identity: two live sessions sharing a
+      // dir must not Overwrite the same path while the other reads it
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
+        "_" + Integer.toHexString(System.identityHashCode(s))
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$tag/part.orc"
       Tables.load(s, dir, "part").write.mode(SaveMode.Overwrite).orc(out)
       out

@@ -130,11 +130,35 @@ object Tables {
     * data pass — and cached per path, so the per-query cost is nil.
     */
   def eventsTsNanosFactor(spark: SparkSession, path: String): Long =
-    tsUnitCache.getOrElseUpdate(path,
-      spark.read.parquet(path).schema.find(_.name == "ts") match {
-        case Some(f) if f.dataType == LongType => 1L
-        case _ => 1000L
-      })
+    tsUnitCache.get(path).getOrElse {
+      val sniffed =
+        try Some(spark.read.parquet(path).schema.find(_.name == "ts"))
+        catch {
+          // not-yet-existing / empty landing dir (a stream deployed before
+          // its first file lands): assume the engine's own layout (int64
+          // nanos) and do NOT cache — re-sniff once files exist
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      sniffed match {
+        case None => 1L
+        case Some(fieldOpt) =>
+          val f = fieldOpt match {
+            case Some(fld) if fld.dataType == LongType => 1L
+            case Some(fld) if fld.dataType == TimestampType ||
+              fld.dataType == TimestampNTZType => 1000L
+            case Some(fld) => throw new IllegalStateException(
+              s"events ts at $path has unsupported type ${fld.dataType}; " +
+                "the nanos normalization only knows int64-nanos and " +
+                "TIMESTAMP(MICROS) — a MILLIS file needs the footer's " +
+                "logical-type unit")
+            case None => throw new IllegalStateException(
+              s"no ts column in the parquet at $path — refusing to guess " +
+                "a time unit for the events normalization")
+          }
+          tsUnitCache.putIfAbsent(path, f)
+          f
+      }
+    }
 
   /** Floor-convert the events table's int64 NANOS (`nanosAsLong` read) to
     * microseconds. pmod-based floor, NOT `div`: plain integer division

@@ -60,14 +60,19 @@ object RaceZone {
     case _ => None
   }
 
-  /** Can `f` be decided from (year, round) alone? */
+  /** Can `f` be FULLY decided from (year, round) alone? A pushed filter
+    * is never re-evaluated by Spark (only residuals are), so this must
+    * also vet every literal: a filter whose literal we can't interpret
+    * stays residual — claiming it and then "safely over-reading" would
+    * return rows the predicate excludes.
+    */
   def isFileLevel(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => fileLevelCols(a)
-    case GreaterThan(a, _) => fileLevelCols(a)
-    case GreaterThanOrEqual(a, _) => fileLevelCols(a)
-    case LessThan(a, _) => fileLevelCols(a)
-    case LessThanOrEqual(a, _) => fileLevelCols(a)
-    case In(a, _) => fileLevelCols(a)
+    case EqualTo(a, v) => fileLevelCols(a) && toInt(v).isDefined
+    case GreaterThan(a, v) => fileLevelCols(a) && toInt(v).isDefined
+    case GreaterThanOrEqual(a, v) => fileLevelCols(a) && toInt(v).isDefined
+    case LessThan(a, v) => fileLevelCols(a) && toInt(v).isDefined
+    case LessThanOrEqual(a, v) => fileLevelCols(a) && toInt(v).isDefined
+    case In(a, vs) => fileLevelCols(a) && vs.forall(toInt(_).isDefined)
     case _ => false
   }
 
@@ -76,12 +81,11 @@ object RaceZone {
     case l: Long => Some(l.toInt)
     case s: Short => Some(s.toInt)
     case b: Byte => Some(b.toInt)
-    case _ => None // unexpected literal type: keep the file (safe over-read)
+    case _ => None
   }
 
-  /** Evaluate a file-level filter against this file's (year, round).
-    * Unknown literal types keep the file — pruning must only ever
-    * over-read, never drop a matching file.
+  /** Evaluate a pushed (so [[isFileLevel]]-vetted) filter against this
+    * file's (year, round).
     */
   def accepts(f: Filter, year: Int, round: Int): Boolean = {
     def field(a: String): Int = if (a == "year") year else round
@@ -91,7 +95,7 @@ object RaceZone {
       case GreaterThanOrEqual(a, v) => toInt(v).forall(field(a) >= _)
       case LessThan(a, v) => toInt(v).forall(field(a) < _)
       case LessThanOrEqual(a, v) => toInt(v).forall(field(a) <= _)
-      case In(a, vs) => vs.flatMap(toInt).contains(field(a)) || vs.exists(toInt(_).isEmpty)
+      case In(a, vs) => vs.flatMap(toInt).contains(field(a))
       case _ => true
     }
   }
@@ -149,9 +153,16 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
   override def description(): String =
     s"racezone($path) pushed=[${pushed.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
 
+  // the SESSION's Hadoop conf (spark.hadoop.* credentials, fs schemes),
+  // not a bare `new Configuration()` — an s3a/abfs zone resolves through
+  // the same settings a plain spark.read.parquet would use. Captured on
+  // the driver, shipped serializable to the executors' readers.
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     fs.listStatus(p).iterator
       .filter(_.isFile)
       .flatMap { st =>
@@ -165,19 +176,23 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RaceZoneReaderFactory(required)
+    new RaceZoneReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
-final class RaceZoneReaderFactory(required: StructType)
+final class RaceZoneReaderFactory(required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RaceZoneReader(partition.asInstanceOf[RaceFilePartition], required)
+    new RaceZoneReader(partition.asInstanceOf[RaceFilePartition], required,
+      conf)
 }
 
 /** Reads ONE race file into one row. If the required schema touches no
   * content column, the JSON is never opened (metadata-only read).
   */
-final class RaceZoneReader(fp: RaceFilePartition, required: StructType)
+final class RaceZoneReader(fp: RaceFilePartition, required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private var emitted = false
@@ -185,7 +200,7 @@ final class RaceZoneReader(fp: RaceFilePartition, required: StructType)
   private lazy val content: Map[String, String] = {
     RaceZone.opened.add(fp.path)
     val p = new Path(fp.path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val bytes = try {
       val out = new java.io.ByteArrayOutputStream()

@@ -13,7 +13,7 @@ class ObservabilitySpec extends SparkSpec {
     val base = graft.sources.Tables.load(spark, dir, "orders")
     val audited = Observability.audited(
       base, "orders_audit", "o_custkey", "o_totalprice")
-    val ((rows, mn, mx), obs) = Observability.withMetrics(spark) {
+    val ((rows, mn, mx), obs) = Observability.withMetrics(spark, "orders_audit") {
       val r = audited.agg(
         count(lit(1)), min($"o_totalprice"), max($"o_totalprice"))
         .as[(Long, Double, Double)].collect()(0)
@@ -67,7 +67,7 @@ class ObservabilitySpec extends SparkSpec {
   test("a null-key batch surfaces through the audit metrics") {
     val bad = Seq((Some(1L), 5.0), (None, 7.0), (Some(3L), 9.0))
       .toDF("k", "v")
-    val (_, obs) = Observability.withMetrics(spark) {
+    val (_, obs) = Observability.withMetrics(spark, "bad_batch") {
       Observability.audited(bad, "bad_batch", "k", "v").count()
     }
     val m = obs.find(_.name == "bad_batch")
