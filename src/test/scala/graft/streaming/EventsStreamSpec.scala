@@ -93,6 +93,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("run() starts against an empty landing dir and catches the first file") {
+    import org.apache.spark.sql.functions.expr
+    // the production deploy order: the stream starts BEFORE any data
+    // lands — the ts-unit sniff must not throw on the empty dir (and
+    // must re-sniff rather than cache a guess)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val eventsDir = s"$tmp/events"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(eventsDir))
+    val query = EventsStream.run(spark, eventsDir, outDir, ck)
+    try {
+      query.processAllAvailable() // zero batches: must idle, not die
+      assert(query.isActive)
+      Seq(EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+        EventsStream.Event(ts(20, 0), 2L, "view", 9.0)).toDF()
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .write.mode("append").parquet(eventsDir)
+      query.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.collect().exists(r => r.getString(1) == "click" && r.getLong(2) == 1L))
+    } finally query.stop()
+  }
+
   test("run() restarted from its checkpoint resumes exactly-once") {
     import org.apache.spark.sql.functions.expr
     val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
