@@ -346,6 +346,42 @@ object Analytics {
       .orderBy(col("user_id"), col("event_type"), col("minute"))
   }
 
+  /** Event-time disorder audit — the measurement that SIZES a watermark:
+    * per event, lateness = (max event-time seen so far on its stream
+    * partition) − (its own event-time), where arrival order is the
+    * event_id sequence and the partition key is user_id (the Kafka-key
+    * analog this schema shards by). The bucketed histogram answers "what
+    * fraction of events would a 1-minute / 1-hour watermark delay drop?"
+    * — the number every `withWatermark` choice in [[graft.streaming]] is
+    * implicitly betting on, measured instead of guessed.
+    *
+    * Shape: one user_id exchange carries a running-max window in arrival
+    * order; lateness buckets collapse map-side into a ≤4-row histogram.
+    * Integer nanos throughout.
+    */
+  val eventsLateness: Q = Q("events_lateness",
+    """WITH l AS (SELECT
+      |    CAST(max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id) - epoch_ns(ts) AS BIGINT) AS late_ns
+      |  FROM events),
+      |b AS (SELECT CASE
+      |    WHEN late_ns = 0 THEN 'in_order'
+      |    WHEN late_ns < 60000000000 THEN 'lt_1m'
+      |    WHEN late_ns < 3600000000000 THEN 'lt_1h'
+      |    ELSE 'ge_1h' END AS bucket
+      |  FROM l)
+      |SELECT bucket, count(*) AS n FROM b
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val byArrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select((max(col("ts")).over(byArrival) - col("ts")).as("late_ns"))
+      .select(when(col("late_ns") === 0, "in_order")
+        .when(col("late_ns") < 60000000000L, "lt_1m")
+        .when(col("late_ns") < 3600000000000L, "lt_1h")
+        .otherwise("ge_1h").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Stream-static enrichment, batch-gated: runs the SAME
     * [[graft.streaming.EventsStream.segmentWindowCounts]] transform the
     * streaming side executes per micro-batch (watermarks are no-ops in
@@ -1599,5 +1635,5 @@ object Analytics {
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
-    incrAgg, eventsDedup)
+    incrAgg, eventsDedup, eventsLateness)
 }

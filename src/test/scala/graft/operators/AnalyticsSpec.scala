@@ -372,6 +372,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._5).sum === raw.length.toLong)
   }
 
+  test("events_lateness buckets constructed out-of-order arrivals exactly") {
+    import spark.implicits._
+    val S = 1000000000L // ns per second
+    // arrival order = event_id; user 1 sees a 30s regression and a 2h
+    // regression, user 2 stays in order — expected: 3 in_order rows
+    // (each user's first + user 2's second), one lt_1m, one ge_1h
+    val rows = Seq(
+      (0L, 1000L * S, 1L, "click", 1.0, "{}"),
+      (1L, 970L * S, 1L, "click", 1.0, "{}"), // 30 s late
+      (2L, 1000L * S - 7200L * S, 1L, "view", 1.0, "{}"), // 2 h late
+      (3L, 500L * S, 2L, "view", 1.0, "{}"),
+      (4L, 600L * S, 2L, "view", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsLateness.run(spark, tmp)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("in_order" -> 3L, "lt_1m" -> 1L, "ge_1h" -> 1L))
+  }
+
   test("events_resample zero-fills constructed silent hours") {
     import spark.implicits._
     // click fires in hours 0,1,3 (hour 2 silent); view only in hour 1 —
