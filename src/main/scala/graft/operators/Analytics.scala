@@ -30,6 +30,12 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // Shared event-time nanos constants, interpolated into BOTH each oracle
+  // SQL and its Spark builder — one definition per boundary, so a typo
+  // cannot skew a bucket on one engine only (declared before first use:
+  // object vals initialize in order).
+  private val MinuteNanos = 60L * 1000000000L
+
   /** A1 (wins, F:329-335): filter → groupBy → count → global sort. */
   val wins: Q = Q("wins",
     """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS yr, count(*) AS wins
@@ -333,14 +339,14 @@ object Analytics {
     * distinct (user, type, minute) keys.
     */
   val eventsDedup: Q = Q("events_dedup",
-    """SELECT user_id, event_type,
-      |  CAST((epoch_ns(ts) - ((epoch_ns(ts) % 60000000000 + 60000000000) % 60000000000)) // 60000000000 AS BIGINT) AS minute,
+    s"""SELECT user_id, event_type,
+      |  CAST((epoch_ns(ts) - ((epoch_ns(ts) % $MinuteNanos + $MinuteNanos) % $MinuteNanos)) // $MinuteNanos AS BIGINT) AS minute,
       |  min(event_id) AS first_event_id, count(*) AS n_events
       |FROM events GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, minute""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .groupBy(col("user_id"), col("event_type"),
-        expr("(ts - pmod(ts, 60000000000)) div 60000000000").as("minute"))
+        expr(s"(ts - pmod(ts, ${MinuteNanos}L)) div ${MinuteNanos}L").as("minute"))
       .agg(min(col("event_id")).as("first_event_id"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"), col("event_type"), col("minute"))
@@ -360,13 +366,13 @@ object Analytics {
     * Integer nanos throughout.
     */
   val eventsLateness: Q = Q("events_lateness",
-    """WITH l AS (SELECT
+    s"""WITH l AS (SELECT
       |    CAST(max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id) - epoch_ns(ts) AS BIGINT) AS late_ns
       |  FROM events),
       |b AS (SELECT CASE
       |    WHEN late_ns = 0 THEN 'in_order'
-      |    WHEN late_ns < 60000000000 THEN 'lt_1m'
-      |    WHEN late_ns < 3600000000000 THEN 'lt_1h'
+      |    WHEN late_ns < $MinuteNanos THEN 'lt_1m'
+      |    WHEN late_ns < $HourNanos THEN 'lt_1h'
       |    ELSE 'ge_1h' END AS bucket
       |  FROM l)
       |SELECT bucket, count(*) AS n FROM b
@@ -375,8 +381,8 @@ object Analytics {
     t(s, dir, "events")
       .select((max(col("ts")).over(byArrival) - col("ts")).as("late_ns"))
       .select(when(col("late_ns") === 0, "in_order")
-        .when(col("late_ns") < 60000000000L, "lt_1m")
-        .when(col("late_ns") < 3600000000000L, "lt_1h")
+        .when(col("late_ns") < MinuteNanos, "lt_1m")
+        .when(col("late_ns") < HourNanos, "lt_1h")
         .otherwise("ge_1h").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))

@@ -130,33 +130,39 @@ object Tables {
     * data pass — and cached per path, so the per-query cost is nil.
     */
   def eventsTsNanosFactor(spark: SparkSession, path: String): Long =
-    tsUnitCache.get(path).getOrElse {
+    eventsTsNanosFactorIfDecidable(spark, path).getOrElse(1L)
+
+  /** As [[eventsTsNanosFactor]], but `None` when the directory has no
+    * files yet (a stream deployed before its first file lands) — the
+    * caller then must not bake a guessed factor into a long-lived plan
+    * ([[graft.streaming.EventsStream.run]] switches to a per-row
+    * magnitude branch instead). Decided units are cached per path;
+    * undecidable is never cached, so the next call re-sniffs.
+    */
+  def eventsTsNanosFactorIfDecidable(
+      spark: SparkSession, path: String): Option[Long] =
+    tsUnitCache.get(path).orElse {
       val sniffed =
         try Some(spark.read.parquet(path).schema.find(_.name == "ts"))
         catch {
-          // not-yet-existing / empty landing dir (a stream deployed before
-          // its first file lands): assume the engine's own layout (int64
-          // nanos) and do NOT cache — re-sniff once files exist
           case _: org.apache.spark.sql.AnalysisException => None
         }
-      sniffed match {
-        case None => 1L
-        case Some(fieldOpt) =>
-          val f = fieldOpt match {
-            case Some(fld) if fld.dataType == LongType => 1L
-            case Some(fld) if fld.dataType == TimestampType ||
-              fld.dataType == TimestampNTZType => 1000L
-            case Some(fld) => throw new IllegalStateException(
-              s"events ts at $path has unsupported type ${fld.dataType}; " +
-                "the nanos normalization only knows int64-nanos and " +
-                "TIMESTAMP(MICROS) — a MILLIS file needs the footer's " +
-                "logical-type unit")
-            case None => throw new IllegalStateException(
-              s"no ts column in the parquet at $path — refusing to guess " +
-                "a time unit for the events normalization")
-          }
-          tsUnitCache.putIfAbsent(path, f)
-          f
+      sniffed.map { fieldOpt =>
+        val f = fieldOpt match {
+          case Some(fld) if fld.dataType == LongType => 1L
+          case Some(fld) if fld.dataType == TimestampType ||
+            fld.dataType == TimestampNTZType => 1000L
+          case Some(fld) => throw new IllegalStateException(
+            s"events ts at $path has unsupported type ${fld.dataType}; " +
+              "the nanos normalization only knows int64-nanos and " +
+              "TIMESTAMP(MICROS) — a MILLIS file needs the footer's " +
+              "logical-type unit")
+          case None => throw new IllegalStateException(
+            s"no ts column in the parquet at $path — refusing to guess " +
+              "a time unit for the events normalization")
+        }
+        tsUnitCache.putIfAbsent(path, f)
+        f
       }
     }
 

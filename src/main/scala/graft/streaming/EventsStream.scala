@@ -359,16 +359,26 @@ object EventsStream {
   def run(spark: SparkSession, eventsDir: String, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     // the raw int64 unit depends on the file's physical timestamp type
-    // (nanos vs micros — see Tables.eventsTsNanosFactor); normalize to
-    // nanos before the shared floor-conversion
-    val f = graft.sources.Tables.eventsTsNanosFactor(spark, eventsDir)
+    // (nanos vs micros — see Tables.eventsTsNanosFactor). When files
+    // exist, pin the exact factor into the plan. When the landing dir is
+    // still EMPTY (deploy-before-data), the plan is built once and lives
+    // for the query's lifetime — baking a guessed factor would misread
+    // whichever unit actually lands by 1000×; instead branch PER ROW on
+    // magnitude: int64 NANOS are ≥ 1e17 from 1973-03 onward while MICROS
+    // stay < 1e17 until year ~5138, so any plausible event time decides
+    // unambiguously (and mixed-unit landings each convert correctly).
+    val tsNanosExpr = graft.sources.Tables
+      .eventsTsNanosFactorIfDecidable(spark, eventsDir) match {
+        case Some(f) => s"(ts * ${f}L)"
+        case None => "(CASE WHEN ts < 100000000000000000L THEN ts * 1000L ELSE ts END)"
+      }
     val input = spark.readStream
       .schema("ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(eventsDir)
       // shared floor-conversion (see Tables.nanosToMicros scaladoc) keeps
       // window membership identical to the batch events_window bucketing
       .withColumn("ts", expr(
-        s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql(s"(ts * ${f}L)")})"))
+        s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql(tsNanosExpr)})"))
     windowedCounts(input).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

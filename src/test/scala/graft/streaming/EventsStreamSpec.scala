@@ -96,8 +96,12 @@ class EventsStreamSpec extends SparkSpec {
   test("run() starts against an empty landing dir and catches the first file") {
     import org.apache.spark.sql.functions.expr
     // the production deploy order: the stream starts BEFORE any data
-    // lands — the ts-unit sniff must not throw on the empty dir (and
-    // must re-sniff rather than cache a guess)
+    // lands. The ts-unit sniff is undecidable on the empty dir, so the
+    // plan must branch per row instead of baking a guessed factor —
+    // exercised here by landing BOTH units after startup: a
+    // TIMESTAMP(MICROS) file (the round-8 corpus layout; the declared
+    // BIGINT schema reads raw micros) and an int64-nanos file. Both
+    // must land in the same correct event-time windows.
     val tmp = java.nio.file.Files.createTempDirectory("graft-empty").toString
     val eventsDir = s"$tmp/events"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(eventsDir))
@@ -105,13 +109,27 @@ class EventsStreamSpec extends SparkSpec {
     try {
       query.processAllAvailable() // zero batches: must idle, not die
       assert(query.isActive)
-      Seq(EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+      // micros file: write the Timestamp column as TIMESTAMP(MICROS)
+      // (the session default is legacy INT96, which no BIGINT read maps)
+      val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try Seq(EventsStream.Event(ts(0, 10), 1L, "click", 1.0)).toDF()
+        .write.mode("append").parquet(eventsDir)
+      finally prevOut match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      // nanos file: the engine's own int64 layout
+      Seq(EventsStream.Event(ts(1, 0), 3L, "click", 2.0),
         EventsStream.Event(ts(20, 0), 2L, "view", 9.0)).toDF()
         .withColumn("ts", expr("unix_micros(ts) * 1000"))
         .write.mode("append").parquet(eventsDir)
       query.processAllAvailable()
-      val out = spark.read.parquet(outDir)
-      assert(out.collect().exists(r => r.getString(1) == "click" && r.getLong(2) == 1L))
+      val out = spark.read.parquet(outDir).collect()
+      // both click events (one per unit) fell into the SAME 5-minute
+      // window — a baked wrong factor would send one to ~1970
+      assert(out.exists(r => r.getString(1) == "click" && r.getLong(2) == 2L),
+        s"clicks from the two units did not co-window: ${out.toSeq}")
     } finally query.stop()
   }
 
