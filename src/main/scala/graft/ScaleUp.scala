@@ -47,8 +47,26 @@ object ScaleUp {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(t(n), n))
 
+    // GRAFT_SCALE_KEYS=1: also offset the per-entity GROUPING keys
+    // (o_custkey, events.user_id) per replica, modeling a key population
+    // that GROWS with the corpus instead of per-key histories growing
+    // `factor`×. Default OFF: the preserved-domain form keeps dimension
+    // join density and replica-0 byte-identity (fixed ANN probes), at the
+    // documented cost that per-key window operators (window_funcs,
+    // events_concurrency) scale superlinearly — n·log n per key — under
+    // replication. With the knob ON those same plans scale linearly,
+    // which is the honest 100 TB shape for a growing user base; FK-probe
+    // audits (dq_audit) will see replica custkeys as orphans, which is a
+    // realistic dirty-data profile, not an error.
+    val scaleKeys = sys.env.get("GRAFT_SCALE_KEYS").contains("1")
+    def maybeOffset(df: DataFrame, r: Int, keyCol: String): DataFrame =
+      if (scaleKeys) df.withColumn(keyCol, col(keyCol) + lit(r * KeyStride))
+      else df
+
     write(replicate(t("orders"), factor) { (df, r) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * KeyStride))
+      maybeOffset(
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(r * KeyStride)),
+        r, "o_custkey")
     }, "orders")
 
     write(replicate(t("lineitem"), factor) { (df, r) =>
@@ -63,8 +81,10 @@ object ScaleUp {
     // data, which no real workload does
     val SpanNanos = 31L * 24 * 3600 * 1000000000L
     write(replicate(t("events"), factor) { (df, r) =>
-      df.withColumn("event_id", col("event_id") + lit(r * KeyStride))
-        .withColumn("ts", col("ts") + lit(r * SpanNanos))
+      maybeOffset(
+        df.withColumn("event_id", col("event_id") + lit(r * KeyStride))
+          .withColumn("ts", col("ts") + lit(r * SpanNanos)),
+        r, "user_id")
     }, "events")
 
     write(replicate(t("documents"), factor) { (df, r) =>
