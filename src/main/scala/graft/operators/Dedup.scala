@@ -146,7 +146,11 @@ object Dedup {
     * seeds, chunk layout, and band grouping cannot drift apart. Ends with
     * `sig` (doc_id, h0..h15) and `pairs` (id1 < id2).
     */
-  private val minhashPairsSql: String = {
+  /** Oracle CTE chain through the UNCAPPED `bands` (doc_id, b, bkey) —
+    * the shared prefix of [[minhashPairsSql]] and the bucket-occupancy
+    * report ([[bucketStats]]).
+    */
+  private val minhashBandsSql: String = {
     val mins = (0 until NumHashes)
       .map(i => s"min(substr(d${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i")
       .mkString(", ")
@@ -164,12 +168,15 @@ object Dedup {
        |                md5('mh2#' || sh) AS d2, md5('mh3#' || sh) AS d3 FROM shd),
        |sig AS (SELECT doc_id, $mins FROM digs GROUP BY doc_id),
        |bands AS (SELECT doc_id, u.b, CASE u.b $bandKeys END AS bkey
-       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u),
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u)""".stripMargin
+  }
+
+  private val minhashPairsSql: String =
+    s"""$minhashBandsSql,
        |$capBucketsSql,
        |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |  FROM bandsk x JOIN bandsk y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
-  }
 
   /** A band value shared by a large fraction of the corpus (boilerplate
     * documents; here, the synthetic corpus' single shared vocabulary
@@ -214,7 +221,11 @@ object Dedup {
     * capped — the shared banding step for the self-join ([[minhash]]) and
     * the cross-corpus semi-join ([[crossEval]]).
     */
-  def cappedBands(sig: DataFrame): DataFrame = {
+  /** The UNCAPPED (doc_id, band, bkey) frame off a signature — shared by
+    * the candidate search (capped) and the bucket-occupancy report
+    * (which must see the pre-cap distribution to show what the cap cut).
+    */
+  def bandFrame(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       // band key = concat of the band's 4 fixed-width hex minhashes (32
@@ -222,11 +233,12 @@ object Dedup {
       // key stays engine-portable (no re-hashing the oracle can't replay)
       struct(lit(b).as("band"), concat(cols: _*).as("bkey"))
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    capBuckets(bands)
   }
+
+  def cappedBands(sig: DataFrame): DataFrame = capBuckets(bandFrame(sig))
 
   /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
     * — also exercised on planted near-dups in DedupSimilaritySpec.
@@ -855,7 +867,42 @@ object Dedup {
       .orderBy(col("brand"))
   }
 
+  /** LSH bucket-occupancy report — the measurement [[MaxBandBucket]] (and
+    * any banding geometry) is tuned by: per band, the histogram of bucket
+    * sizes, each size's exact C(bsz,2) self-join pair cost, and whether
+    * the hot-bucket cap cuts it. The Σ pair_cost column IS the
+    * candidate-generation work the banded search would do uncapped — the
+    * number that says whether a corpus's band distribution is healthy
+    * (many small buckets) or degenerating into the quadratic mega-bucket
+    * regime the cap exists for. The same-spirit tool as `events_lateness`
+    * is for watermarks: measure the knob's input instead of guessing.
+    *
+    * Shape: the band frame's (band, bkey) groupBy is the SAME exchange
+    * the candidate self-join partitions by; the histogram re-agg runs on
+    * the |buckets|-sized frame and the output is |distinct sizes| rows —
+    * model-sized at any corpus scale.
+    */
+  val bucketStats: Q = Q("dedup_bucket_stats",
+    s"""WITH $minhashBandsSql,
+       |bs AS (SELECT b, bkey, count(*) AS bsz FROM bands GROUP BY 1, 2)
+       |SELECT CAST(b AS BIGINT) AS band, CAST(bsz AS BIGINT) AS bucket_size,
+       |  count(*) AS n_buckets,
+       |  CAST(count(*) * (bsz * (bsz - 1) // 2) AS BIGINT) AS pair_cost,
+       |  CAST(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END AS BIGINT) AS capped
+       |FROM bs GROUP BY b, bsz ORDER BY band, bucket_size""".stripMargin) { (s, dir) =>
+    bandFrame(minhashSignatures(docs(s, dir)))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsz"))
+      .groupBy(col("band"), col("bsz")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("band").cast("long").as("band"),
+        col("bsz").cast("long").as("bucket_size"),
+        col("n_buckets"),
+        (col("n_buckets") * expr("(bsz * (bsz - 1)) div 2")).cast("long")
+          .as("pair_cost"),
+        when(col("bsz") > MaxBandBucket, 1L).otherwise(0L).as("capped"))
+      .orderBy(col("band"), col("bucket_size"))
+  }
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical,
-      crossEval, fuzzyJoin, agreement)
+      crossEval, fuzzyJoin, agreement, bucketStats)
 }

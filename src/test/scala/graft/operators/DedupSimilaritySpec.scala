@@ -288,4 +288,21 @@ class DedupSimilaritySpec extends SparkSpec {
     // cohesion must be positive: members correlate with their own centroid
     assert(got.forall(_._6 > 0L))
   }
+
+  test("dedup_bucket_stats accounts every doc per band and caps correctly") {
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    val got = Dedup.bucketStats.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // per band, Σ bucket_size · n_buckets = corpus size (each doc lands in
+    // exactly one bucket per band)
+    got.groupBy(_._1).foreach { case (band, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum === nDocs, s"band $band")
+    }
+    // pair_cost is exactly n_buckets · C(size, 2); capped iff past the cap
+    got.foreach { case (_, size, n, cost, capped) =>
+      assert(cost === n * (size * (size - 1) / 2))
+      assert(capped === (if (size > Dedup.MaxBandBucket) 1L else 0L))
+    }
+  }
 }
