@@ -141,14 +141,12 @@ object Dedup {
     withDigests.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
   }
 
-  /** DuckDB CTE chain replicating [[minhashSignatures]] +
-    * [[minhashCandidatesFromSig]] — kept adjacent to the Spark code so the
-    * seeds, chunk layout, and band grouping cannot drift apart. Ends with
-    * `sig` (doc_id, h0..h15) and `pairs` (id1 < id2).
-    */
-  /** Oracle CTE chain through the UNCAPPED `bands` (doc_id, b, bkey) —
-    * the shared prefix of [[minhashPairsSql]] and the bucket-occupancy
-    * report ([[bucketStats]]).
+  /** DuckDB CTE chain replicating [[minhashSignatures]] + [[bandFrame]] —
+    * kept adjacent to the Spark code so the seeds, chunk layout, and band
+    * grouping cannot drift apart. Ends with the UNCAPPED `bands`
+    * (doc_id, b, bkey): the shared prefix of [[minhashPairsSql]] (which
+    * appends the cap + pair join) and the bucket-occupancy report
+    * ([[bucketStats]]).
     */
   private val minhashBandsSql: String = {
     val mins = (0 until NumHashes)
@@ -217,13 +215,10 @@ object Dedup {
        |    count(*) OVER (PARTITION BY b, bkey) AS bsz FROM bands),
        |bandsk AS (SELECT doc_id, b, bkey FROM bandsc WHERE bsz <= $MaxBandBucket)""".stripMargin
 
-  /** (doc_id, band, bkey) entries from a signature frame, hot buckets
-    * capped — the shared banding step for the self-join ([[minhash]]) and
-    * the cross-corpus semi-join ([[crossEval]]).
-    */
   /** The UNCAPPED (doc_id, band, bkey) frame off a signature — shared by
-    * the candidate search (capped) and the bucket-occupancy report
-    * (which must see the pre-cap distribution to show what the cap cut).
+    * the candidate search (which caps it — use [[cappedBands]] before any
+    * band self-join) and the bucket-occupancy report ([[bucketStats]],
+    * which must see the pre-cap distribution to show what the cap cut).
     */
   def bandFrame(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
@@ -238,6 +233,10 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** (doc_id, band, bkey) entries from a signature frame, hot buckets
+    * capped — the shared banding step for the self-join ([[minhash]]) and
+    * the cross-corpus semi-join ([[crossEval]]).
+    */
   def cappedBands(sig: DataFrame): DataFrame = capBuckets(bandFrame(sig))
 
   /** Candidate near-dup pairs from a signature frame ([[minhashSignatures]])
@@ -290,10 +289,25 @@ object Dedup {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Memoized [[minhashSignatures]] over the session's corpus — the
+    * signature build (shingle explode + 4 md5s per shingle + 16-min agg)
+    * is the family's dominant corpus pass, and FOUR consumers derive
+    * from it ([[minhash]], [[minhashPairs]] behind
+    * clusters/keepCanonical/agreement/splitSafe, [[crossEval]]'s corpus
+    * side, [[bucketStats]]); without the memo each paid it again. Rides
+    * [[pairCache]] (same teardown in [[releaseSession]]); the frame is
+    * |docs| × 16 fixed-width hex prefixes — model-per-row, corpus-many
+    * rows, exactly what MEMORY_AND_DISK is for.
+    */
+  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir, "minhash_sig"),
+      minhashSignatures(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Memoized [[minhashCandidatesFromSig]] over the session's corpus. */
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((s, dir, "minhash"),
-      minhashCandidatesFromSig(minhashSignatures(docs(s, dir)))
+      minhashCandidatesFromSig(minhashSigs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Memoized [[embedNearPairs]] over the session's embedding table. */
@@ -333,7 +347,7 @@ object Dedup {
        |  GROUP BY doc_id)
        |SELECT s.doc_id, h0, h1, h2, h3, coalesce(c.n_candidates, 0) AS n_candidates
        |FROM sig s LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val sig = minhashSignatures(docs(s, dir))
+    val sig = minhashSigs(s, dir)
     candidateCounts(
       sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3")),
       minhashPairs(s, dir), "doc_id", "n_candidates")
@@ -771,7 +785,7 @@ object Dedup {
     val ev = d.select(col("doc_id"), md5(col("text")).as("dig"))
       .orderBy(col("dig"), col("doc_id")).limit(CrossEvalSize)
       .select(col("doc_id"))
-    val kept = cappedBands(minhashSignatures(d))
+    val kept = cappedBands(minhashSigs(s, dir))
     val evBands = kept.join(broadcast(ev), Seq("doc_id"))
       .select(col("band"), col("bkey"), col("doc_id").as("eval_id"))
       .distinct()
@@ -890,7 +904,7 @@ object Dedup {
        |  CAST(count(*) * (bsz * (bsz - 1) // 2) AS BIGINT) AS pair_cost,
        |  CAST(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END AS BIGINT) AS capped
        |FROM bs GROUP BY b, bsz ORDER BY band, bucket_size""".stripMargin) { (s, dir) =>
-    bandFrame(minhashSignatures(docs(s, dir)))
+    bandFrame(minhashSigs(s, dir))
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsz"))
       .groupBy(col("band"), col("bsz")).agg(count(lit(1)).as("n_buckets"))
       .select(col("band").cast("long").as("band"),

@@ -294,6 +294,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Dedup.bucketStats.run(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got.nonEmpty)
+    // every band must be present — a dropped band would make the per-band
+    // accounting below vacuously pass for it
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
     // per band, Σ bucket_size · n_buckets = corpus size (each doc lands in
     // exactly one bucket per band)
     got.groupBy(_._1).foreach { case (band, rows) =>
