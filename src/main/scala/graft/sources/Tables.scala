@@ -121,13 +121,13 @@ object Tables {
     * declared-LongType scan reads the raw physical INT64 either way, so
     * the engine's nanos arithmetic (window buckets, session gaps, as-of
     * bands — and every DuckDB oracle's `epoch_ns`) would silently run
-    * 1000× off on a micros file. One footer sniff per directory pins the
-    * unit: under `nanosAsLong`, a NANOS column INFERS as LongType while a
-    * MICROS column infers as a timestamp type (millis shipping is not a
-    * parquet-writer default anywhere in this pipeline; if it ever
-    * appears the inferred type is also a timestamp and this factor would
-    * need the footer's logical-type unit instead). Metadata-only — no
-    * data pass — and cached per path, so the per-query cost is nil.
+    * 1000× off on the wrong unit. The unit is pinned by reading ONE
+    * parquet footer's logical-type annotation per directory — the
+    * authoritative record of the writer's unit, covering NANOS, MICROS
+    * and MILLIS uniformly (the earlier Spark-inference side-channel
+    * could only distinguish NANOS from not-NANOS and would have scaled a
+    * MILLIS corpus 1000× off). Metadata-only — no data pass — and
+    * cached per directory, so the per-query cost is nil.
     */
   def eventsTsNanosFactor(spark: SparkSession, path: String): Long =
     eventsTsNanosFactorIfDecidable(spark, path).getOrElse(1L)
@@ -136,35 +136,84 @@ object Tables {
     * files yet (a stream deployed before its first file lands) — the
     * caller then must not bake a guessed factor into a long-lived plan
     * ([[graft.streaming.EventsStream.run]] switches to a per-row
-    * magnitude branch instead). Decided units are cached per path;
-    * undecidable is never cached, so the next call re-sniffs.
+    * magnitude branch instead). Only the missing-directory/no-files case
+    * is `None`; a footer that exists but can't be decoded, or a `ts`
+    * column with an un-normalizable type, THROWS — deploy-before-data is
+    * the one legitimate reason not to know the unit, and conflating it
+    * with real failures would silently re-admit the 1000× hazard. Decided
+    * units are cached per path; undecidable is never cached, so the next
+    * call re-sniffs.
     */
   def eventsTsNanosFactorIfDecidable(
       spark: SparkSession, path: String): Option[Long] =
     tsUnitCache.get(path).orElse {
-      val sniffed =
-        try Some(spark.read.parquet(path).schema.find(_.name == "ts"))
-        catch {
-          case _: org.apache.spark.sql.AnalysisException => None
-        }
-      sniffed.map { fieldOpt =>
-        val f = fieldOpt match {
-          case Some(fld) if fld.dataType == LongType => 1L
-          case Some(fld) if fld.dataType == TimestampType ||
-            fld.dataType == TimestampNTZType => 1000L
-          case Some(fld) => throw new IllegalStateException(
-            s"events ts at $path has unsupported type ${fld.dataType}; " +
-              "the nanos normalization only knows int64-nanos and " +
-              "TIMESTAMP(MICROS) — a MILLIS file needs the footer's " +
-              "logical-type unit")
-          case None => throw new IllegalStateException(
-            s"no ts column in the parquet at $path — refusing to guess " +
-              "a time unit for the events normalization")
-        }
+      firstParquetFile(spark, path).map { file =>
+        val f = footerTsNanosFactor(spark, file)
         tsUnitCache.putIfAbsent(path, f)
         f
       }
     }
+
+  /** First visible data file under `path` (itself, if a file) — `None`
+    * when the path is absent or holds no parquet parts yet. Hidden files
+    * (`_SUCCESS`, `.crc`) are skipped. The driver writes each directory
+    * with one writer config, so any one part pins the unit for all.
+    */
+  private def firstParquetFile(
+      spark: SparkSession, path: String): Option[org.apache.hadoop.fs.Path] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Some(p).filter(_ => visible(p.getName))
+      else fs.listStatus(p).iterator
+        .filter(s => s.isFile && visible(s.getPath.getName) &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq.sortBy(_.getName).headOption
+    }
+  }
+
+  /** Read the `ts` column's logical-type annotation from one parquet
+    * footer and return the raw-int64 → nanos multiplier. TIMESTAMP(NANOS)
+    * → 1, MICROS → 1e3, MILLIS → 1e6; an unannotated INT64 is taken as
+    * already-nanos (the engine's own declared unit). Anything else —
+    * missing column, non-INT64 physical type, TIME/other annotation — is
+    * an error, not a guess.
+    */
+  private def footerTsNanosFactor(
+      spark: SparkSession, file: org.apache.hadoop.fs.Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = HadoopInputFile.fromPath(file, spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      require(schema.containsField("ts"),
+        s"no ts column in the parquet at $file — refusing to guess " +
+          "a time unit for the events normalization")
+      val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+      require(prim.getPrimitiveTypeName == PrimitiveTypeName.INT64,
+        s"events ts at $file has physical type ${prim.getPrimitiveTypeName}" +
+          " — the nanos normalization only knows INT64 timestamps")
+      prim.getLogicalTypeAnnotation match {
+        case null => 1L // raw int64: the engine's own nanos convention
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+          }
+        case other => throw new IllegalStateException(
+          s"events ts at $file has unsupported logical type $other; " +
+            "the nanos normalization only knows TIMESTAMP annotations")
+      }
+    } finally reader.close()
+  }
 
   /** Floor-convert the events table's int64 NANOS (`nanosAsLong` read) to
     * microseconds. pmod-based floor, NOT `div`: plain integer division
