@@ -248,8 +248,26 @@ object Ingest {
       bucketedReady.filterInPlace { case (sess, _) => !(sess eq s) }; ()
     }
     orcReady.synchronized {
-      orcReady.filterInPlace { case ((sess, _), _) => !(sess eq s) }; ()
+      // delete the evicted sessions' on-disk ORC fixtures too — the memo
+      // key dying must not strand a full copy of `part` in the tmpdir per
+      // session (ADVICE r8); the session-identity tag makes each dir ours
+      // alone to remove
+      val (dead, live) = orcReady.partition { case ((sess, _), _) => sess eq s }
+      dead.values.foreach { out =>
+        val fixtureDir = new java.io.File(out).getParentFile
+        if (fixtureDir != null && fixtureDir.getName.startsWith("graft_orc_"))
+          deleteRecursively(fixtureDir)
+      }
+      orcReady.clear()
+      orcReady ++= live
+      ()
     }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   val bucketedJoin: graft.Q = graft.Q("bucketed_join",

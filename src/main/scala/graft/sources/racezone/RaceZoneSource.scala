@@ -1,7 +1,5 @@
 package graft.sources.racezone
 
-import java.util.concurrent.ConcurrentLinkedQueue
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
@@ -102,9 +100,20 @@ object RaceZone {
 
   /** Test observability: every file whose CONTENT is actually opened is
     * recorded here (never the pruned or metadata-only ones). Tests drain
-    * it; production ignores it — a bounded queue of path strings.
+    * it; production ignores it. Genuinely bounded: past [[openedCap]]
+    * entries the oldest paths are dropped, so at the zone's
+    * millions-of-files scale the record costs a fixed few hundred KB per
+    * executor JVM instead of growing for its lifetime (ADVICE r8 — the
+    * previous ConcurrentLinkedQueue was unbounded while claiming
+    * otherwise).
     */
-  val opened = new ConcurrentLinkedQueue[String]()
+  val openedCap = 4096
+  val opened = new java.util.concurrent.LinkedBlockingQueue[String](openedCap)
+
+  private[sources] def recordOpened(path: String): Unit = {
+    // drop-oldest on full; loops only while racing other droppers
+    while (!opened.offer(path)) opened.poll()
+  }
 }
 
 final class RaceZoneSource extends TableProvider {
@@ -198,7 +207,7 @@ final class RaceZoneReader(fp: RaceFilePartition, required: StructType,
   private var emitted = false
 
   private lazy val content: Map[String, String] = {
-    RaceZone.opened.add(fp.path)
+    RaceZone.recordOpened(fp.path)
     val p = new Path(fp.path)
     val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)

@@ -162,6 +162,20 @@ class IngestSpec extends SparkSpec {
     assert(read.contains("p_brand") && read.contains("p_retailprice") &&
       !read.contains("p_name"), read)
   }
+
+  test("releaseSession deletes the on-disk ORC fixture, not just the memo") {
+    val dir = sf("sf0.001")
+    val out = Ingest.orcPartCopy(spark, dir)
+    val fixtureDir = new java.io.File(out).getParentFile
+    assert(fixtureDir.exists(), s"fixture should exist after build: $fixtureDir")
+    Ingest.releaseSession(spark)
+    assert(!fixtureDir.exists(),
+      s"fixture dir must be deleted on release: $fixtureDir")
+    // memo evicted too: a fresh call rebuilds rather than returning the
+    // deleted path as-if-ready
+    val rebuilt = Ingest.orcPartCopy(spark, dir)
+    assert(new java.io.File(rebuilt).getParentFile.exists())
+  }
 }
 
 /** Shared state for the bulkIndex specs: the injected post fn executes on

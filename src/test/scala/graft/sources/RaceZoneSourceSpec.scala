@@ -77,4 +77,15 @@ class RaceZoneSourceSpec extends SparkSpec {
     assert(RaceZone.opened.isEmpty,
       "metadata-only projection must not open any file content")
   }
+
+  test("the opened record is genuinely bounded: drop-oldest past the cap") {
+    RaceZone.opened.clear()
+    (0 until RaceZone.openedCap + 10).foreach(i => RaceZone.recordOpened(s"f$i"))
+    assert(RaceZone.opened.size === RaceZone.openedCap)
+    val kept = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(RaceZone.opened.iterator()).asScala.toSet
+    assert(!kept.contains("f0"), "oldest entries must be the ones dropped")
+    assert(kept.contains(s"f${RaceZone.openedCap + 9}"))
+    RaceZone.opened.clear()
+  }
 }
