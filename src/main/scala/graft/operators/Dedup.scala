@@ -429,7 +429,7 @@ object Dedup {
     * round's labels stay live for the caller; intermediate rounds are
     * released eagerly rather than waiting for the ContextCleaner).
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     // traverse: the label frame is a projection OVER its checkpoint's
     // LogicalRDD, not the LogicalRDD itself. Safe by construction: the
     // next round's frame is already eagerly materialized when this runs.

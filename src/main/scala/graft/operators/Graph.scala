@@ -371,6 +371,102 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  private val pagerankBigOracle: String =
+    s"""WITH raw AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS a,
+       |    CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM raw
+       |  UNION ALL SELECT b, a FROM raw),
+       |ow AS (SELECT src, CAST(count(*) AS BIGINT) AS wsum
+       |  FROM edges GROUP BY src),
+       |pe AS (SELECT src, dst, CAST(1000000 // wsum AS BIGINT) AS p_ppm
+       |  FROM edges JOIN ow USING (src)),
+       |nn AS (SELECT count(*) AS n FROM ow),
+       |r0 AS (SELECT src AS node, CAST($Scale // nn.n AS BIGINT) AS r
+       |  FROM ow CROSS JOIN nn),
+       |${(1 to Iters).map(iterSql).mkString(",\n")}
+       |SELECT node, r AS pr FROM r$Iters
+       |ORDER BY pr DESC, node LIMIT 100""".stripMargin
+
+  /** One un-checkpointed power-iteration round over a PARTITIONED rank
+    * vector — factored out so [[pagerankBig]] and the GraphSpec plan
+    * assertions run the identical step. `pe` is the persisted transition
+    * list (src, dst, p_ppm) partitioned by src; `nodes` the persisted
+    * vertex frame; `nn` a 1-row count frame (the only thing broadcast —
+    * broadcasting a scalar is not broadcasting the rank vector); `r` the
+    * incoming (node, r) vector. Same ppm fixed-point arithmetic as
+    * [[pagerank]]'s model-sized loop.
+    */
+  private[operators] def prRound(pe: DataFrame, nodes: DataFrame,
+      nn: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = pe
+      .join(r.select(col("node").as("src"), col("r")), Seq("src"))
+      .select(col("dst"), expr("(r * p_ppm) div 1000000L").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+    nodes.crossJoin(broadcast(nn))
+      .join(contrib, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (expr(s"(15L * ${Scale}L) div (100L * n)") +
+          expr(s"(${Damp}L * coalesce(csum, 0L)) div 100L")).as("r"))
+  }
+
+  /** Big-|V| PageRank over the customer↔supplier bipartite trade graph —
+    * the partitioned-iteration twin of [[pagerank]] (r8 verdict task #3).
+    * [[pagerank]] iterates over a ≤ |V|² ≤ 625-row NATION model where the
+    * per-round broadcast of a 25-row rank vector is legitimate;
+    * here |V| is every trading customer and supplier (~16k at sf0.1,
+    * ~160k at sf1, growing with the corpus), so the rank vector itself is
+    * data-sized and must stay distributed. Every round is therefore a
+    * keyed SHUFFLE join: the transition list `pe` is persisted
+    * pre-partitioned by src (one layout, reused all rounds — only the
+    * rank side exchanges), contributions aggregate by dst with map-side
+    * partials, and the new vector joins back to the persisted vertex
+    * frame. The ONLY broadcasts are the 1-row node-count frame; no
+    * coalesce(1), no rank-vector broadcast anywhere (plan-asserted in
+    * GraphSpec). Per-round `localCheckpoint` cuts lineage exactly like
+    * [[Dedup.connectedComponents]], with each round's blocks released
+    * eagerly.
+    *
+    * Node encoding, edge derivation and exact integer ppm arithmetic
+    * match [[components]] / [[pagerank]]: ids are 2·custkey / 2·suppkey+1,
+    * edges are DISTINCT trading pairs made symmetric (so the graph is
+    * undirected and dangling-node mass never arises), ranks are 10¹²
+    * fixed-point with floor division — bit-identical on DuckDB, which
+    * replays the identical unrolled iteration. Output is the top-100
+    * vector slice (TakeOrderedAndProject — model-sized result, full
+    * vector never collected).
+    */
+  val pagerankBig: Q = Q("graph_pagerank_big", pagerankBigOracle) { (s, dir) =>
+    def t(name: String): DataFrame = Tables.load(s, dir, name)
+    val raw = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+    val ow = edges.groupBy(col("src")).agg(count(lit(1)).as("wsum"))
+    // persisted transition layout, partitioned by the per-round join key:
+    // the expensive derivation runs once and the per-round join reuses
+    // this partitioning — only the (node, r) side moves each round
+    val pe = graft.Scratch.track(edges.join(ow, Seq("src"))
+      .select(col("src"), col("dst"), expr("1000000L div wsum").as("p_ppm"))
+      .repartition(col("src")))
+    val nodes = graft.Scratch.track(ow.select(col("src").as("node")))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"${Scale}L div n").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to Iters) {
+      val next = prRound(pe, nodes, nn, r).localCheckpoint()
+      Dedup.releaseCheckpoint(r)
+      r = next
+    }
+    r.orderBy(col("r").desc, col("node")).limit(100)
+      .select(col("node"), col("r").as("pr"))
+  }
+
   /** Degree statistics over the FULL customer↔supplier bipartite graph —
     * no sparsifying filter: every distinct (customer, supplier) trading
     * pair at sf0.1 is ~600k edges over 16k nodes, and the operator's
@@ -404,5 +500,6 @@ object Graph {
       .orderBy(col("n_customers"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, kcore, components, bipartiteDegree)
+  val all: Seq[Q] = Seq(pagerank, pagerankBig, triangles, kcore, components,
+    bipartiteDegree)
 }

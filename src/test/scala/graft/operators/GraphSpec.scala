@@ -210,6 +210,80 @@ class GraphSpec extends SparkSpec {
     assert(ls.forall(_._2 == 0L), "chain must collapse to the min label")
   }
 
+  test("graph_pagerank_big matches an exact scalar replay over the bipartite graph") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val ordCust = tbl("orders").select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val raw = tbl("lineitem").select($"l_orderkey", $"l_suppkey")
+      .as[(Long, Long)].collect()
+      .map { case (ok, sk) => (ordCust(ok) * 2, sk * 2 + 1) }.distinct
+    val edges = raw ++ raw.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ppm = edges.map { case (u, v) => (u, v) -> 1000000L / deg(u) }.toMap
+    val scale = 1000000000000L
+    val n = deg.size.toLong
+    var r: Map[Long, Long] = deg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      ppm.foreach { case ((u, v), p) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + r(u) * p / 1000000L
+      }
+      r = r.keys.map { v =>
+        v -> (15L * scale / (100L * n) + 85L * contrib.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    val expect = r.toSeq.sortBy { case (v, pr) => (-pr, v) }.take(100)
+    val got = Graph.pagerankBig.run(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.size === 100, "top-100 slice of a |V|>100 vector")
+    graft.Scratch.release(spark)
+  }
+
+  test("the big-|V| pagerank round is shuffle-joined: no rank-vector broadcast, no coalesce") {
+    // build the same shapes pagerankBig feeds prRound: a partitioned
+    // transition list, a vertex frame, a 1-row count, a partitioned rank
+    // vector — then assert the round's PLAN keeps the rank vector
+    // distributed (at 100 TB the vector is data-sized; a broadcast or a
+    // coalesce(1) here is the scale-killer the nation-model pagerank is
+    // allowed but this one exists to avoid)
+    val edges = spark.range(0, 2000)
+      .select(($"id" % 500).as("src"), ($"id" % 499 + 1000).as("dst"))
+      .distinct()
+    val both = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val ow = both.groupBy($"src")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("wsum"))
+    val pe = both.join(ow, Seq("src"))
+      .selectExpr("src", "dst", "1000000L div wsum as p_ppm")
+      .repartition($"src")
+    val nodes = ow.select($"src".as("node"))
+    val nn = nodes.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+    val r0 = nodes.crossJoin(org.apache.spark.sql.functions.broadcast(nn))
+      .selectExpr("node", "1000000000000L div n as r")
+      .localCheckpoint()
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val round = Graph.prRound(pe, nodes, nn, r0)
+    // materialize INSIDE the conf window (execution is lazy — the conf
+    // must still be off when AQE finalizes the plan), then inspect it
+    val parts =
+      try { spark.conf.set(coalesceKey, "false"); round.rdd.getNumPartitions }
+      finally spark.conf.set(coalesceKey, prev)
+    assert(parts > 1, "round output must stay partitioned")
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("Coalesce 1"), plan)
+    // the rank vector and the contribution vector are |V|-sized: neither
+    // may ride a broadcast hash join (the only legitimate broadcast in
+    // the round is the 1-row node count, a nested-loop cross join)
+    val bhj = round.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isEmpty,
+      s"rank-vector joins must shuffle, not broadcast:\n$plan")
+  }
+
   test("graph_degree matches a scalar histogram over distinct trading pairs") {
     def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
     val ordCust = tbl("orders").select($"o_orderkey", $"o_custkey")
