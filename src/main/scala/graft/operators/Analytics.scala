@@ -499,11 +499,20 @@ object Analytics {
     * Session numbering is tie-safe: equal-tus peers produce identical brk
     * flags under any lag order, so the running sum is deterministic. */
   private def sessionEvents(s: SparkSession, dir: String): DataFrame = {
-    val tus = Tables.nanosToMicros("ts")
-    val w = Window.partitionBy(col("user_id")).orderBy(tus)
+    // The windows order by the MATERIALIZED tus column, never the
+    // nanos→micros expression: ordering by the expression makes Spark
+    // ship a duplicate `_w0` sort column AND the raw `ts` it derives
+    // from across the user_id exchange (4 longs where 2 suffice at 100M+
+    // rows), and mint a fresh `_w0` per window — forcing a second
+    // per-partition Sort the shared attribute makes unnecessary. With
+    // the column form the exchange payload is (user_id, tus [, consumer
+    // columns]) and both windows reuse ONE sort (plan-asserted in
+    // AnalyticsSpec).
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
-      .withColumn("tus", tus)
+      .withColumn("tus", Tables.nanosToMicros("ts"))
+      .drop("ts") // consumers read tus; raw nanos must not ride the exchange
       .withColumn("brk",
         when(lag(col("tus"), 1).over(w).isNull ||
           col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
@@ -703,7 +712,17 @@ object Analytics {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val wRank = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc)
+    // ONE exchange, not two: range-partitioning by o_custkey up front
+    // satisfies the windows' ClusteredDistribution (equal keys never
+    // straddle a range boundary) AND is order-compatible with the final
+    // presentation ORDER BY (o_custkey, o_orderkey) — so the global sort
+    // degenerates to a per-partition SortExec with NO second full-data
+    // exchange. The hash-partitioned form re-shuffled the entire 7-column
+    // result through a rangepartitioning exchange just to present it
+    // (~2× the exchanged bytes at the ×100 smoke's 15M orders); the range
+    // sampling pass this trades for reads only the pruned key column.
     t(s, dir, "orders")
+      .repartitionByRange(col("o_custkey"))
       .select(col("o_custkey"), col("o_orderkey"),
         lag(col("o_orderkey"), 1).over(w).as("prev_order"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"),

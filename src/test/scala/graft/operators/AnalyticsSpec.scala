@@ -31,6 +31,31 @@ class AnalyticsSpec extends SparkSpec {
       read.contains("l_linenumber") && !read.contains("l_extendedprice"), read)
   }
 
+  test("the session exchange ships a slim payload and the two windows share one sort") {
+    // sessionEvents orders its windows by the MATERIALIZED tus column;
+    // ordering by the nanos→micros EXPRESSION made Spark carry raw ts
+    // plus a duplicate _w0 sort column across the user_id exchange (4
+    // longs where 2 suffice — 1.6 GB of dead weight at the ×100 smoke's
+    // 100M events) and re-sort between the lag window and the running
+    // sum. Pin both properties on events_concurrency, whose consumers
+    // need only (user_id, tus).
+    val p = plan("events_concurrency")
+    val lines = p.linesIterator.toSeq
+    val ex = lines.filter(_.contains("Exchange hashpartitioning(user_id"))
+    assert(ex.nonEmpty, s"expected a user_id exchange:\n$p")
+    // the exchange row is printed with its output columns — exactly
+    // user_id and tus may cross (no ts, no duplicate _w0)
+    ex.foreach { l =>
+      assert(!l.contains("ts#"), s"raw ts must not ride the exchange: $l")
+      assert(!l.contains("_w"), s"no duplicate sort column may ride: $l")
+    }
+    // both session windows run off ONE per-partition sort: exactly one
+    // Sort node ordered by (user_id, tus)
+    val userSorts = lines.count(l =>
+      l.trim.startsWith("+- Sort") && l.contains("user_id") && !l.contains("range"))
+    assert(userSorts === 1, s"expected one shared user_id sort, got $userSorts:\n$p")
+  }
+
   test("events_clickjoin bands the attribution window onto the user_id equi join") {
     // an equi join on user_id alone scans each user's full clicks×purchases
     // cross product per sort-merge key group — quadratic in per-user
