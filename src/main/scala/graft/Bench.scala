@@ -62,6 +62,11 @@ object Bench {
       timedFixture("orc", selected.contains("orc_roundtrip")) {
         graft.sources.Ingest.orcPartCopy(spark, sfDir); ()
       }
+    // the variant landing-zone write is the same one-time amortized cost
+    val variantFixtureSecs: Double =
+      timedFixture("variant", selected.contains("variant_mixed")) {
+        graft.sources.Ingest.variantZone(spark, sfDir); ()
+      }
     // Each query is timed BEST-OF-2: two independent passes, report the
     // min. A single pass conflates the query's cost with whatever the
     // host happened to be doing in that window — rounds 5-8 each spent
@@ -110,7 +115,7 @@ object Bench {
     // that captured tails have cut it mid-map; this compact line always
     // fits, so a parser can recover the totals even from a clipped log
     println(s"""{"total_s":$total,"n":${results.size},"failed":${
-      results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs}""")
+      results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs}""")
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
     // cannot be truncated by a capture window — write the full per-query
@@ -122,7 +127,7 @@ object Bench {
       val sidecar =
         s"""{"total_s":$total,"n":${results.size},"failed":${
           results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2",""" +
-          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,""" +
           s""""queries":$qs,"passes":$raw}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),

@@ -247,21 +247,25 @@ object Ingest {
     bucketedReady.synchronized {
       bucketedReady.filterInPlace { case (sess, _) => !(sess eq s) }; ()
     }
-    orcReady.synchronized {
-      // delete the evicted sessions' on-disk ORC fixtures too — the memo
-      // key dying must not strand a full copy of `part` in the tmpdir per
-      // session (ADVICE r8); the session-identity tag makes each dir ours
-      // alone to remove
-      val (dead, live) = orcReady.partition { case ((sess, _), _) => sess eq s }
+    // delete the evicted sessions' on-disk tmpdir fixtures too — the memo
+    // key dying must not strand a full table copy in /tmp per session
+    // (ADVICE r8); the session-identity tag makes each dir ours alone to
+    // remove
+    def evictFixtures(
+        memo: scala.collection.mutable.Map[(SparkSession, String), String],
+        dirPrefix: String): Unit = memo.synchronized {
+      val (dead, live) = memo.partition { case ((sess, _), _) => sess eq s }
       dead.values.foreach { out =>
         val fixtureDir = new java.io.File(out).getParentFile
-        if (fixtureDir != null && fixtureDir.getName.startsWith("graft_orc_"))
+        if (fixtureDir != null && fixtureDir.getName.startsWith(dirPrefix))
           deleteRecursively(fixtureDir)
       }
-      orcReady.clear()
-      orcReady ++= live
+      memo.clear()
+      memo ++= live
       ()
     }
+    evictFixtures(orcReady, "graft_orc_")
+    evictFixtures(variantReady, "graft_variant_")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -305,6 +309,102 @@ object Ingest {
     })
   }
 
+  private val variantReady =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** One-time mixed-shape JSON landing zone per (session, dir) — the
+    * fixture for [[variantMixed]], memoized and tagged exactly like
+    * [[orcPartCopy]]. Five payload shapes keyed by `event_id % 5` over
+    * the deterministic `event_id % 97 = 0` events slice: a numeric-`k`
+    * object with a tag array, a string-`k` object, a nested-context
+    * object, a bare top-level array, and a MALFORMED non-JSON line —
+    * the heterogeneous accretion shape of a real event-log props column
+    * (every value derives from event_id/user_id, so the DuckDB oracle
+    * can replay the construction arithmetic without parsing JSON).
+    * Landed as text lines: the raw producer format, not parquet.
+    */
+  def variantZone(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    variantReady.synchronized {
+      variantReady.getOrElseUpdate((s, dir), {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
+          "_" + Integer.toHexString(System.identityHashCode(s))
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_variant_$tag/props.txt"
+        Tables.load(s, dir, "events")
+          .filter(col("event_id") % 97 === 0)
+          .select(expr(
+            """CASE CAST(event_id % 5 AS INT)
+              |  WHEN 0 THEN concat('{"k": ', CAST(event_id % 1000 AS STRING),
+              |    ', "tags": ["a", "b"]}')
+              |  WHEN 1 THEN concat('{"k": "s', CAST(user_id AS STRING), '"}')
+              |  WHEN 2 THEN concat('{"ctx": {"ua": "agent-',
+              |    CAST(user_id % 7 AS STRING), '", "v": ',
+              |    CAST(event_id % 13 AS STRING), '}}')
+              |  WHEN 3 THEN concat('[', CAST(user_id AS STRING), ', ',
+              |    CAST(event_id % 100 AS STRING), ']')
+              |  ELSE concat('not json ', CAST(event_id AS STRING))
+              |END""".stripMargin).as("value"))
+          .write.mode(SaveMode.Overwrite).text(out)
+        out
+      })
+    }
+  }
+
+  /** Spark 4 VARIANT over a heterogeneous landing zone — the registered,
+    * oracle-gated twin of the VariantSpec capability pin (r8 verdict
+    * task #6; `events_json`'s `from_json` path needs ONE declared schema,
+    * which the uniform driver corpus satisfies — THIS query is the shape
+    * that breaks it). The landed text parses row-by-row with
+    * `try_parse_json` (malformed lines → null variant, never a crash),
+    * each row's SHAPE is inferred from which typed path extractions
+    * succeed — no shared schema anywhere — and the per-shape rollup
+    * aggregates the extracted values. The oracle replays the payload
+    * CONSTRUCTION arithmetic straight off the events table, so the gate
+    * covers the full loop: build → land as text → variant parse → typed
+    * path extraction → aggregate. Everything stays in whole-stage
+    * codegen (variant parse + extraction are native expressions); the
+    * one exchange is the 5-group aggregate.
+    */
+  val variantMixed: graft.Q = graft.Q("variant_mixed",
+    """WITH s AS (SELECT CAST(event_id % 5 AS BIGINT) AS shape, event_id, user_id
+      |  FROM events WHERE event_id % 97 = 0)
+      |SELECT shape, count(*) AS n,
+      |  CAST(sum(CASE WHEN shape = 0 THEN event_id % 1000 END) AS BIGINT) AS sum_k,
+      |  CAST(count(CASE WHEN shape = 2 THEN 1 END) AS BIGINT) AS n_ua,
+      |  CAST(sum(CASE WHEN shape = 3 THEN user_id END) AS BIGINT) AS sum_arr0,
+      |  CAST(sum(CASE WHEN shape = 3 THEN event_id % 100 END) AS BIGINT) AS sum_arr1,
+      |  max(CASE WHEN shape = 1 THEN concat('s', CAST(user_id AS VARCHAR)) END) AS max_kstr
+      |FROM s GROUP BY shape ORDER BY shape""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val typed = s.read.text(variantZone(s, dir))
+      .select(expr("try_parse_json(value)").as("v"))
+      .select(
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k_big"),
+        expr("try_variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.ctx.ua', 'string')").as("ua"),
+        expr("try_variant_get(v, '$[0]', 'bigint')").as("arr0"),
+        expr("try_variant_get(v, '$[1]', 'bigint')").as("arr1"),
+        col("v"))
+      // shape inference from the payload alone — the classification an
+      // engine without per-row self-describing types cannot express
+      .withColumn("shape",
+        when(col("v").isNull, 4L)
+          .when(col("k_big").isNotNull, 0L)
+          .when(col("k_str").isNotNull, 1L)
+          .when(col("ua").isNotNull, 2L)
+          .when(col("arr0").isNotNull, 3L)
+          .otherwise(-1L)) // unreachable by construction; -1 fails the gate loudly
+    typed.groupBy(col("shape"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_big")).as("sum_k"),
+        count(col("ua")).as("n_ua"),
+        sum(col("arr0")).as("sum_arr0"),
+        sum(col("arr1")).as("sum_arr1"),
+        max(when(col("shape") === 1L, col("k_str"))).as("max_kstr"))
+      .orderBy(col("shape"))
+  }
+
   /** Multi-format interchange: the same declared-schema scan discipline as
     * parquet (S4), over an ORC copy — the cross-team handoff format a
     * 100 TB lake meets in practice (ORC ships in Spark's core jars; Avro
@@ -329,7 +429,7 @@ object Ingest {
       .orderBy(col("p_brand"))
   }
 
-  val all: Seq[graft.Q] = Seq(bucketedJoin, orcRoundtrip)
+  val all: Seq[graft.Q] = Seq(bucketedJoin, orcRoundtrip, variantMixed)
 
   /** Schema-evolution read — a long-lived dataset's files span schema
     * versions (columns added over months of ingest); `mergeSchema` unions

@@ -155,7 +155,8 @@ final case class RaceFilePartition(path: String, year: Int, round: Int)
     extends InputPartition
 
 final class RaceZoneScan(path: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -169,7 +170,10 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
   private def hadoopConf =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one listing per scan: planInputPartitions AND estimateStatistics both
+  // read it (Spark calls stats at optimization, partitions at execution —
+  // double-listing a millions-of-files zone would double the planning cost)
+  private lazy val partitions: Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
     fs.listStatus(p).iterator
@@ -182,6 +186,31 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
       // never scheduled
       .filter(fp => pushed.forall(RaceZone.accepts(_, fp.year, fp.round)))
       .toArray[InputPartition]
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  /** POST-pruning statistics (SupportsReportStatistics): one output row
+    * per surviving file, sized by the pruned column set. This is what
+    * lets join selection see that a year-scoped scan of a huge zone is
+    * broadcast-small — without it a DSv2 relation defaults to
+    * `defaultSizeInBytes` (effectively infinite) and a filtered
+    * dimension scan can never ride the build side of a broadcast join
+    * (asserted in RaceZoneSourceSpec). Exact row count (the zone is
+    * one-row-per-file by construction); bytes estimated from the
+    * required schema's default field widths.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = partitions.length.toLong
+    val rowWidth = required.fields.map(_.dataType.defaultSize + 8L).sum
+      .max(8L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowWidth)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -78,6 +78,39 @@ class RaceZoneSourceSpec extends SparkSpec {
       "metadata-only projection must not open any file content")
   }
 
+  test("reported statistics reflect pruning, and the pruned scan broadcasts") {
+    val dir = writeZone()
+    // stats surface: the optimizer's view of the pruned scan must carry
+    // the POST-pruning row count (2 files survive year=2022), not the
+    // no-stats default (defaultSizeInBytes ≈ ∞, which would veto every
+    // broadcast) — SupportsReportStatistics is what flips this
+    val pruned = spark.read.format(Fmt).load(dir).filter($"year" === 2022)
+    val scanStats = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.computeStats()
+    }
+    assert(scanStats.nonEmpty)
+    assert(scanStats.head.rowCount.contains(BigInt(2)),
+      s"post-pruning row count must be exact: ${scanStats.head}")
+    assert(scanStats.head.sizeInBytes < 10L * 1024 * 1024,
+      "pruned zone scan must report broadcast-small bytes")
+    // join-strategy surface: joining the pruned zone against a frame big
+    // enough to stay on the probe side must put the ZONE on the build
+    // side of a broadcast hash join
+    val facts = spark.range(0, 100000)
+      .select(($"id" % 3 + 1).cast("int").as("round"), $"id".as("metric"))
+    val joined = pruned.select($"round", $"raceName").join(facts, Seq("round"))
+    val bhj = joined.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"pruned scan must broadcast:\n${joined.queryExecution.sparkPlan}")
+    // and the result is still correct through the broadcast path: the
+    // zone's surviving rounds are {1, 2}, the facts' are {1, 2, 3} —
+    // ids with id%3 ∈ {0, 1} survive
+    assert(joined.count() === (0L until 100000L).count(id => id % 3 < 2))
+  }
+
   test("the opened record is genuinely bounded: drop-oldest past the cap") {
     RaceZone.opened.clear()
     (0 until RaceZone.openedCap + 10).foreach(i => RaceZone.recordOpened(s"f$i"))
