@@ -64,6 +64,58 @@ object Observability {
         exception: Exception): Unit = ()
   }
 
+  /** One micro-batch's state-store footprint for one stateful operator:
+    * rows held, bytes used, and the provider-specific custom metrics
+    * (RocksDB surfaces sst/memtable sizes here — the capacity signal an
+    * off-heap store is chosen FOR).
+    */
+  final case class StateSnapshot(batchId: Long, operator: String,
+      numRowsTotal: Long, numRowsUpdated: Long, memoryUsedBytes: Long,
+      custom: Map[String, Long])
+
+  /** Per-micro-batch STATE metrics — the streaming counterpart of
+    * [[MetricsLog]]: every progress event's `stateOperators` block is
+    * captured as [[StateSnapshot]]s, so a pipeline owner watches state
+    * rows/bytes grow and shrink per batch (the watermark-eviction
+    * heartbeat; for RocksDB also the off-heap footprint) without a
+    * second pass — Spark already computed the numbers, this listener
+    * just refuses to drop them. Register/drain/unregister via
+    * [[withStateMetrics]].
+    */
+  final class StateMetricsLog
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val log = new ConcurrentLinkedQueue[StateSnapshot]()
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit =
+      event.progress.stateOperators.foreach { op =>
+        log.add(StateSnapshot(event.progress.batchId, op.operatorName,
+          op.numRowsTotal, op.numRowsUpdated, op.memoryUsedBytes,
+          scala.jdk.CollectionConverters.MapHasAsScala(op.customMetrics)
+            .asScala.map { case (k, v) => k -> v.longValue() }.toMap))
+      }
+  }
+
+  /** Run `body` with a fresh [[StateMetricsLog]] attached, draining and
+    * detaching on the way out. The listener bus is asynchronous —
+    * streaming tests should `processAllAvailable()` inside `body`, and
+    * the helper still polls briefly for the last progress event to land.
+    */
+  def withStateMetrics[A](spark: SparkSession)(
+      body: => A): (A, Seq[StateSnapshot]) = {
+    val l = new StateMetricsLog
+    spark.streams.addListener(l)
+    try {
+      val a = body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (l.log.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      (a, scala.jdk.CollectionConverters.IteratorHasAsScala(
+        l.log.iterator).asScala.toSeq)
+    } finally spark.streams.removeListener(l)
+  }
+
   /** Run `body` with a fresh [[MetricsLog]] registered, unregistering on
     * the way out (listener leaks accumulate across a 100+-query session).
     * Returns (body result, drained observations). The listener bus is

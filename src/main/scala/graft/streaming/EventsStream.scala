@@ -34,15 +34,68 @@ object EventsStream {
   // public: Catalyst's generated deserializer instantiates it reflectively
   case class SessionState(n: Long, sum: Double)
 
-  /** 5-minute tumbling-window count/sum per event type with a 10-minute
-    * watermark — the streaming twin of the batch `events_window` query
+  /** The fallback watermark delay when nothing has been measured — a
+    * guess, and documented as one. Every transform below accepts an
+    * explicit delay; [[run]] replaces this default with
+    * [[derivedWatermarkDelay]] measured from the landed data.
+    */
+  val DefaultWatermarkDelay = "10 minutes"
+
+  /** The measured lateness quantile of an events frame, in microseconds —
+    * per event, lateness = (max event-time seen so far in its user's
+    * arrival order) − (its own event-time), the same disorder the
+    * registered `events_lateness` audit histograms. `None` when the frame
+    * is empty (deploy-before-data). Uses `approx_percentile`: a bounded-
+    * memory sketch per partition + merge, so the measurement pass scales
+    * like any other aggregate (an exact percentile would sort the full
+    * lateness column to find one number).
+    */
+  def measuredLatenessMicros(events: DataFrame,
+      quantile: Double = 0.99): Option[Long] = {
+    require(quantile > 0 && quantile < 1, s"quantile must be in (0,1): $quantile")
+    val byArrival = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val row = events
+      .select((unix_micros(max(col("ts")).over(byArrival)) -
+        unix_micros(col("ts"))).as("late_us"))
+      .agg(expr(s"approx_percentile(late_us, $quantile)").as("q"))
+      .first()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** Watermark delay DERIVED from measured disorder instead of guessed
+    * (r8 verdict task #7 — the same knob-free philosophy as the LSH
+    * geometry auto-sizing): the `quantile` lateness observed in `events`,
+    * rounded UP to a whole minute with one extra minute of margin, so at
+    * least `quantile` of historically-observed events would land inside
+    * the watermark. Floored at 1 minute (an all-in-order history still
+    * needs a nonzero horizon for clock skew); `None`-lateness (no data
+    * yet) falls back to [[DefaultWatermarkDelay]]. Returns a Spark
+    * interval string, directly usable by `withWatermark`.
+    */
+  def derivedWatermarkDelay(events: DataFrame,
+      quantile: Double = 0.99): String =
+    measuredLatenessMicros(events, quantile) match {
+      case None => DefaultWatermarkDelay
+      case Some(us) =>
+        val minuteUs = 60000000L
+        val mins = math.max(1L, (us + minuteUs - 1) / minuteUs + 1L)
+        s"$mins minutes"
+    }
+
+  /** 5-minute tumbling-window count/sum per event type with a watermark —
+    * the streaming twin of the batch `events_window` query
     * (graft.operators.Analytics.eventsWindow). Late rows beyond the
     * watermark are dropped; state per (window, type) is evicted once the
-    * watermark passes the window end.
+    * watermark passes the window end. The delay defaults to the fallback
+    * guess; production ([[run]]) passes the measured
+    * [[derivedWatermarkDelay]] and deployments can inject any explicit
+    * value.
     */
-  def windowedCounts(events: DataFrame): DataFrame =
+  def windowedCounts(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
@@ -357,29 +410,47 @@ object EventsStream {
     * finest Spark TimestampType resolution) before watermarking.
     */
   def run(spark: SparkSession, eventsDir: String, outDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      watermarkDelay: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // the raw int64 unit depends on the file's physical timestamp type
-    // (nanos vs micros — see Tables.eventsTsNanosFactor). When files
-    // exist, pin the exact factor into the plan. When the landing dir is
-    // still EMPTY (deploy-before-data), the plan is built once and lives
-    // for the query's lifetime — baking a guessed factor would misread
-    // whichever unit actually lands by 1000×; instead branch PER ROW on
-    // magnitude: int64 NANOS are ≥ 1e17 from 1973-03 onward while MICROS
-    // stay < 1e17 until year ~5138, so any plausible event time decides
-    // unambiguously (and mixed-unit landings each convert correctly).
-    val tsNanosExpr = graft.sources.Tables
-      .eventsTsNanosFactorIfDecidable(spark, eventsDir) match {
-        case Some(f) => s"(ts * ${f}L)"
-        case None => "(CASE WHEN ts < 100000000000000000L THEN ts * 1000L ELSE ts END)"
-      }
+    // (nanos vs micros vs millis — see Tables.eventsTsNanosFactor). When
+    // files exist, pin the exact factor into the plan. When the landing
+    // dir is still EMPTY (deploy-before-data), the plan is built once and
+    // lives for the query's lifetime — baking a guessed factor would
+    // misread whichever unit actually lands by 1000×; instead branch PER
+    // ROW on magnitude: int64 NANOS are ≥ 1e17 from 1973-03 onward while
+    // MICROS stay < 1e17 until year ~5138, so any plausible event time
+    // decides unambiguously (and mixed-unit landings each convert
+    // correctly).
+    val decidedFactor = graft.sources.Tables
+      .eventsTsNanosFactorIfDecidable(spark, eventsDir)
+    val tsNanosExpr = decidedFactor match {
+      case Some(f) => s"(ts * ${f}L)"
+      case None => "(CASE WHEN ts < 100000000000000000L THEN ts * 1000L ELSE ts END)"
+    }
+    def microsTs(c: String) = expr(
+      s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql(c)})")
+    // watermark delay: explicit injection wins; otherwise MEASURE the
+    // already-landed history's lateness quantile (the events_lateness
+    // disorder, one aggregate pass over the landing dir) and size the
+    // delay from it; an empty dir falls back to the documented default.
+    val delay = watermarkDelay.getOrElse(decidedFactor match {
+      case Some(f) =>
+        val landed = spark.read
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT")
+          .parquet(eventsDir)
+          .withColumn("ts", microsTs(s"(ts * ${f}L)"))
+        derivedWatermarkDelay(landed)
+      case None => DefaultWatermarkDelay
+    })
     val input = spark.readStream
       .schema("ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(eventsDir)
       // shared floor-conversion (see Tables.nanosToMicros scaladoc) keeps
       // window membership identical to the batch events_window bucketing
-      .withColumn("ts", expr(
-        s"timestamp_micros(${graft.sources.Tables.nanosToMicrosSql(tsNanosExpr)})"))
-    windowedCounts(input).writeStream
+      .withColumn("ts", microsTs(tsNanosExpr))
+    windowedCounts(input, delay).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .format("parquet")

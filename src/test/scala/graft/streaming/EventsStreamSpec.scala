@@ -46,6 +46,64 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark delay derives from the measured lateness quantile") {
+    // arrival order = event_id. 98 in-order events plus 2 that arrive
+    // 6.5 minutes behind the running max → the p99 lateness is 390 s;
+    // ceil to minutes (7) + 1 margin = 8.
+    val base = ts(0).getTime
+    val rows = (0 until 100).map { i =>
+      val t =
+        if (i == 50 || i == 75) new Timestamp(base + (i - 1) * 10000L - 390000L)
+        else new Timestamp(base + i * 10000L)
+      (i.toLong, t, 1L)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id")
+    assert(EventsStream.derivedWatermarkDelay(df) === "8 minutes")
+    // an all-in-order history floors at 1 minute, never 0
+    val inOrder = (0 until 50).map(i =>
+      (i.toLong, new Timestamp(base + i * 1000L), 1L))
+      .toDF("event_id", "ts", "user_id")
+    assert(EventsStream.derivedWatermarkDelay(inOrder) === "1 minutes")
+    // deploy-before-data: no rows → the documented fallback, not a crash
+    assert(EventsStream.derivedWatermarkDelay(
+      inOrder.filter($"event_id" < 0)) === EventsStream.DefaultWatermarkDelay)
+  }
+
+  test("the derived delay retains every event of the disorder it was sized on") {
+    implicit val sq = spark.sqlContext
+    // fixture: one event arrives 6.5 minutes late ACROSS micro-batches —
+    // inside the derived 8-minute horizon, outside the 1-minute horizon
+    // an unmeasured in-order guess would pick
+    val events = Seq(
+      EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+      EventsStream.Event(ts(12, 0), 1L, "click", 1.0),
+      EventsStream.Event(ts(5, 30), 1L, "click", 1.0)) // late vs 10:12
+    val measure = events.zipWithIndex
+      .map { case (e, i) => (i.toLong, e.ts, e.user_id) }
+      .toDF("event_id", "ts", "user_id")
+    val delay = EventsStream.derivedWatermarkDelay(measure)
+    assert(delay === "8 minutes")
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.windowedCounts(input.toDF(), delay)
+      .writeStream.format("memory").queryName("derived_delay_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events(0), events(1))
+      query.processAllAvailable() // watermark → 10:12 − 8 min = 10:04
+      input.addData(events(2)) // 10:05:30 ≥ watermark → retained
+      query.processAllAvailable()
+      input.addData(EventsStream.Event(ts(40, 0), 2L, "flush", 0.0))
+      query.processAllAvailable() // advance watermark past every window
+      val got = spark.table("derived_delay_out")
+        .filter($"event_type" === "click")
+        .select($"n").as[Long].collect().sum
+      // stream ≡ batch: the windowed counts cover ALL three clicks — the
+      // measured horizon lost nothing of the disorder it was sized on
+      // (a 1-minute horizon drops the late row: watermark 10:11 > 10:05:30)
+      assert(got === 3L)
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate (user, type) events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
