@@ -392,21 +392,23 @@ object Graph {
     * vector — factored out so [[pagerankBig]] and the GraphSpec plan
     * assertions run the identical step. `pe` is the persisted transition
     * list (src, dst, p_ppm) partitioned by src; `nodes` the persisted
-    * vertex frame; `nn` a 1-row count frame (the only thing broadcast —
-    * broadcasting a scalar is not broadcasting the rank vector); `r` the
-    * incoming (node, r) vector. Same ppm fixed-point arithmetic as
-    * [[pagerank]]'s model-sized loop.
+    * vertex frame; `teleport` the constant per-node teleport mass
+    * ((15·Scale) div (100·|V|)) — |V| is ONE scalar counted once up
+    * front, so folding it driver-side is the IVF-centroid legitimacy
+    * argument, not a data collect, and it saves a broadcast + aggregate
+    * job per round; `r` the incoming (node, r) vector. Same ppm
+    * fixed-point arithmetic as [[pagerank]]'s model-sized loop.
     */
   private[operators] def prRound(pe: DataFrame, nodes: DataFrame,
-      nn: DataFrame, r: DataFrame): DataFrame = {
+      teleport: Long, r: DataFrame): DataFrame = {
     val contrib = pe
       .join(r.select(col("node").as("src"), col("r")), Seq("src"))
       .select(col("dst"), expr("(r * p_ppm) div 1000000L").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-    nodes.crossJoin(broadcast(nn))
+    nodes
       .join(contrib, col("node") === col("dst"), "left")
       .select(col("node"),
-        (expr(s"(15L * ${Scale}L) div (100L * n)") +
+        (lit(teleport) +
           expr(s"(${Damp}L * coalesce(csum, 0L)) div 100L")).as("r"))
   }
 
@@ -454,12 +456,14 @@ object Graph {
       .select(col("src"), col("dst"), expr("1000000L div wsum").as("p_ppm"))
       .repartition(col("src")))
     val nodes = graft.Scratch.track(ow.select(col("src").as("node")))
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr(s"${Scale}L div n").as("r"))
+    // |V| is one scalar — count it once (bounded output by construction)
+    // and fold the constant teleport term into every round's projection
+    val n = nodes.count()
+    val teleport = (15L * Scale) / (100L * n)
+    var r = nodes.select(col("node"), lit(Scale / n).as("r"))
       .localCheckpoint()
     for (_ <- 1 to Iters) {
-      val next = prRound(pe, nodes, nn, r).localCheckpoint()
+      val next = prRound(pe, nodes, teleport, r).localCheckpoint()
       Dedup.releaseCheckpoint(r)
       r = next
     }

@@ -258,14 +258,12 @@ class GraphSpec extends SparkSpec {
       .selectExpr("src", "dst", "1000000L div wsum as p_ppm")
       .repartition($"src")
     val nodes = ow.select($"src".as("node"))
-    val nn = nodes.agg(org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)).as("n"))
-    val r0 = nodes.crossJoin(org.apache.spark.sql.functions.broadcast(nn))
-      .selectExpr("node", "1000000000000L div n as r")
+    val n = nodes.count()
+    val r0 = nodes.selectExpr("node", s"1000000000000L div ${n}L as r")
       .localCheckpoint()
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prev = spark.conf.get(coalesceKey)
-    val round = Graph.prRound(pe, nodes, nn, r0)
+    val round = Graph.prRound(pe, nodes, 15L * 1000000000000L / (100L * n), r0)
     // materialize INSIDE the conf window (execution is lazy — the conf
     // must still be off when AQE finalizes the plan), then inspect it
     val parts =
