@@ -53,6 +53,42 @@ class NearDupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the near-dup registry runs unmodified on RocksDB with identical candidates") {
+    // the per-bucket registry is THE state that outgrows a heap at
+    // 100 TB/day — prove the off-heap provider is a pure conf flip:
+    // same transform, same cross-batch candidate pairs, RocksDB
+    // provably engaged via its provider metrics
+    implicit val sq = spark.sqlContext
+    val (got, snaps) = StateStores.withRocksDB(spark) {
+      graft.operators.Observability.withStateMetrics(spark) {
+        val input = MemoryStream[(Long, String)]
+        val query = NearDupStream.candidates(
+          input.toDF().toDF("doc_id", "text"), GroupStateTimeout.NoTimeout)
+          .writeStream.format("memory").queryName("neardup_rocks_out")
+          .outputMode(OutputMode.Append).start()
+        try {
+          input.addData(base(0), base(1))
+          query.processAllAvailable()
+          input.addData(base(2), base(3))
+          query.processAllAvailable()
+          input.addData(base(4))
+          query.processAllAvailable()
+          spark.table("neardup_rocks_out")
+            .select($"id1", $"id2").distinct()
+            .as[(Long, Long)].collect().toSet
+        } finally query.stop()
+      }
+    }
+    val expect = graft.operators.Dedup
+      .minhashCandidates(base.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expect, s"rocksdb stream=$got batch=$expect")
+    assert(snaps.exists(_.custom.keys.exists(_.startsWith("rocksdb"))),
+      s"RocksDB must be the engaged provider: ${snaps.map(_.custom.keys)}")
+    // the registry's state footprint is visible per batch
+    assert(snaps.exists(_.numRowsTotal > 0L))
+  }
+
   test("idle bucket state is evicted on processing-time timeout") {
     val state = TestGroupState.create[NearDupStream.BucketState](
       Optional.of(NearDupStream.BucketState(List(7L, 3L))),
