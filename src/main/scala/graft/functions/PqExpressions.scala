@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Product-quantization kernels, as codegen'd JVM calls — the compression
+  * path that makes billion-vector ANN fit in memory (a 64-dim float vector
+  * becomes M=8 codebook indices ≈ 8 bytes, 32× smaller; distance evaluation
+  * against a query touches only a per-query M×K lookup table, never the
+  * original vectors).
+  *
+  * All arithmetic is EXACT int64 over the engine's quantized (×10⁴) integer
+  * embeddings: squared-L2 of ≤2·10⁴-magnitude 8-dim subvectors peaks around
+  * 3.2·10⁹, far inside both int64 and DuckDB's exact-in-double window, so
+  * codes and ADC distances are bit-identical cross-engine under any
+  * partitioning. Reference capability: approximate similarity over document
+  * embeddings (Martin-JMP F1_Weather analyses join/score per-entity metrics;
+  * the embedding family generalizes its scoring surface to vector data —
+  * see SURVEY.md §2 extensions).
+  *
+  * The codebook argument is a plan literal (`array<array<array<bigint>>>`,
+  * M × K × sub) — the trained model, not data — so every kernel is a pure
+  * map-side expression: zero shuffles over the corpus.
+  */
+object PqMath {
+
+  /** Squared L2 between subvector `m` of `q` (layout: contiguous slices of
+    * length sub) and codeword `cv`, exact int64.
+    */
+  private def l2(q: Array[Long], off: Int, cv: Array[Long]): Long = {
+    var d = 0L
+    var j = 0
+    while (j < cv.length) {
+      val diff = q(off + j) - cv(j)
+      d += diff * diff
+      j += 1
+    }
+    d
+  }
+
+  /** PQ encode: per subspace m, the id of the L2-nearest codeword (ties →
+    * smallest id, matching the oracle's `ORDER BY d, cid`). `cb` is
+    * M × K × sub; sub is derived as q.length / M.
+    */
+  def codes(v: ArrayData, cb: ArrayData): ArrayData = {
+    val q = v.toLongArray()
+    val m = cb.numElements()
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val words = cb.getArray(i)
+      val k = words.numElements()
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        val cv = words.getArray(c).toLongArray()
+        val d = l2(q, i * cv.length, cv)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance lookup table for a query vector: dtab[m][c] =
+    * exact squared L2 between the query's m-th subvector and codeword c.
+    * Query-side only (|queries| rows), M×K longs each.
+    */
+  def dtab(v: ArrayData, cb: ArrayData): ArrayData = {
+    val q = v.toLongArray()
+    val m = cb.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val words = cb.getArray(i)
+      val k = words.numElements()
+      val row = new Array[Long](k)
+      var c = 0
+      while (c < k) {
+        val cv = words.getArray(c).toLongArray()
+        row(c) = l2(q, i * cv.length, cv)
+        c += 1
+      }
+      out(i) = new GenericArrayData(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: Σₘ dtab[m][codes[m]] — the approximate squared distance
+    * between the query behind `dtab` and the vector behind `codes`. M
+    * array lookups per evaluation; the original vector is never touched.
+    */
+  def adc(codes: ArrayData, dtab: ArrayData): Long = {
+    var s = 0L
+    var m = 0
+    val n = codes.numElements()
+    while (m < n) {
+      s += dtab.getArray(m).getLong(codes.getInt(m))
+      m += 1
+    }
+    s
+  }
+}
+
+case class PqCodes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_codes"
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    PqMath.codes(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) =>
+      s"${ev.value} = graft.functions.PqMath.codes($v, $cb);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqCodes = copy(left = newLeft, right = newRight)
+}
+
+case class PqDtab(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_dtab"
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    PqMath.dtab(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) =>
+      s"${ev.value} = graft.functions.PqMath.dtab($v, $cb);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqDtab = copy(left = newLeft, right = newRight)
+}
+
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_adc"
+  override def nullSafeEval(codes: Any, dtab: Any): Any =
+    PqMath.adc(codes.asInstanceOf[ArrayData], dtab.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) =>
+      s"${ev.value} = graft.functions.PqMath.adc($c, $d);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+}
+
+object PqExpressions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "pq_codes" -> (e => PqCodes(e(0), e(1))),
+    "pq_dtab" -> (e => PqDtab(e(0), e(1))),
+    "pq_adc" -> (e => PqAdc(e(0), e(1))))
+
+  /** No-op when already injected session-wide by GraftSparkExtensions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -289,6 +289,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall(_._6 > 0L))
   }
 
+  test("ann_pq: codes are valid, ADC replays scalar-side, recall clears its floor") {
+    import graft.functions.PqMath
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val out = Similarity.annPq.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"adist", $"rn")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.length === 50) // 5 queries × top-10
+    out.foreach { case (q, n, d, _) => assert(q != n && d >= 0L) }
+    // recall vs the exact brute-force top-10: PQ quantizes distances (8
+    // subspaces × 16 codewords is a coarse code), so its recall sits below
+    // LSH/IVF by construction — the floor asserts the compressed index
+    // still finds a meaningful share of true neighbors, not noise
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = out.count { case (q, n, _, _) => brute.contains((q, n)) }
+    assert(hits >= 15, s"PQ recall ${hits}/50 below floor")
+    // scalar replay of the PQ kernels on a constructed codebook: encode
+    // picks the L2-nearest codeword per subspace, dtab holds exact L2s,
+    // and adc is the Σ_m table-lookup — all with plain Scala longs
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val cb = new GenericArrayData(Array.tabulate(2)(m =>
+      new GenericArrayData(Array.tabulate(3)(c =>
+        new GenericArrayData(Array.tabulate(2)(j => (m * 10 + c * 2 + j).toLong))))))
+    val v = new GenericArrayData(Array(1L, 2L, 13L, 14L))
+    val codes = PqMath.codes(v, cb)
+    assert(codes.toIntArray().toSeq === Seq(0, 1)) // nearest codewords
+    val dt = PqMath.dtab(v, cb)
+    val exp = (0 until 2).map { m =>
+      val sub = Seq(v.getLong(m * 2), v.getLong(m * 2 + 1))
+      (0 until 3).map(c => l2(sub,
+        Seq(cb.getArray(m).getArray(c).getLong(0),
+          cb.getArray(m).getArray(c).getLong(1)))).min
+    }.sum
+    assert(PqMath.adc(codes, dt) === exp)
+  }
+
+  test("ann_pq plan: encode and scoring are map-side; only top-k exchanges") {
+    val plan = Similarity.annPq.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one shuffle for the per-query window, one for the presentation sort
+    // (the query table's BroadcastExchange is free); the corpus-side
+    // encode/ADC pass must not shuffle or re-aggregate, and the top-k must
+    // be pre-pruned map-side before the window exchange
+    assert("Exchange (hash|range)partitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("pq_adc"), plan)
+    assert(!plan.toLowerCase.contains("sortmergejoin"), plan)
+  }
+
   test("dedup_bucket_stats accounts every doc per band and caps correctly") {
     val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
     val got = Dedup.bucketStats.run(spark, dir)
