@@ -406,7 +406,78 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC changelog apply — the other half of corpus refresh next to
+    * [[snapshotMerge]]: instead of diffing two full snapshots, compact a
+    * keyed stream of INSERT/UPDATE/DELETE events (each with a monotone
+    * sequence number) into the final table state — latest-wins per key,
+    * DELETE tombstones drop the key unless a later event resurrects it.
+    * This is the Debezium/Delta-CDF apply shape.
+    *
+    * Scale shape: ONE keyed aggregation — `max_by(payload, seq)` combines
+    * map-side (each partition keeps one candidate per key), so the
+    * exchange carries ≤ |keys| partial rows, not the changelog. No window
+    * over the full log (a row_number-latest plan would shuffle and sort
+    * every event); no join. Tombstone filtering happens after compaction
+    * on the |keys|-sized frame.
+    *
+    * The changelog is synthesized deterministically from the corpus
+    * (digest rules, like [[snapshotMerge]]'s snapshot): every doc arrives
+    * as seq-1 INSERT; '0'-digest docs get a seq-2 UPDATE, 'f'-digest docs
+    * a seq-2 DELETE; docs whose SECOND digest char is '1' get a seq-3
+    * UPDATE — which can resurrect a seq-2-deleted key, pinning the
+    * tombstone-then-reinsert semantics. DELETE payloads use '' (not
+    * NULL): Spark's and DuckDB's max_by both skip NULL payloads, which
+    * would silently resurrect the previous version's text.
+    */
+  val cdcApply: Q = Q("cdc_apply",
+    """WITH src AS (SELECT doc_id, text, substr(md5(text), 1, 1) AS p1,
+      |    substr(md5(text), 2, 1) AS p2 FROM documents),
+      |log AS (
+      |  SELECT doc_id, 1 AS seq, 'I' AS op, text FROM src
+      |  UNION ALL SELECT doc_id, 2, 'U', text || ' [rev2]' FROM src WHERE p1 = '0'
+      |  UNION ALL SELECT doc_id, 2, 'D', '' FROM src WHERE p1 = 'f'
+      |  UNION ALL SELECT doc_id, 3, 'U', text || ' [rev3]' FROM src WHERE p2 = '1'),
+      |c AS (SELECT doc_id, max_by(op, seq) AS op, max_by(text, seq) AS text,
+      |    count(*) AS n_versions, max(seq) AS last_seq
+      |  FROM log GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_versions AS BIGINT) AS n_versions,
+      |  CAST(last_seq AS BIGINT) AS last_seq,
+      |  CAST(length(text) AS BIGINT) AS final_len
+      |FROM c WHERE op != 'D' ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val src = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("p1"),
+        substring(md5(col("text")), 2, 1).as("p2"))
+    def ev(f: DataFrame => DataFrame, seq: Int, op: String, txt: Column) =
+      f(src).select(col("doc_id"), lit(seq).as("seq"), lit(op).as("op"),
+        txt.as("text"))
+    val log = ev(identity, 1, "I", col("text"))
+      .unionByName(ev(_.filter(col("p1") === "0"), 2, "U",
+        concat(col("text"), lit(" [rev2]"))))
+      .unionByName(ev(_.filter(col("p1") === "f"), 2, "D", lit("")))
+      .unionByName(ev(_.filter(col("p2") === "1"), 3, "U",
+        concat(col("text"), lit(" [rev3]"))))
+    compactChangelog(log)
+      .select(col("doc_id"), col("n_versions"),
+        col("last_seq").cast("long").as("last_seq"),
+        length(col("text")).cast("long").as("final_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[cdcApply]]'s compaction over any (doc_id, seq, op, text) changelog:
+    * latest-wins per key, DELETE tombstones dropped after compaction.
+    * Separated so specs can pin the tombstone/resurrect semantics on
+    * constructed logs. One map-side-combining keyed aggregation — see
+    * [[cdcApply]] for the scale argument.
+    */
+  def compactChangelog(log: DataFrame): DataFrame =
+    log.groupBy(col("doc_id"))
+      .agg(max_by(col("op"), col("seq")).as("op"),
+        max_by(col("text"), col("seq")).as("text"),
+        count(lit(1)).as("n_versions"), max(col("seq")).as("last_seq"))
+      .filter(col("op") =!= "D")
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
-      temperature, pack, lengthBuckets, snapshotMerge)
+      temperature, pack, lengthBuckets, snapshotMerge, cdcApply)
 }

@@ -1058,10 +1058,90 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document duplicated-passage coverage — exact substring dedup at
+    * word-shingle granularity (the C4 / "Deduplicating Training Data"
+    * pass): an 8-gram occurring in ≥2 DISTINCT documents marks its 8 token
+    * positions as duplicated; per document the report gives total tokens,
+    * duplicated-gram occurrences, and the count of covered token positions
+    * — exactly what a span-removal pass would cut. Complements
+    * [[boilerplate]] (global top-K frequent spans) with the per-document
+    * action view, and MinHash dedup (whole-doc similarity) with
+    * sub-document precision.
+    *
+    * Scale shape: grams travel as 8-byte md5-prefix digests — the corpus
+    * shuffles (doc_id, digest), never gram text; doc-frequency is a
+    * distinct+count over digests; only grams PROVEN duplicated (a tiny
+    * fraction of any real corpus) rejoin and explode ×8 into covered
+    * positions. Collisions: 64-bit digests over ~10¹² grams give ~3·10⁻²
+    * expected corpus-wide collisions (birthday bound) — acceptable for a
+    * coverage report; swap in 128-bit md5 whole for forensic use.
+    */
+  private val SpanGram = DecontamGram
+
+  val dedupSpans: Q = Q("dedup_spans",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |lg AS (SELECT doc_id, len(t) AS n_tokens, ${gramListSql(SpanGram)} AS l
+       |  FROM toks),
+       |g0 AS (SELECT doc_id, e.p AS p, substr(md5(e.gt), 1, 16) AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(l)),
+       |      i -> struct_pack(p := i, gt := l[i + 1]))) AS e
+       |    FROM lg)),
+       |df AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM g0 GROUP BY g),
+       |dup AS (SELECT g FROM df WHERE n_docs >= 2),
+       |dg AS (SELECT g0.doc_id, g0.p FROM g0 JOIN dup USING (g)),
+       |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + $SpanGram)) AS pos
+       |  FROM dg),
+       |stats AS (SELECT dg.doc_id, count(*) AS n_dup_grams FROM dg GROUP BY 1),
+       |cstats AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1)
+       |SELECT lg.doc_id AS doc_id, CAST(lg.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
+       |FROM lg LEFT JOIN stats s ON s.doc_id = lg.doc_id
+       |LEFT JOIN cstats c ON c.doc_id = lg.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    spanCoverage(docs(s, dir))
+  }
+
+  /** [[dedupSpans]]'s engine over any (doc_id, text) frame — separated so
+    * specs can run it on constructed fixtures with planted shared spans.
+    */
+  def spanCoverage(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
+    // (doc_id, position, 64-bit gram digest) — the only corpus-sized frame
+    val grams = toks
+      .select(col("doc_id"), posexplode_outer(when(size(col("t")) >= SpanGram,
+        expr(s"transform(sequence(0, size(t) - $SpanGram), i -> " +
+          (0 until SpanGram).map(k => s"t[i+$k]")
+            .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+        .otherwise(array().cast("array<string>"))).as(Seq("p", "gt")))
+      .filter(col("gt").isNotNull)
+      .select(col("doc_id"), col("p"), substring(md5(col("gt")), 1, 16).as("g"))
+    // doc-frequency over digests; distinct first so the count is per-doc
+    val dup = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("g"))
+    val dg = grams.join(dup, "g").select(col("doc_id"), col("p"))
+    val perDoc = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    val cov = dg
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(SpanGram - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    base
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
-      predictability)
+      predictability, dedupSpans)
 }

@@ -172,4 +172,34 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+  test("compactChangelog: latest wins, tombstones drop, late events resurrect") {
+    val log = Seq(
+      // key 1: plain insert
+      (1L, 1, "I", "one"),
+      // key 2: insert then update — update wins
+      (2L, 1, "I", "two"), (2L, 2, "U", "two v2"),
+      // key 3: insert then delete — gone
+      (3L, 1, "I", "three"), (3L, 2, "D", ""),
+      // key 4: insert, delete, then a LATER update — resurrected
+      (4L, 1, "I", "four"), (4L, 2, "D", ""), (4L, 3, "U", "four back"),
+      // key 5: out-of-ORDER arrival (update row appears before insert in
+      // the frame) — seq, not arrival order, decides
+      (5L, 7, "U", "five v7"), (5L, 1, "I", "five")
+    ).toDF("doc_id", "seq", "op", "text")
+    val out = Sampling.compactChangelog(log)
+      .select($"doc_id", $"op", $"text", $"n_versions", $"last_seq")
+      .as[(Long, String, String, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(3L), "deleted key must not survive compaction")
+    assert(out(1L) === ((1L, "I", "one", 1L, 1)))
+    assert(out(2L) === ((2L, "U", "two v2", 2L, 2)))
+    assert(out(4L) === ((4L, "U", "four back", 3L, 3)),
+      "a post-tombstone event must resurrect the key")
+    assert(out(5L) === ((5L, "U", "five v7", 2L, 7)))
+    // scale shape: compaction is ONE keyed aggregation with a map-side
+    // partial — no window, no join, no extra exchange
+    val plan = Sampling.compactChangelog(log).queryExecution.executedPlan.toString
+    assert("Exchange (hash|range)partitioning".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

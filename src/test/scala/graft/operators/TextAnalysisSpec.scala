@@ -501,4 +501,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
     graft.Scratch.release(spark)
   }
+  test("spanCoverage: planted shared 8-gram marks exactly its positions in both docs") {
+    // docs 100/200 share one 8-word passage at different offsets; doc 300
+    // is all-unique filler; doc 400 is 7 tokens (too short for any gram)
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val fixture = Seq(
+      (100L, s"aaa bbb $shared ccc"),
+      (200L, s"$shared xxx yyy zzz"),
+      (300L, (1 to 20).map(i => s"uniq$i").mkString(" ")),
+      (400L, (1 to 7).map(i => s"short$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCoverage(fixture)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 100: 11 tokens, grams at p∈[0,3]; only p=2 (the planted span) is
+    // duplicated → 8 covered positions (2..9)
+    assert(out(100L) === ((100L, 11L, 1L, 8L)))
+    // doc 200: shared span at p=0 → positions 0..7
+    assert(out(200L) === ((200L, 11L, 1L, 8L)))
+    assert(out(300L) === ((300L, 20L, 0L, 0L)))
+    assert(out(400L) === ((400L, 7L, 0L, 0L)))
+  }
+
+  test("spanCoverage: overlapping duplicated grams merge into one covered interval") {
+    // two docs share a 9-word passage → two overlapping 8-grams; covered
+    // positions must count the UNION (9), not 16
+    val nine = (1 to 9).map(i => s"ov$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$nine tail1 tail2"),
+      (2L, s"lead1 lead2 $nine")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCoverage(fixture)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 11L, 2L, 9L)))
+    assert(out(2L) === ((2L, 11L, 2L, 9L)))
+  }
 }
