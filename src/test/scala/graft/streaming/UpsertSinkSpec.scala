@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.OutputMode
+
+class UpsertSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def table(dir: String) =
+    UpsertSink.currentTable(spark, dir).get
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("upsertBatch: insert, keyed replace, in-batch latest-wins, replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    // batch 0: two keys; key 2 arrives twice — seq 5 must win
+    UpsertSink.upsertBatch(
+      Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (2L, 5L, "b5"))
+        .toDF("k", "seq", "v"),
+      0L, dir, "k", "seq")
+    assert(table(dir) === Seq((1L, 1L, "a1"), (2L, 5L, "b5")))
+    assert(UpsertSink.committedBatch(spark, dir) === 0L)
+    // batch 1: update key 1, insert key 3; key 2 untouched
+    UpsertSink.upsertBatch(
+      Seq((1L, 7L, "a7"), (3L, 2L, "c2")).toDF("k", "seq", "v"),
+      1L, dir, "k", "seq")
+    assert(table(dir) === Seq((1L, 7L, "a7"), (2L, 5L, "b5"), (3L, 2L, "c2")))
+    // REPLAY of batch 1 with different (stale) content: marker says
+    // committed → must be skipped entirely
+    UpsertSink.upsertBatch(
+      Seq((1L, 1L, "stale")).toDF("k", "seq", "v"), 1L, dir, "k", "seq")
+    assert(table(dir) === Seq((1L, 7L, "a7"), (2L, 5L, "b5"), (3L, 2L, "c2")))
+    assert(UpsertSink.committedBatch(spark, dir) === 1L)
+  }
+
+  test("upsertBatch converges when the marker write crashed: re-apply is harmless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert2").toString
+    val b = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("k", "seq", "v")
+    UpsertSink.upsertBatch(b, 0L, dir, "k", "seq")
+    // simulate the crash window: data swapped but marker lost
+    val f = new org.apache.hadoop.fs.Path(dir, "_committed_batch")
+    f.getFileSystem(spark.sessionState.newHadoopConf()).delete(f, false)
+    assert(UpsertSink.committedBatch(spark, dir) === -1L)
+    // replay applies the same rows again — keyed replacement reproduces
+    // the identical table and restores the marker
+    UpsertSink.upsertBatch(b, 0L, dir, "k", "seq")
+    assert(table(dir) === Seq((1L, 1L, "x"), (2L, 2L, "y")))
+    assert(UpsertSink.committedBatch(spark, dir) === 0L)
+  }
+
+  test("foreachBatch + checkpoint restart maintains the table exactly-once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert3").toString
+    val landing = s"$tmp/landing"; val tableDir = s"$tmp/table"
+    val ck = s"$tmp/ck"
+    def land(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "seq", "v").write.mode("append").parquet(landing)
+    def start() = spark.readStream
+      .schema("k BIGINT, seq BIGINT, v STRING").parquet(landing)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
+      .foreachBatch(UpsertSink.sink(tableDir, "k", "seq"))
+      .start()
+    land(Seq((1L, 1L, "one"), (2L, 1L, "two")))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      land(Seq((2L, 2L, "two v2"), (3L, 1L, "three")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(table(tableDir) ===
+      Seq((1L, 1L, "one"), (2L, 2L, "two v2"), (3L, 1L, "three")))
+    // crash/redeploy: new query, SAME checkpoint — batchIds continue from
+    // the checkpoint, so the committed-batch marker stays consistent and
+    // the restarted stream applies only the file landed while down
+    land(Seq((1L, 9L, "one v9")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(table(tableDir) ===
+      Seq((1L, 9L, "one v9"), (2L, 2L, "two v2"), (3L, 1L, "three")))
+  }
+}
