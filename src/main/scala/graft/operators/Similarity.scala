@@ -326,14 +326,165 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Product-quantization geometry: [[graft.functions.LshPlanes.Dims]] = 64
+    * dims split into PqM=8 subspaces × PqSub=8 dims, PqK=16 codewords per
+    * subspace — a vector compresses to 8 codebook indices (4 bits each →
+    * 32 bits vs 256 bytes of floats, 64×). Two Lloyd iterations from the
+    * deterministic first-K-vec_ids seeds, the [[kmeansTrain]] convention.
+    */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** One per-subspace Lloyd iteration in DuckDB, `prev` → `next`: squared-L2
+    * assignment (exact int64 via |x|² − 2x·c + |c|², ties → smallest cid —
+    * the exact [[graft.functions.PqMath.codes]] semantics) grouped by
+    * subspace m, then the same pmod/floor-div integer centroid update as
+    * [[kmIterSql]]; clusters that lose every member keep their codeword.
+    * Requires `psv` (vec_id, m, sv) upstream.
+    */
+  private def pqIterSql(i: Int, prev: String, next: String): String =
+    s"""pqs$i AS (SELECT s.vec_id, s.m, c.cid,
+       |    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+       |  FROM psv s JOIN $prev c ON c.m = s.m),
+       |pqa$i AS (SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM pqs$i) WHERE rn = 1),
+       |pqu$i AS (SELECT a.m, a.cid, d.j AS dim,
+       |    CAST(sum(s.sv[d.j + 1]) AS BIGINT) AS su, count(*) AS n
+       |  FROM pqa$i a JOIN psv s ON s.vec_id = a.vec_id AND s.m = a.m,
+       |       (SELECT unnest(range($PqSub)) AS j) d
+       |  GROUP BY 1, 2, 3),
+       |pqn$i AS (SELECT m, cid,
+       |    list((su - (((su % n) + n) % n)) // n ORDER BY dim) AS cv
+       |  FROM pqu$i GROUP BY m, cid),
+       |$next AS (SELECT p.m, p.cid, coalesce(u.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN pqn$i u ON u.m = p.m AND u.cid = p.cid)""".stripMargin
+
+  /** DuckDB replay of the full PQ pipeline: same seeds, same per-subspace
+    * Lloyd updates, same encode tie-breaks, same exact-int ADC sums — the
+    * compressed index's OUTPUT (codes → approximate distances → top-10) is
+    * hash-gated end to end, not just row-counted.
+    */
+  private val annPqOracle: String = {
+    val iters = (1 to PqIters)
+      .map(i => pqIterSql(i, s"pcb${i - 1}", s"pcb$i")).mkString(",\n")
+    s"""WITH $quantizedSql,
+       |psv AS (SELECT vec_id, ms.m,
+       |    qv[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS sv
+       |  FROM nz, (SELECT unnest(range($PqM)) AS m) ms),
+       |pcb0 AS (SELECT m,
+       |    row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid,
+       |    sv AS cv FROM psv WHERE vec_id < $PqK),
+       |$iters,
+       |${pqIterSql(PqIters + 1, s"pcb$PqIters", "pcbend")},
+       |qdt AS (SELECT s.vec_id AS query_id, c.m, c.cid,
+       |    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+       |  FROM psv s JOIN pcb$PqIters c ON c.m = s.m WHERE s.vec_id < 5),
+       |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    CAST(sum(q.d) AS BIGINT) AS adist
+       |  FROM pqa${PqIters + 1} e JOIN qdt q ON q.m = e.m AND q.cid = e.cid
+       |  WHERE e.vec_id != q.query_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adist, rn FROM r WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** ANN via product quantization — the memory-compression scale path: the
+    * corpus is stored as M=8 codebook indices per vector (~8 bytes vs 256
+    * of floats), and query scoring reads ONLY a per-query M×K lookup table
+    * (asymmetric distance computation), never the original vectors. At
+    * 100 TB this is what makes an in-memory candidate sweep possible at
+    * all: 10¹¹ vectors × 8 bytes fit a modest cluster's RAM where raw
+    * floats (25 TB) would thrash.
+    *
+    * Shape: codebook training iterates on exploded (vec_id, m, sv) rows —
+    * at real scale Lloyd's runs on a bounded sample (the [[kmeansTrain]]
+    * argument), and only encode sweeps the corpus — with ≤ M·K·sub partial
+    * sums per partition reaching each update exchange. Encode is the native
+    * codegen'd [[graft.functions.PqCodes]] in ONE map pass (zero shuffles);
+    * scoring crossJoins the 5-row broadcast query table and evaluates the
+    * codegen'd [[graft.functions.PqAdc]] lookup sum map-side; only slim
+    * (query, neighbor, adist) rows reach the final top-k exchange.
+    *
+    * Cross-engine determinism: everything is exact int64 (squared-L2 of
+    * quantized subvectors peaks ~3.2·10⁹; ADC sums ×8), so codes, ADC
+    * distances and ranks are bit-identical in DuckDB — the `adist` column
+    * itself is hash-gated as an exact integer.
+    */
+  val annPq: Q = Q("ann_pq", annPqOracle) { (s, dir) =>
+    import s.implicits._
+    graft.functions.PqExpressions.register(s)
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // deterministic seed codebooks: subvectors of the first K vec_ids
+    val seedRows: Seq[Seq[Long]] = base.filter(col("vec_id") < PqK)
+      .orderBy(col("vec_id")).select(col("qv")).as[Seq[Long]].collect().toSeq
+    var cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
+      seedRows.map(q => q.slice(m * PqSub, m * PqSub + PqSub)))
+    // per-iteration assignment rides the same native encode kernel; the
+    // explode to (m, code, sv) exists only to feed the update aggregation
+    def assignedSub(codebook: Seq[Seq[Seq[Long]]]): DataFrame =
+      base
+        .withColumn("codes",
+          call_function("pq_codes", col("qv"), typedLit(codebook)))
+        .select(posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(codes[m] AS code, slice(qv, m * $PqSub + 1, $PqSub) AS sv))"))
+          .as(Seq("m", "e")))
+        .select(col("m"), col("e.code").as("code"), col("e.sv").as("sv"))
+    for (_ <- 1 to PqIters) {
+      // ≤ M·K·sub = 1024 partial rows: the codebook's state, not a data collect
+      val partials = assignedSub(cb)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(sum(col("x")).as("su"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = partials.map(r =>
+        (r.getAs[Int]("m"), r.getAs[Int]("code"), r.getAs[Int]("dim")) ->
+          (r.getAs[Long]("su"), r.getAs[Long]("n"))).toMap
+      cb = cb.zipWithIndex.map { case (words, m) =>
+        words.zipWithIndex.map { case (prev, c) =>
+          if (!byKey.contains((m, c, 0))) prev // lost every member: keep
+          else (0 until PqSub).map { j =>
+            val (su, n) = byKey((m, c, j))
+            Math.floorDiv(su, n)
+          }
+        }
+      }
+    }
+    val cbLit = typedLit(cb)
+    val encoded = base
+      .withColumn("codes", call_function("pq_codes", col("qv"), cbLit))
+      .select(col("vec_id"), col("codes"))
+    val qd = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        call_function("pq_dtab", col("qv"), cbLit).as("dtabs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    encoded.crossJoin(broadcast(qd))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("codes"), col("dtabs")).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Recall diagnostic: fraction of the exact brute-force top-10 that each
-    * approximate method (LSH, IVF) recovers, per query — the quality metric
-    * an ANN deployment tunes (tables/bits, K/NProbe) against. Rows-only
-    * check (the metric is engine-specific); recall > 0 is asserted in
-    * DedupSimilaritySpec.
+    * approximate method (LSH, IVF, PQ) recovers, per query — the quality
+    * metric an ANN deployment tunes (tables/bits, K/NProbe, codebook
+    * geometry) against. Recall floors are asserted in DedupSimilaritySpec.
     */
   /** The recall diagnostic's oracle nests each method's FULL oracle (brute,
-    * LSH, IVF — all hash-gated above) as subqueries and recomputes the
+    * LSH, IVF, PQ — all hash-gated above) as subqueries and recomputes the
     * same hit fraction: with every input replayable in SQL, the metric
     * itself is too.
     */
@@ -341,13 +492,15 @@ object Similarity {
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${knnBrute.oracle.get})),
        |lsh AS (SELECT query_id, neighbor_id FROM ($annLshOracle)),
        |ivf AS (SELECT query_id, neighbor_id FROM ($annIvfOracle)),
+       |pq AS (SELECT query_id, neighbor_id FROM ($annPqOracle)),
        |approx AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
-       |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+       |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+       |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id FROM pq),
        |recall AS (SELECT m.method, b.query_id,
        |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
        |      / count(*) AS recall
        |  FROM brute b
-       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf']) AS method) m
+       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq']) AS method) m
        |  LEFT JOIN approx a ON a.method = m.method
        |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
        |  GROUP BY m.method, b.query_id)
@@ -533,8 +686,9 @@ object Similarity {
       approx.select(col("query_id"), col("neighbor_id"), lit(method).as("method"))
     val approx = tagged("lsh", annLsh.run(s, dir))
       .unionByName(tagged("ivf", annIvf.run(s, dir)))
+      .unionByName(tagged("pq", annPq.run(s, dir)))
       .withColumn("hit", lit(1))
-    brute.crossJoin(Seq("lsh", "ivf").toDF("method"))
+    brute.crossJoin(Seq("lsh", "ivf", "pq").toDF("method"))
       .join(approx, Seq("method", "query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
       .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
@@ -613,158 +767,6 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"), col("c"),
         col("n"), col("cnorm2"), col("coh"))
       .orderBy(col("label"), col("dim"))
-  }
-
-  /** Product-quantization geometry: [[graft.functions.LshPlanes.Dims]] = 64
-    * dims split into PqM=8 subspaces × PqSub=8 dims, PqK=16 codewords per
-    * subspace — a vector compresses to 8 codebook indices (4 bits each →
-    * 32 bits vs 256 bytes of floats, 64×). Two Lloyd iterations from the
-    * deterministic first-K-vec_ids seeds, the [[kmeansTrain]] convention.
-    */
-  private val PqM = 8
-  private val PqSub = 8
-  private val PqK = 16
-  private val PqIters = 2
-
-  /** One per-subspace Lloyd iteration in DuckDB, `prev` → `next`: squared-L2
-    * assignment (exact int64 via |x|² − 2x·c + |c|², ties → smallest cid —
-    * the exact [[graft.functions.PqMath.codes]] semantics) grouped by
-    * subspace m, then the same pmod/floor-div integer centroid update as
-    * [[kmIterSql]]; clusters that lose every member keep their codeword.
-    * Requires `psv` (vec_id, m, sv) upstream.
-    */
-  private def pqIterSql(i: Int, prev: String, next: String): String =
-    s"""pqs$i AS (SELECT s.vec_id, s.m, c.cid,
-       |    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
-       |      + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
-       |  FROM psv s JOIN $prev c ON c.m = s.m),
-       |pqa$i AS (SELECT vec_id, m, cid FROM (
-       |    SELECT vec_id, m, cid,
-       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-       |    FROM pqs$i) WHERE rn = 1),
-       |pqu$i AS (SELECT a.m, a.cid, d.j AS dim,
-       |    CAST(sum(s.sv[d.j + 1]) AS BIGINT) AS su, count(*) AS n
-       |  FROM pqa$i a JOIN psv s ON s.vec_id = a.vec_id AND s.m = a.m,
-       |       (SELECT unnest(range($PqSub)) AS j) d
-       |  GROUP BY 1, 2, 3),
-       |pqn$i AS (SELECT m, cid,
-       |    list((su - (((su % n) + n) % n)) // n ORDER BY dim) AS cv
-       |  FROM pqu$i GROUP BY m, cid),
-       |$next AS (SELECT p.m, p.cid, coalesce(u.cv, p.cv) AS cv
-       |  FROM $prev p LEFT JOIN pqn$i u ON u.m = p.m AND u.cid = p.cid)""".stripMargin
-
-  /** DuckDB replay of the full PQ pipeline: same seeds, same per-subspace
-    * Lloyd updates, same encode tie-breaks, same exact-int ADC sums — the
-    * compressed index's OUTPUT (codes → approximate distances → top-10) is
-    * hash-gated end to end, not just row-counted.
-    */
-  private val annPqOracle: String = {
-    val iters = (1 to PqIters)
-      .map(i => pqIterSql(i, s"pcb${i - 1}", s"pcb$i")).mkString(",\n")
-    s"""WITH $quantizedSql,
-       |psv AS (SELECT vec_id, ms.m,
-       |    qv[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS sv
-       |  FROM nz, (SELECT unnest(range($PqM)) AS m) ms),
-       |pcb0 AS (SELECT m,
-       |    row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid,
-       |    sv AS cv FROM psv WHERE vec_id < $PqK),
-       |$iters,
-       |${pqIterSql(PqIters + 1, s"pcb$PqIters", "pcbend")},
-       |qdt AS (SELECT s.vec_id AS query_id, c.m, c.cid,
-       |    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
-       |      + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
-       |  FROM psv s JOIN pcb$PqIters c ON c.m = s.m WHERE s.vec_id < 5),
-       |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-       |    CAST(sum(q.d) AS BIGINT) AS adist
-       |  FROM pqa${PqIters + 1} e JOIN qdt q ON q.m = e.m AND q.cid = e.cid
-       |  WHERE e.vec_id != q.query_id
-       |  GROUP BY 1, 2),
-       |r AS (SELECT query_id, neighbor_id, adist,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, adist, rn FROM r WHERE rn <= 10
-       |ORDER BY query_id, rn""".stripMargin
-  }
-
-  /** ANN via product quantization — the memory-compression scale path: the
-    * corpus is stored as M=8 codebook indices per vector (~8 bytes vs 256
-    * of floats), and query scoring reads ONLY a per-query M×K lookup table
-    * (asymmetric distance computation), never the original vectors. At
-    * 100 TB this is what makes an in-memory candidate sweep possible at
-    * all: 10¹¹ vectors × 8 bytes fit a modest cluster's RAM where raw
-    * floats (25 TB) would thrash.
-    *
-    * Shape: codebook training iterates on exploded (vec_id, m, sv) rows —
-    * at real scale Lloyd's runs on a bounded sample (the [[kmeansTrain]]
-    * argument), and only encode sweeps the corpus — with ≤ M·K·sub partial
-    * sums per partition reaching each update exchange. Encode is the native
-    * codegen'd [[graft.functions.PqCodes]] in ONE map pass (zero shuffles);
-    * scoring crossJoins the 5-row broadcast query table and evaluates the
-    * codegen'd [[graft.functions.PqAdc]] lookup sum map-side; only slim
-    * (query, neighbor, adist) rows reach the final top-k exchange.
-    *
-    * Cross-engine determinism: everything is exact int64 (squared-L2 of
-    * quantized subvectors peaks ~3.2·10⁹; ADC sums ×8), so codes, ADC
-    * distances and ranks are bit-identical in DuckDB — the `adist` column
-    * itself is hash-gated as an exact integer.
-    */
-  val annPq: Q = Q("ann_pq", annPqOracle) { (s, dir) =>
-    import s.implicits._
-    graft.functions.PqExpressions.register(s)
-    val base = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    // deterministic seed codebooks: subvectors of the first K vec_ids
-    val seedRows: Seq[Seq[Long]] = base.filter(col("vec_id") < PqK)
-      .orderBy(col("vec_id")).select(col("qv")).as[Seq[Long]].collect().toSeq
-    var cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
-      seedRows.map(q => q.slice(m * PqSub, m * PqSub + PqSub)))
-    // per-iteration assignment rides the same native encode kernel; the
-    // explode to (m, code, sv) exists only to feed the update aggregation
-    def assignedSub(codebook: Seq[Seq[Seq[Long]]]): DataFrame =
-      base
-        .withColumn("codes",
-          call_function("pq_codes", col("qv"), typedLit(codebook)))
-        .select(posexplode(expr(
-          s"transform(sequence(0, ${PqM - 1}), m -> " +
-            s"struct(codes[m] AS code, slice(qv, m * $PqSub + 1, $PqSub) AS sv))"))
-          .as(Seq("m", "e")))
-        .select(col("m"), col("e.code").as("code"), col("e.sv").as("sv"))
-    for (_ <- 1 to PqIters) {
-      // ≤ M·K·sub = 1024 partial rows: the codebook's state, not a data collect
-      val partials = assignedSub(cb)
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("code"), col("dim"))
-        .agg(sum(col("x")).as("su"), count(lit(1)).as("n"))
-        .collect()
-      val byKey = partials.map(r =>
-        (r.getAs[Int]("m"), r.getAs[Int]("code"), r.getAs[Int]("dim")) ->
-          (r.getAs[Long]("su"), r.getAs[Long]("n"))).toMap
-      cb = cb.zipWithIndex.map { case (words, m) =>
-        words.zipWithIndex.map { case (prev, c) =>
-          if (!byKey.contains((m, c, 0))) prev // lost every member: keep
-          else (0 until PqSub).map { j =>
-            val (su, n) = byKey((m, c, j))
-            Math.floorDiv(su, n)
-          }
-        }
-      }
-    }
-    val cbLit = typedLit(cb)
-    val encoded = base
-      .withColumn("codes", call_function("pq_codes", col("qv"), cbLit))
-      .select(col("vec_id"), col("codes"))
-    val qd = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
-        call_function("pq_dtab", col("qv"), cbLit).as("dtabs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
-    encoded.crossJoin(broadcast(qd))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        call_function("pq_adc", col("codes"), col("dtabs")).as("adist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .orderBy(col("query_id"), col("rn"))
   }
 
   val all: Seq[Q] =

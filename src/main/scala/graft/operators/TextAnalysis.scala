@@ -1109,15 +1109,18 @@ object TextAnalysis {
     val toks = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
-    // (doc_id, position, 64-bit gram digest) — the only corpus-sized frame
-    val grams = toks
+    // (doc_id, position, 64-bit gram digest) — the only corpus-sized
+    // frame; Scratch-persisted because BOTH the doc-frequency pass and
+    // the duplicated-gram join consume it (unpersisted, the tokenize +
+    // explode + md5 sweep runs twice over the corpus)
+    val grams = graft.Scratch.track(toks
       .select(col("doc_id"), posexplode_outer(when(size(col("t")) >= SpanGram,
         expr(s"transform(sequence(0, size(t) - $SpanGram), i -> " +
           (0 until SpanGram).map(k => s"t[i+$k]")
             .mkString("concat_ws(' ', ", ", ", ")") + ")"))
         .otherwise(array().cast("array<string>"))).as(Seq("p", "gt")))
       .filter(col("gt").isNotNull)
-      .select(col("doc_id"), col("p"), substring(md5(col("gt")), 1, 16).as("g"))
+      .select(col("doc_id"), col("p"), substring(md5(col("gt")), 1, 16).as("g")))
     // doc-frequency over digests; distinct first so the count is per-doc
     val dup = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
