@@ -1089,10 +1089,14 @@ object TextAnalysis {
        |df AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM g0 GROUP BY g),
        |dup AS (SELECT g FROM df WHERE n_docs >= 2),
        |dg AS (SELECT g0.doc_id, g0.p FROM g0 JOIN dup USING (g)),
-       |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + $SpanGram)) AS pos
+       |iv AS (SELECT doc_id, p, p + $SpanGram AS e,
+       |    max(p + $SpanGram) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
        |  FROM dg),
        |stats AS (SELECT dg.doc_id, count(*) AS n_dup_grams FROM dg GROUP BY 1),
-       |cstats AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1)
+       |cstats AS (SELECT doc_id,
+       |    sum(e - greatest(p, coalesce(pmax, p))) AS covered_tokens
+       |  FROM iv GROUP BY 1)
        |SELECT lg.doc_id AS doc_id, CAST(lg.n_tokens AS BIGINT) AS n_tokens,
        |  CAST(coalesce(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
        |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
@@ -1125,13 +1129,26 @@ object TextAnalysis {
     val dup = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("g"))
-    val dg = grams.join(dup, "g").select(col("doc_id"), col("p"))
+    val dg = graft.Scratch.track(
+      grams.join(dup, "g").select(col("doc_id"), col("p")))
     val perDoc = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    // covered positions as an interval-union sweep, not an ×G explode +
+    // global distinct: duplicated grams are fixed-length intervals
+    // [p, p+G); sorted per doc, each contributes e − max(p, running-max
+    // prior end) — one keyed exchange of slim (doc_id, p) rows where the
+    // explode form pushed ×G rows through a corpus-wide distinct (50 → 16 s
+    // at the ×100 all-duplicated worst case, where EVERY gram is
+    // replica-duplicated and dg is corpus-sized)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cov = dg
+      .withColumn("e", (col("p") + lit(SpanGram)).cast("long"))
+      .withColumn("pmax", max(col("e")).over(wPrev))
       .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + lit(SpanGram - 1))).as("pos"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+        (col("e") - greatest(col("p").cast("long"),
+          coalesce(col("pmax"), col("p").cast("long")))).as("add"))
+      .groupBy(col("doc_id")).agg(sum(col("add")).as("covered_tokens"))
     base
       .join(perDoc, Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
