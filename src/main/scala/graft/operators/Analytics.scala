@@ -1113,6 +1113,66 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  // 24h: the corpus' realistic inter-event spacing (30-minute bands match
+  // zero patterns even at sf0.01 — users act on day granularity here)
+  private val CepBandNanos = 24L * HourNanos
+
+  /** Complex-event pattern matching (the MATCH_RECOGNIZE shape): count,
+    * per user, the clicks that complete a view → click → purchase pattern
+    * with both hops inside a 24-hour band — each match ANCHORED at its
+    * click, so the count is well-defined without iterative non-overlap
+    * bookkeeping (greedy consume-once semantics need a per-key sequential
+    * fold — that variant lives in streaming, [[graft.streaming.EventsStream
+    * .sessionize]]-style state; this is its batch, declarative twin).
+    *
+    * Shape: ONE user-keyed exchange; both existence probes are event-time
+    * RANGE frames over the same ordered window (look-back max-flag,
+    * look-ahead max-flag), so the whole pattern pass is two frame sweeps
+    * on one sort — no self-joins (a join-per-step plan shuffles the events
+    * table once PER PATTERN STEP and explodes on hot users). Frames bound
+    * by ts VALUE, so duplicate-timestamp ties resolve identically on any
+    * partitioning and in the oracle.
+    */
+  val eventsCep: Q = Q("events_cep",
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+      |f AS (SELECT user_id, event_type, tns,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY tns
+      |       RANGE BETWEEN $CepBandNanos PRECEDING AND 1 PRECEDING) AS has_view,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY tns
+      |       RANGE BETWEEN 1 FOLLOWING AND $CepBandNanos FOLLOWING) AS has_purch
+      |  FROM e),
+      |m AS (SELECT user_id, tns FROM f
+      |  WHERE event_type = 'click' AND has_view = 1 AND has_purch = 1)
+      |SELECT user_id, count(*) AS n_matches,
+      |  CAST(min((tns - ((tns % 1000 + 1000) % 1000)) // 1000) AS BIGINT) AS first_match_us
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    cepMatches(t(s, dir, "events"))
+  }
+
+  /** [[eventsCep]]'s pattern pass over any (user_id, event_type, ts-nanos)
+    * frame — separated so specs can pin anchor/band semantics on
+    * constructed sequences.
+    */
+  def cepMatches(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val f = events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("has_view",
+        max(when(col("event_type") === "view", 1).otherwise(0))
+          .over(byUser.rangeBetween(-CepBandNanos, -1)))
+      .withColumn("has_purch",
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .over(byUser.rangeBetween(1, CepBandNanos)))
+    f.filter(col("event_type") === "click" &&
+        col("has_view") === 1 && col("has_purch") === 1)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(Tables.nanosToMicros("ts")).as("first_match_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Time-series resample with gap fill — the hourly per-type event-rate
     * frame a monitoring/forecasting consumer reads, with EXPLICIT zero
     * rows for silent hours (the rows a naive groupBy can never produce,
@@ -1660,5 +1720,5 @@ object Analytics {
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
-    incrAgg, eventsDedup, eventsLateness)
+    incrAgg, eventsDedup, eventsLateness, eventsCep)
 }

@@ -729,4 +729,31 @@ class AnalyticsSpec extends SparkSpec {
       assert(Seq(a, b, c).forall(s => s >= 1 && s <= 5))
     }
   }
+  test("cepMatches anchors at clicks, bounds both hops, excludes same-instant ties") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L // one hour in nanos
+    def e(u: Long, t: Long, ty: String) = (u, ty, t)
+    val fixture = Seq(
+      // user 1: complete pattern inside the band -> 1 match at the click
+      e(1, 0, "view"), e(1, 1 * H, "click"), e(1, 2 * H, "purchase"),
+      // user 2: click with a prior view but NO purchase after -> no match
+      e(2, 0, "view"), e(2, 1 * H, "click"),
+      // user 3: right events, wrong order -> no match
+      e(3, 0, "purchase"), e(3, 1 * H, "click"), e(3, 2 * H, "view"),
+      // user 4: view falls outside the 24h look-back -> no match
+      e(4, 0, "view"), e(4, 25 * H, "click"), e(4, 26 * H, "purchase"),
+      // user 5: one view/purchase pair sandwiches TWO clicks -> both anchor
+      e(5, 0, "view"), e(5, 1 * H, "click"), e(5, 2 * H, "click"),
+      e(5, 3 * H, "purchase"),
+      // user 6: view at the SAME instant as the click — the look-back frame
+      // ends 1ns before the click's ts value, so the tie must NOT count
+      e(6, 1 * H, "view"), e(6, 1 * H, "click"), e(6, 2 * H, "purchase")
+    ).map { case (u, ty, t) => (u, ty, t) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.cepMatches(fixture)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1 * H / 1000),
+      (5L, 2L, 1 * H / 1000)))
+  }
 }
