@@ -504,6 +504,92 @@ object Graph {
       .orderBy(col("n_customers"))
   }
 
+  /** Hop bound for [[bfs]]: the bipartite trade graph's giant component
+    * has diameter ~4 (customer→supplier→customer chains), so 8 covers
+    * every reachable node with headroom while keeping the oracle's
+    * recursion finite (the bound is what terminates the recursive CTE on
+    * a cyclic graph — (node, d) pairs are finite only with d capped).
+    */
+  private val BfsMaxHops = 8
+
+  private val bfsOracle: String =
+    s"""WITH RECURSIVE raw AS (SELECT DISTINCT
+       |    CAST(o.o_custkey AS BIGINT) * 2 AS a,
+       |    CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM raw
+       |  UNION ALL SELECT b, a FROM raw),
+       |seed AS (SELECT min(src) AS node FROM edges),
+       |reach(node, d) AS (
+       |  SELECT node, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.d < $BfsMaxHops)
+       |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM reach
+       |GROUP BY node ORDER BY node""".stripMargin
+
+  /** Single-source BFS over the full customer↔supplier bipartite graph —
+    * the frontier-expansion Pregel shape next to [[pagerankBig]]'s
+    * fixed-size power iteration and [[components]]' label propagation:
+    * per round the work is the CURRENT FRONTIER, not |V|, so rounds cost
+    * what they reach. Source: the minimum node id (deterministic at any
+    * corpus). Distances are exact hop counts; nodes beyond
+    * [[BfsMaxHops]] stay unreported in BOTH engines (the oracle replays
+    * the identical bound in its recursive CTE).
+    *
+    * Scale shape: the edge list is persisted pre-partitioned by src once
+    * (the [[pagerankBig]] layout argument) so each round's expansion
+    * shuffles only the frontier; the visited set grows to |V| and meets
+    * the frontier in a keyed anti-join. Per-round `localCheckpoint` cuts
+    * lineage, early-stop ends the loop the round the frontier empties —
+    * on this graph's ~4 diameter that is 5 rounds, not the worst-case 8.
+    */
+  val bfs: Q = Q("graph_bfs", bfsOracle) { (s, dir) =>
+    def t(name: String): DataFrame = Tables.load(s, dir, name)
+    val raw = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+    val edges = graft.Scratch.track(
+      raw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
+    val seeds = edges.agg(min(col("src")).as("node"))
+    bfsDistances(edges, seeds)
+  }
+
+  /** [[bfs]]'s frontier loop over any symmetric (src, dst) edge frame and
+    * (node) seed frame — separated so specs drive constructed graphs.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = BfsMaxHops): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var hop = 1L
+    var growing = true
+    while (hop <= maxHops && growing) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      if (!(frontier eq dist)) Dedup.releaseCheckpoint(frontier)
+      if (next.isEmpty) {
+        growing = false
+        Dedup.releaseCheckpoint(next)
+      } else {
+        val grown = dist.unionByName(next).localCheckpoint()
+        Dedup.releaseCheckpoint(dist)
+        dist = grown
+        frontier = next
+      }
+      hop += 1
+    }
+    dist.orderBy(col("node"))
+  }
+
   val all: Seq[Q] = Seq(pagerank, pagerankBig, triangles, kcore, components,
-    bipartiteDegree)
+    bipartiteDegree, bfs)
 }

@@ -298,4 +298,22 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._2).sum === pairs.map(_._2).distinct.size.toLong,
       "histogram must cover every supplier with at least one customer")
   }
+  test("bfsDistances walks a chain level by level and stops at the hop bound") {
+    import spark.implicits._
+    // 0-1-2-...-10 chain, symmetric edges; seed 0. With the default bound
+    // of 8 hops, node 9 (d=9) and node 10 (d=10) must be absent — the
+    // bound that keeps the oracle's recursion finite is honored here too.
+    val raw = (0L until 10L).map(i => (i, i + 1))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val got = Graph.bfsDistances(edges, seeds)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === (0L to 8L).map(i => (i, i)))
+    // a disconnected vertex pair stays unreported from this seed
+    val edges2 = (raw ++ raw.map(_.swap) ++ Seq((100L, 101L), (101L, 100L)))
+      .toDF("src", "dst")
+    val got2 = Graph.bfsDistances(edges2, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got2 === (0L to 3L).map(i => (i, i)))
+  }
 }
