@@ -102,6 +102,71 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Asymmetric containment C(A→B) = |shingles(A)∩shingles(B)| / |shingles(A)|
+    * over the same deterministic [[NgramSampleSize]] sample as
+    * [[ngramJaccard]] — the doc-IN-doc detector Jaccard structurally
+    * misses: a short document quoted wholesale inside a long one scores
+    * near-zero Jaccard (the union is dominated by the long doc) but
+    * containment ≈ 1 from the short side. Word-3-gram shingles (the
+    * MinHash family's unit, so the two reports share vocabulary), ordered
+    * pairs both directions, thresholded at 0.5.
+    *
+    * Scale: like the Jaccard baseline this is the exact, sample-priced
+    * diagnostic (O(K²) worst case on a FIXED K); the corpus-priced
+    * containment story is [[graft.operators.TextAnalysis.dedupSpans]],
+    * which reports each doc's duplicated-span coverage against the whole
+    * corpus in digest space.
+    */
+  val containment: Q = Q("dedup_containment",
+    s"""WITH sample AS (
+      |  SELECT doc_id, text FROM documents
+      |  ORDER BY md5(text), doc_id LIMIT $NgramSampleSize),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM sample),
+      |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |    ELSE [array_to_string(t, ' ')] END) AS sh FROM tk),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+      |  GROUP BY id1, id2)
+      |SELECT id1, id2, n_common,
+      |  CAST(n_common AS DOUBLE) / s1.n AS containment
+      |FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / s1.n >= 0.5
+      |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    containmentPairs(docs(s, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+      .orderBy(col("dig"), col("doc_id"))
+      .limit(NgramSampleSize))
+  }
+
+  /** [[containment]]'s pair pass over any (doc_id, text) frame — separated
+    * so specs can plant a quoted-substring pair.
+    */
+  def containmentPairs(sampled: DataFrame): DataFrame = {
+    val sh = sampled
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    val cont = col("n_common").cast("double") / col("s1.n")
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .select(col("id1"), col("id2"), col("n_common"), cont.as("containment"))
+      .filter(cont >= 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
@@ -917,6 +982,6 @@ object Dedup {
   }
 
   val all: Seq[Q] =
-    Seq(exact, ngramJaccard, minhash, simhash, embed, clusters, keepCanonical,
-      crossEval, fuzzyJoin, agreement, bucketStats)
+    Seq(exact, ngramJaccard, containment, minhash, simhash, embed, clusters,
+      keepCanonical, crossEval, fuzzyJoin, agreement, bucketStats)
 }

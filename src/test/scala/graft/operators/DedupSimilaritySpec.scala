@@ -358,4 +358,17 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(capped === (if (size > Dedup.MaxBandBucket) 1L else 0L))
     }
   }
+  test("dedup_containment flags a quoted substring that Jaccard misses") {
+    // doc 2 is a 10-token verbatim quote from the middle of 60-token doc 1:
+    // every 3-shingle of doc 2 occurs in doc 1 -> containment(2->1) = 1.0,
+    // while Jaccard is ~10/60 and the reverse direction is far below 0.5
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 29).map(i => s"w$i").mkString(" ")
+    val fixture = Seq((1L, big), (2L, quote), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fixture)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((2L, 1L, 8L, 1.0)),
+      s"expected exactly the short->long direction: $got")
+  }
 }
