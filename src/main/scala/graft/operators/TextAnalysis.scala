@@ -1058,6 +1058,120 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Merge rounds for [[bpeTrain]]: enough to produce multi-character
+    * subword symbols (merges chain: pair → trigram+) while keeping the
+    * oracle's unrolled CTE replay readable.
+    */
+  private val BpeMerges = 8
+
+  /** One BPE merge round in DuckDB, `e{i-1}` → `e$i`: weighted adjacent-pair
+    * count over the encoded vocab, argmax with (n DESC, l, r) tie-break,
+    * then the double-space `replace` rewrite (see [[bpeTrain]] for why the
+    * encoding makes plain `replace` exactly the left-to-right merge).
+    */
+  private def bpeIterSql(i: Int): String =
+    s"""tk$i AS (SELECT list_filter(string_split(enc, '  '), x -> x != '') AS t, c
+       |  FROM e${i - 1}),
+       |pr$i AS (SELECT e.l AS l, e.r AS r, CAST(sum(c) AS BIGINT) AS n FROM (
+       |    SELECT unnest(list_transform(range(len(t) - 1),
+       |      k -> struct_pack(l := t[k + 1], r := t[k + 2]))) AS e, c
+       |    FROM tk$i) GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT l, r, n FROM pr$i ORDER BY n DESC, l, r LIMIT 1),
+       |e$i AS MATERIALIZED (SELECT replace(enc,
+       |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+       |    ' ' || (SELECT l || r FROM b$i) || ' ') AS enc, c FROM e${i - 1})""".stripMargin
+
+  private val bpeTrainOracle: String = {
+    val iters = (1 to BpeMerges).map(bpeIterSql).mkString(",\n")
+    val out = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, l AS lsym, r AS rsym, n FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS w
+       |  FROM documents),
+       |v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+       |e0 AS (SELECT '  ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '  ')
+       |    || '  ' AS enc, c FROM v),
+       |$iters
+       |SELECT * FROM ($out) ORDER BY step""".stripMargin
+  }
+
+  /** Distributed BPE TRAINING — the merge-rule learner behind every
+    * subword tokenizer, upgraded from [[bpePairs]]' single-round pair count
+    * to the real iterated algorithm: per round, count adjacent symbol
+    * pairs over the (word, count) VOCAB weighted by word frequency, merge
+    * the most frequent pair corpus-wide, rewrite the vocab encodings, and
+    * repeat. Output is the learned merge table (step, pair, weighted
+    * count) — the model a tokenizer ships.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count pass — at
+    * 100 TB the only data-sized stage); every merge round then runs on
+    * the |vocab| frame, with the pair count collapsing map-side to
+    * |symbol pairs| partials and only the 1-row argmax reaching the
+    * driver (the model, not data — the [[graft.operators.Similarity]]
+    * k-means convention).
+    *
+    * Exact cross-engine replay hinges on the ENCODING: symbol sequences
+    * are double-space-joined with 2-space sentinels, so the merge pattern
+    * `' l  r '` always matches with exactly one space of margin on each
+    * side and its replacement `' lr '` restores the invariant — plain
+    * left-to-right non-overlapping `replace` (identical semantics in
+    * Spark and DuckDB) then IS the BPE merge, including consecutive
+    * occurrences (`a b a b` merges twice) and the greedy triple rule
+    * (`a a a` merges once, leaving the odd symbol). Ties on the argmax
+    * break by (l, r) lexicographic in both engines.
+    */
+  val bpeTrain: Q = Q("text_bpe_train", bpeTrainOracle) { (s, dir) =>
+    bpeMerges(docs(s, dir))
+  }
+
+  /** [[bpeTrain]]'s training loop over any (doc_id, text) frame —
+    * separated so specs can pin tie-break, merge chaining and pair
+    * exhaustion on constructed corpora.
+    */
+  def bpeMerges(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    val words = docsDf
+      .select(explode(expr(
+        "regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    var vocab = graft.Scratch.track(words.select(
+      concat(lit("  "), expr(
+        "array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '  ')"),
+        lit("  ")).as("enc"),
+      col("c")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val best = vocab
+        .select(expr("filter(split(enc, '  '), x -> x != '')").as("t"), col("c"))
+        .select(explode(expr(
+          """CASE WHEN size(t) < 2
+            |  THEN cast(array() AS array<struct<l:string,r:string>>)
+            |  ELSE transform(sequence(0, size(t) - 2),
+            |    k -> struct(t[k] AS l, t[k+1] AS r)) END"""
+            .stripMargin.replace("\n", " "))).as("e"), col("c"))
+        .groupBy(col("e.l").as("l"), col("e.r").as("r"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect() // the 1-row argmax: model state, not data
+      if (best.nonEmpty) {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        merges += ((step, l, r, best(0).getLong(2)))
+        // lit-parameterized replace — symbols may be any punctuation
+        // character, so nothing is ever spliced into SQL text
+        val next = graft.Scratch.track(vocab.select(
+          call_function("replace", col("enc"),
+            lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
+          col("c")))
+        vocab = next
+      }
+    }
+    s.createDataFrame(merges.toSeq)
+      .toDF("step", "lsym", "rsym", "n")
+      .orderBy(col("step"))
+  }
+
   /** Per-document duplicated-passage coverage — exact substring dedup at
     * word-shingle granularity (the C4 / "Deduplicating Training Data"
     * pass): an 8-gram occurring in ≥2 DISTINCT documents marks its 8 token
@@ -1163,5 +1277,5 @@ object TextAnalysis {
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
-      predictability, dedupSpans)
+      predictability, dedupSpans, bpeTrain)
 }

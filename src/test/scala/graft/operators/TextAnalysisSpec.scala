@@ -535,4 +535,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === ((1L, 11L, 2L, 9L)))
     assert(out(2L) === ((2L, 11L, 2L, 9L)))
   }
+  test("bpeMerges: lexicographic tie-break, chained merges, pair exhaustion") {
+    // words: "abc" x2. Round 1 ties (a,b)=2 vs (b,c)=2 -> lexicographic
+    // picks (a,b); round 2 must merge the NEW symbol: (ab,c)=2 — the
+    // chained subword. Then no pairs remain: exactly 2 rows, not 8.
+    val fixture = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(fixture)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 2L), (2, "ab", "c", 2L)))
+    // frequency weighting: "to" x3 outweighs "it" x2 even though both
+    // pair types appear once per word
+    val weighted = Seq((1L, "to to to it it")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeMerges(weighted)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got2 === Seq((1, "t", "o", 3L), (2, "i", "t", 2L)))
+  }
 }
