@@ -140,14 +140,19 @@ object Multimodal {
     * matching the stub's `Float` division bit-for-bit) and the mean folds
     * left-to-right in DOUBLE exactly like `aggregate(features, 0.0, +)`.
     */
-  private val mediaFeaturesOracle: String = {
+  private val featureNames = (0 until 8).map(j => s"f$j")
+
+  /** Shared CTE prefix replaying [[decodeStub]] per document — ends with
+    * `fj` (doc_id, f0..f7 as REAL). Consumed by [[mediaFeaturesOracle]]
+    * and [[mediaPhash]]'s oracle.
+    */
+  private val mediaFeatureCtesSql: String = {
     val perJ = (0 until 8).map { j =>
       s"""CASE WHEN count(v) FILTER (WHERE j = $j) = 0 THEN CAST(0 AS REAL)
          |       ELSE CAST(sum(v) FILTER (WHERE j = $j) AS REAL)
          |            / CAST(count(v) FILTER (WHERE j = $j) AS REAL) END AS f$j""".stripMargin
     }.mkString(",\n  ")
-    val fs = (0 until 8).map(j => s"f$j")
-    s"""WITH pos AS (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents),
+    s"""pos AS (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents),
        |b AS (SELECT doc_id, CAST(i % 8 AS INT) AS j,
        |    unicode(substr(text, CAST(i + 1 AS INT), 1)) AS v FROM pos),
        |fj0 AS (SELECT doc_id,
@@ -158,8 +163,13 @@ object Multimodal {
        |  -- (range(0)), but the Spark side still emits a zero-feature row
        |  -- for it (decodeStub of an empty payload) — the doc must not drop
        |  SELECT d.doc_id,
-       |    ${fs.map(f => s"coalesce($f, CAST(0 AS REAL)) AS $f").mkString(", ")}
-       |  FROM documents d LEFT JOIN fj0 USING (doc_id))
+       |    ${featureNames.map(f => s"coalesce($f, CAST(0 AS REAL)) AS $f").mkString(", ")}
+       |  FROM documents d LEFT JOIN fj0 USING (doc_id))""".stripMargin
+  }
+
+  private val mediaFeaturesOracle: String = {
+    val fs = featureNames
+    s"""WITH $mediaFeatureCtesSql
        |SELECT doc_id,
        |  (${fs.map(f => s"CAST($f AS DOUBLE)").mkString(" + ")}) / 8 AS f_mean,
        |  CAST(least(${fs.mkString(", ")}) AS DOUBLE) AS f_min,
@@ -282,6 +292,84 @@ object Multimodal {
       .orderBy(col("media_type"))
   }
 
+  private val mediaPhashOracle: String = {
+    val fs = featureNames
+    val bitSum = (0 until 8)
+      .map(j => s"CASE WHEN CAST(f$j AS DOUBLE) > fm THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $mediaFeatureCtesSql,
+       |ph AS (SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    (${fs.map(f => s"CAST($f AS DOUBLE)").mkString(" + ")}) / 8 AS fm,
+       |    ${fs.mkString(", ")}
+       |  FROM fj),
+       |pb AS (SELECT doc_id, media_type, CAST($bitSum AS BIGINT) AS phash FROM ph),
+       |bk AS (SELECT media_type, phash, count(*) AS n_items,
+       |    min(doc_id) AS keep_doc FROM pb GROUP BY 1, 2),
+       |fl AS (SELECT media_type, phash, xor(phash, CAST(m.v AS BIGINT)) AS nb
+       |  FROM bk, (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS v) m),
+       |h1 AS (SELECT f.media_type, f.phash, count(*) AS n_h1
+       |  FROM fl f JOIN bk b ON b.media_type = f.media_type AND b.phash = f.nb
+       |  GROUP BY 1, 2)
+       |SELECT bk.media_type AS media_type, bk.phash AS phash,
+       |  bk.n_items AS n_items, bk.keep_doc AS keep_doc,
+       |  CAST(coalesce(h1.n_h1, 0) AS BIGINT) AS n_h1
+       |FROM bk LEFT JOIN h1 ON h1.media_type = bk.media_type
+       |  AND h1.phash = bk.phash
+       |ORDER BY media_type, phash""".stripMargin
+  }
+
+  /** Perceptual-hash (aHash-convention) near-dup buckets per modality: bit
+    * j of an item's 8-bit hash is `feature_j > mean(features)` over the
+    * [[decodeStub]] features, so visually-similar payloads (under a real
+    * decoder) land in the same or a 1-bit-adjacent bucket. The report
+    * gives each nonempty (modality, phash) bucket's size, canonical item,
+    * and its count of occupied Hamming-1 neighbor buckets — the candidate
+    * sets a perceptual deduper would rescore, and the exact complement to
+    * [[mediaDedup]]'s byte-identical frame dedup.
+    *
+    * Scale shape: hashing is the one decode pass (map-side after
+    * [[extractFeatures]]); buckets collapse to ≤ |modalities|·256 rows,
+    * and the Hamming-1 probe is the [[graft.operators.Similarity]]
+    * multi-probe trick on that model-sized frame — explode 8 bit-flips,
+    * self-join buckets, never items. Exactness: features are the proven
+    * bit-identical stub floats; mean and comparisons run in double with
+    * the same association both engines; the hash is then exact int.
+    */
+  val mediaPhash: Q = Q("media_phash", mediaPhashOracle) { (s, dir) =>
+    import s.implicits._
+    val items = media(s, dir).select(col("doc_id"), col("payload")).as[MediaItem]
+    val hashed = extractFeatures(items)
+      .withColumn("f_mean",
+        aggregate(col("features"), lit(0.0), (a, x) => a + x)
+          .divide(size(col("features"))))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
+          |  acc + CASE WHEN cast(element_at(features, j + 1) as double) > f_mean
+          |  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("media_type",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1))
+    val bk = graft.Scratch.track(hashed
+      .groupBy(col("media_type"), col("phash"))
+      .agg(count(lit(1)).as("n_items"), min(col("doc_id")).as("keep_doc")))
+    val fl = bk.select(col("media_type"), col("phash"),
+      explode(expr("transform(sequence(0, 7), k -> shiftleft(cast(1 as bigint), k))"))
+        .as("m"))
+      .select(col("media_type"), col("phash"),
+        expr("phash ^ m").as("nb"))
+    val h1 = fl.as("f")
+      .join(bk.select(col("media_type"), col("phash").as("nb")).as("b"),
+        Seq("media_type", "nb"))
+      .groupBy(col("media_type"), col("phash")).agg(count(lit(1)).as("n_h1"))
+    bk.join(h1, Seq("media_type", "phash"), "left")
+      .select(col("media_type"), col("phash"), col("n_items"), col("keep_doc"),
+        coalesce(col("n_h1"), lit(0L)).as("n_h1"))
+      .orderBy(col("media_type"), col("phash"))
+  }
+
   val all: Seq[Q] =
-    Seq(mediaMeta, mediaFrames, mediaFeaturesQ, mediaResize, mediaDedup)
+    Seq(mediaMeta, mediaFrames, mediaFeaturesQ, mediaResize, mediaDedup,
+      mediaPhash)
 }

@@ -100,4 +100,29 @@ class MultimodalSpec extends SparkSpec {
       assert(nf >= nd && rb >= 0L)
     }
   }
+  test("media_phash partitions each modality and replays scalar-side") {
+    val out = Multimodal.mediaPhash.run(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (_, ph, n, _, h1) =>
+      assert(ph >= 0L && ph <= 255L && n >= 1L && h1 >= 0L && h1 <= 8L)
+    }
+    // bucket sizes per modality sum back to that modality's item count
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val byModality = docs.groupBy(d => Seq("image", "audio", "video")((d._1 % 3).toInt))
+    out.groupBy(_._1).foreach { case (m, rows) =>
+      assert(rows.map(_._3).sum === byModality(m).length, s"modality $m")
+    }
+    // scalar replay: doc 0's phash from decodeStub must name a bucket whose
+    // canonical doc is <= 0 is impossible — doc 0 IS the min id, so the
+    // (image, phash(doc 0)) bucket must exist with keep_doc == 0
+    val text0 = docs.find(_._1 == 0L).get._2
+    val f = Multimodal.decodeStub(text0.getBytes("UTF-8"))
+    val mean = f.foldLeft(0.0)(_ + _) / f.length
+    val expect = (0 until 8).map(j => if (f(j).toDouble > mean) 1L << j else 0L).sum
+    val bucket = out.find(r => r._1 == "image" && r._2 == expect)
+    assert(bucket.exists(_._4 === 0L),
+      s"doc 0 bucket (image, $expect) missing or wrong canonical: $bucket")
+  }
 }
