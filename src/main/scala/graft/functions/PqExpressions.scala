@@ -9,9 +9,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Product-quantization kernels, as codegen'd JVM calls — the compression
   * path that makes billion-vector ANN fit in memory (a 64-dim float vector
-  * becomes M=8 codebook indices ≈ 8 bytes, 32× smaller; distance evaluation
-  * against a query touches only a per-query M×K lookup table, never the
-  * original vectors).
+  * becomes M=8 codebook indices of 4 bits each — 4 bytes packed, 64×
+  * smaller than the 256 float bytes; distance evaluation against a query
+  * touches only a per-query M×K lookup table, never the original vectors).
   *
   * All arithmetic is EXACT int64 over the engine's quantized (×10⁴) integer
   * embeddings: squared-L2 of ≤2·10⁴-magnitude 8-dim subvectors peaks around

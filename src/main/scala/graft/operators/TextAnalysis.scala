@@ -1185,10 +1185,12 @@ object TextAnalysis {
     * Scale shape: grams travel as 8-byte md5-prefix digests — the corpus
     * shuffles (doc_id, digest), never gram text; doc-frequency is a
     * distinct+count over digests; only grams PROVEN duplicated (a tiny
-    * fraction of any real corpus) rejoin and explode ×8 into covered
-    * positions. Collisions: 64-bit digests over ~10¹² grams give ~3·10⁻²
-    * expected corpus-wide collisions (birthday bound) — acceptable for a
-    * coverage report; swap in 128-bit md5 whole for forensic use.
+    * fraction of any real corpus) rejoin, and coverage is a per-doc
+    * interval-union window over slim (doc_id, position) rows — see the
+    * inline note in [[spanCoverage]]. Collisions: 64-bit digests over
+    * ~10¹² grams give ~3·10⁻² expected corpus-wide collisions (birthday
+    * bound) — acceptable for a coverage report; swap in 128-bit md5
+    * whole for forensic use.
     */
   private val SpanGram = DecontamGram
 

@@ -400,6 +400,93 @@ object EventsStream {
       .foreachBatch(write)
       .start()
 
+  case class CepMatch(user_id: Long, view_us: Long, click_us: Long,
+      purchase_us: Long)
+
+  // public: Catalyst's generated deserializer instantiates it reflectively
+  case class CepState(buffer: List[(Long, String)], pendingViewUs: Long,
+      pendingClickUs: Long)
+
+  /** Streaming complex-event pattern matching — the greedy CONSUME-ONCE
+    * variant of the batch [[graft.operators.Analytics.eventsCep]] (which
+    * counts click-anchored matches declaratively): per user, emit one
+    * match per completed view → click → purchase chain with both hops
+    * inside `bandMicros`, each event consumed by at most one match.
+    * Greedy sequential semantics need per-key ordered iteration — exactly
+    * what batch SQL cannot express without iterative bookkeeping and what
+    * `flatMapGroupsWithState` exists for.
+    *
+    * Event-time correctness under disorder: arrivals buffer in state and
+    * are processed ONLY once the watermark passes them (sealed events are
+    * sorted by (ts, type) — a deterministic total order — and fed to the
+    * matcher; later-arriving earlier events can therefore still take
+    * their rightful place). The state machine is scalar: the LATEST
+    * in-band view is kept while awaiting a click (optimal — a click in
+    * band of any earlier view is in band of the latest one), the latest
+    * in-band click while awaiting the purchase; an out-of-band follower
+    * restarts the pattern, views during a click-armed pattern are
+    * ignored (pattern in flight holds), and a completed match resets the
+    * machine — consume-once.
+    *
+    * State is bounded by the watermark: the buffer holds only events
+    * newer than the watermark (the same bound a stream-stream join's
+    * buffer obeys), plus two scalar timestamps. An event-time timeout at
+    * the earliest buffered event re-invokes the matcher when the
+    * watermark advances with no new arrivals for the key; empty idle
+    * state is removed.
+    */
+  def cepStream(events: Dataset[Event], bandMicros: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    def micros(e: Event): Long =
+      (e.ts.getTime / 1000L) * 1000000L + (e.ts.getNanos / 1000L)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepState]) =>
+          val st = state.getOption.getOrElse(CepState(Nil, -1L, -1L))
+          val buffer = st.buffer ++
+            rows.map(e => (micros(e), e.event_type)).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = buffer.partition(_._1 < wmUs)
+          var pv = st.pendingViewUs
+          var pc = st.pendingClickUs
+          val out = List.newBuilder[CepMatch]
+          ripe.sorted.foreach { case (t, ty) =>
+            ty match {
+              case "view" =>
+                if (pc < 0) pv = t // latest view is the optimal anchor
+              case "click" =>
+                if (pv >= 0 && t - pv <= bandMicros) pc = t
+                else if (pv >= 0 && pc < 0) pv = -1 // unarmed anchor is
+                // unreachable for every future click (later t, worse gap);
+                // an ARMED pattern ignores stray clicks — its purchase
+                // deadline depends on pc alone
+              case "purchase" =>
+                if (pc >= 0) {
+                  if (t - pc <= bandMicros) {
+                    out += CepMatch(userId, pv, pc, t)
+                  }
+                  // matched → consumed; expired → pattern restarts
+                  pv = -1; pc = -1
+                }
+              case _ => // other event types don't participate
+            }
+          }
+          if (open.isEmpty && pv < 0 && pc < 0) state.remove()
+          else {
+            state.update(CepState(open, pv, pc))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                open.map(_._1).min / 1000L + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Production wiring: stream the events directory as it grows (new parquet
     * files per micro-batch), aggregate, write parquet with checkpointing.
     * Returns the started query; callers own its lifecycle.

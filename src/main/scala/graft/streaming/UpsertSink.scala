@@ -90,8 +90,12 @@ object UpsertSink {
     val old = new Path(tableDir, s".old-$batchId")
     merged.write.mode("overwrite").parquet(tmp.toString)
     if (f.exists(old)) f.delete(old, true) // this batchId crashed mid-swap before
-    if (f.exists(data)) f.rename(data, old)
-    f.rename(tmp, data)
+    // Hadoop rename reports failure as `false`, not an exception — an
+    // unchecked failure here would fall through to the marker write and
+    // record a commit whose data never swapped in
+    if (f.exists(data))
+      require(f.rename(data, old), s"could not move live table aside: $data")
+    require(f.rename(tmp, data), s"could not publish merged table: $tmp")
     f.delete(old, true)
     val outStream = f.create(new Path(tableDir, "_committed_batch"), true)
     try outStream.write(batchId.toString.getBytes("UTF-8"))
