@@ -184,4 +184,58 @@ object TypedAggs {
       override def outputEncoder: Encoder[BloomBuilt] =
         Encoders.product[BloomBuilt]
     }
+
+  // public: Catalyst's generated (de)serializer accesses it reflectively.
+  // Empty array = the zero buffer (allocated lazily on first reduce so the
+  // per-partition zero costs nothing when a partition is empty).
+  case class GramBuf(g: Array[Long])
+
+  /** Exact Gram-matrix accumulation (Xᵀ·X over quantized integer vectors):
+    * the buffer is the dims·(dims+1)/2 upper triangle as one long array,
+    * updated in place per row and merged element-wise — so a GLOBAL
+    * aggregate ships exactly one ~2 KB partial per partition to the final
+    * combine, never a corpus row. This is the one-pass reduction behind
+    * covariance/PCA/linear-model normal equations at any corpus size.
+    *
+    * Exactness: int64 sums of per-row products — order-independent under
+    * any partitioning, replayable in SQL. With |x| ≤ 2·10⁴ a cell
+    * overflows int64 only past ~2·10¹⁰ rows; beyond that, shard the
+    * aggregate and merge shard matrices in wider arithmetic.
+    */
+  case class GramOut(g: Seq[Long])
+
+  def gramUpper(dims: Int): Aggregator[Seq[Long], GramBuf, GramOut] =
+    new Aggregator[Seq[Long], GramBuf, GramOut] {
+      private val cells = dims * (dims + 1) / 2
+      override def zero: GramBuf = GramBuf(Array.emptyLongArray)
+      override def reduce(b: GramBuf, qv: Seq[Long]): GramBuf = {
+        val arr = if (b.g.length == cells) b.g else new Array[Long](cells)
+        val x = qv.toArray
+        var idx = 0
+        var i = 0
+        while (i < dims) {
+          val xi = x(i)
+          var j = i
+          while (j < dims) {
+            arr(idx) += xi * x(j)
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+        GramBuf(arr)
+      }
+      override def merge(a: GramBuf, b: GramBuf): GramBuf =
+        if (a.g.length == 0) b
+        else if (b.g.length == 0) a
+        else {
+          var idx = 0
+          while (idx < cells) { a.g(idx) += b.g(idx); idx += 1 }
+          a
+        }
+      override def finish(b: GramBuf): GramOut =
+        GramOut(if (b.g.length == cells) b.g.toSeq else Seq.fill(cells)(0L))
+      override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+      override def outputEncoder: Encoder[GramOut] = Encoders.product[GramOut]
+    }
 }

@@ -149,5 +149,57 @@ object DataQuality {
       .orderBy(col("check"))
   }
 
-  val all: Seq[Q] = Seq(audit)
+  /** Distribution-drift report between the corpus' earlier and later
+    * halves (split at the orders' own midpoint day, the
+    * [[Analytics.incrAgg]] cutoff idiom) — the data-drift monitor a
+    * recurring pipeline runs before trusting "this week looks like last
+    * week": per o_orderpriority bucket, counts and shares on each side
+    * and the absolute share delta, all in EXACT integer ppm (the
+    * L1/total-variation family rather than log-based PSI — no libm in
+    * the gate). A drifted ingest (a dropped source, a priority-skewed
+    * backfill) shows as a delta_ppm spike on exactly the affected
+    * buckets.
+    *
+    * Scale shape: ONE conditional-aggregate scan (the [[audit]] idiom —
+    * both sides of the split are columns of the same aggregate, not two
+    * passes), collapsing to |priorities| rows; the midpoint and the side
+    * totals are broadcast 1-row frames. Adding a monitored dimension
+    * costs one more groupBy column, not a pass.
+    */
+  val drift: Q = Q("dq_drift",
+    """WITH o AS (SELECT o_orderpriority AS pri,
+      |    epoch(o_orderdate) // 86400 AS day FROM orders),
+      |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+      |c AS (SELECT pri,
+      |    count(*) FILTER (day < (SELECT mid FROM m)) AS n_before,
+      |    count(*) FILTER (day >= (SELECT mid FROM m)) AS n_after
+      |  FROM o GROUP BY pri),
+      |t AS (SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM c)
+      |SELECT pri AS o_orderpriority,
+      |  CAST(n_before AS BIGINT) AS n_before, CAST(n_after AS BIGINT) AS n_after,
+      |  CAST(n_before * 1000000 // tb AS BIGINT) AS share_before_ppm,
+      |  CAST(n_after * 1000000 // ta AS BIGINT) AS share_after_ppm,
+      |  CAST(abs(n_before * 1000000 // tb - n_after * 1000000 // ta) AS BIGINT)
+      |    AS delta_ppm
+      |FROM c, t ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders").select(
+      col("o_orderpriority").as("pri"),
+      expr("unix_micros(o_orderdate) div 86400000000L").as("day"))
+    val mid = o.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val c = o.crossJoin(broadcast(mid))
+      .groupBy(col("pri"))
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("n_after"))
+    val totals = c.agg(sum(col("n_before")).as("tb"), sum(col("n_after")).as("ta"))
+    c.crossJoin(broadcast(totals))
+      .select(col("pri").as("o_orderpriority"),
+        col("n_before"), col("n_after"),
+        expr("n_before * 1000000L div tb").as("share_before_ppm"),
+        expr("n_after * 1000000L div ta").as("share_after_ppm"),
+        abs(expr("n_before * 1000000L div tb - n_after * 1000000L div ta"))
+          .as("delta_ppm"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[Q] = Seq(audit, drift)
 }

@@ -769,7 +769,49 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  private val gramOracle: String = {
+    import graft.functions.LshPlanes.Dims
+    s"""WITH $quantizedSql,
+       |elems AS (SELECT vec_id, d.r AS i, qv[d.r + 1] AS x
+       |  FROM nz, (SELECT unnest(range($Dims)) AS r) d)
+       |SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+       |FROM elems a JOIN elems b ON b.vec_id = a.vec_id AND b.i >= a.i
+       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+  }
+
+  /** Exact Gram matrix Xᵀ·X over the quantized embedding corpus — the
+    * one-pass reduction behind covariance/PCA, ridge-regression normal
+    * equations, and whitening: every downstream linear-algebra step runs
+    * on this Dims×Dims summary, so the CORPUS is touched exactly once.
+    *
+    * Shape: a typed [[graft.functions.TypedAggs.gramUpper]] global
+    * aggregate — each partition folds rows into one upper-triangle long
+    * array (~16 KB) updated in place, and only those per-partition
+    * partials reach the final combine: zero data shuffle at any corpus
+    * size (the same reduction pattern MLlib's normal-equation solvers
+    * use). The oracle states the textbook per-element self-join instead;
+    * int64 sums make both orders exact, so the hash gate proves the
+    * in-place fold ≡ the relational formulation. Output is the 2080-cell
+    * upper triangle as (i, j, g) rows.
+    */
+  val embedGram: Q = Q("embed_gram", gramOracle) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.LshPlanes.Dims
+    val qvs = Tables.load(s, dir, "embeddings")
+      .select(quantize(col("embedding")).as("qv")).as[Seq[Long]]
+    // the typed aggregate's product output flattens to its field `g`
+    val flat = qvs.select(graft.functions.TypedAggs.gramUpper(Dims).toColumn)
+    val idxMap = (for { i <- 0 until Dims; j <- i until Dims }
+      yield (i, j)).zipWithIndex
+      .map { case ((i, j), idx) => (idx, i.toLong, j.toLong) }
+      .toDF("idx", "i", "j")
+    flat.select(posexplode(col("g")).as(Seq("idx", "g")))
+      .join(broadcast(idxMap), "idx")
+      .select(col("i"), col("j"), col("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall, embedProject,
-      classStats, annPq)
+      classStats, annPq, embedGram)
 }

@@ -66,4 +66,19 @@ class DataQualitySpec extends SparkSpec {
       "testdata's (l_orderkey, l_linenumber) is non-unique — the dup " +
         "check must be nonzero or the audit is vacuous")
   }
+  test("dq_drift shares sum to ~1e6 ppm per side and counts cover the table") {
+    val got = DataQuality.drift.run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val total = graft.sources.Tables.load(spark, dir, "orders").count()
+    assert(got.map(r => r._2 + r._3).sum === total,
+      "every order must land on exactly one side of the split")
+    // floor-division shares undershoot by < 1 ppm per bucket
+    val sb = got.map(_._4).sum; val sa = got.map(_._5).sum
+    assert(sb > 1000000L - got.size && sb <= 1000000L, s"before side: $sb")
+    assert(sa > 1000000L - got.size && sa <= 1000000L, s"after side: $sa")
+    got.foreach { r =>
+      assert(r._6 === math.abs(r._4 - r._5), s"delta must be |share diff|: $r")
+    }
+  }
 }

@@ -371,4 +371,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Seq((2L, 1L, 8L, 1.0)),
       s"expected exactly the short->long direction: $got")
   }
+  test("embed_gram replays scalar-side and keeps the corpus un-shuffled") {
+    val got = Similarity.embedGram.run(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val qvs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(Similarity.quantize($"embedding")).as[Seq[Long]].collect()
+    assert(got.size === 64 * 65 / 2)
+    // spot-replay a diagonal and two off-diagonal cells exactly
+    def cell(i: Int, j: Int): Long = qvs.map(q => q(i) * q(j)).sum
+    assert(got((0L, 0L)) === cell(0, 0))
+    assert(got((3L, 17L)) === cell(3, 17))
+    assert(got((62L, 63L)) === cell(62, 63))
+    // scale shape: the corpus folds into per-partition partials — the only
+    // exchanges are the single-partition partial combine and the
+    // presentation sort; no corpus-sized shuffle
+    val plan = Similarity.embedGram.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange (hash|range)partitioning".r.findAllIn(plan).size <= 1, plan)
+  }
 }
