@@ -1151,6 +1151,61 @@ object Analytics {
     cepMatches(t(s, dir, "events"))
   }
 
+  /** Revenue-concentration (Pareto/Lorenz) deciles: customers ranked by
+    * exact lifetime revenue, bucketed into ten equal-population deciles,
+    * each reporting its customer count, exact cents, share and cumulative
+    * share in integer ppm — the "top 10% of customers drive X% of
+    * revenue" readout.
+    *
+    * Scale shape — the [[rfm]] order-statistics idiom, NOT a global
+    * per-customer rank: the per-customer aggregate collapses to a
+    * DISTINCT-VALUE histogram (cents value → customer count), the
+    * ordered window walks that |value domain| frame, and a value group
+    * is assigned the decile of its FIRST member (cum_before·10 div n) —
+    * ties stay together, which keeps the bucketing deterministic and
+    * hash-stable with no (value, custkey) tiebreak sort over all
+    * customers. Output is ≤10 rows; everything after the customer
+    * aggregate is value-domain-sized.
+    */
+  val ordersPareto: Q = Q("orders_pareto",
+    """WITH cust AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |h AS (SELECT cents, count(*) AS k FROM cust GROUP BY cents),
+      |w AS (SELECT cents, k, coalesce(sum(k) OVER (ORDER BY cents DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
+      |n AS (SELECT count(*) AS nc, CAST(sum(cents) AS BIGINT) AS total FROM cust),
+      |g AS (SELECT cb * 10 // nc AS decile, CAST(sum(k) AS BIGINT) AS n_customers,
+      |    CAST(sum(cents * k) AS BIGINT) AS cents
+      |  FROM w, n GROUP BY 1)
+      |SELECT g.decile AS decile, g.n_customers AS n_customers, g.cents AS cents,
+      |  CAST(g.cents * 1000000 // n.total AS BIGINT) AS share_ppm,
+      |  CAST((sum(g.cents) OVER (ORDER BY g.decile)) * 1000000 // n.total AS BIGINT)
+      |    AS cum_share_ppm
+      |FROM g, n ORDER BY decile""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val h = cust.groupBy(col("cents")).agg(count(lit(1)).as("k"))
+    val wDesc = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = cust.agg(count(lit(1)).as("nc"), sum(col("cents")).as("total"))
+    val g = h
+      .withColumn("cb", coalesce(sum(col("k")).over(wDesc), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(expr("cb * 10 div nc").as("decile"), col("k"),
+        (col("cents") * col("k")).as("cs"), col("total"))
+      .groupBy(col("decile"), col("total"))
+      .agg(sum(col("k")).as("n_customers"), sum(col("cs")).as("cents"))
+    g.withColumn("cum",
+        sum(col("cents")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_customers"), col("cents"),
+        expr("cents * 1000000L div total").as("share_ppm"),
+        expr("cum * 1000000L div total").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** [[eventsCep]]'s pattern pass over any (user_id, event_type, ts-nanos)
     * frame — separated so specs can pin anchor/band semantics on
     * constructed sequences.
@@ -1720,5 +1775,5 @@ object Analytics {
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
-    incrAgg, eventsDedup, eventsLateness, eventsCep)
+    incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto)
 }

@@ -756,4 +756,24 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 1L, 1 * H / 1000),
       (5L, 2L, 1 * H / 1000)))
   }
+  test("orders_pareto deciles partition customers and concentrate top revenue") {
+    import spark.implicits._
+    val got = Analytics.ordersPareto.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val nCust = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(got.map(_._2).sum === nCust, "deciles must partition the customers")
+    // equal-population up to value-group ties staying together
+    got.foreach { case (d, n, _, _, _) =>
+      assert(d >= 0 && d <= 9 && n > 0)
+    }
+    // decile 0 holds the top customers: its per-customer average revenue
+    // must be the maximum across deciles, and shares must fall thereafter
+    val avg = got.sortBy(_._1).map(r => r._3.toDouble / r._2)
+    assert(avg.zip(avg.tail).forall { case (a, b) => a >= b },
+      s"per-customer revenue must fall across deciles: $avg")
+    // cumulative share reaches ~100% (floor-division undershoot < 10 ppm)
+    val last = got.maxBy(_._1)._5
+    assert(last > 999990L && last <= 1000000L, s"cum share end: $last")
+  }
 }
