@@ -493,6 +493,49 @@ object Analytics {
     sessionFrame(s, dir).orderBy(col("user_id"), col("session_no"))
   }
 
+  /** The BUILT-IN sessionization operator, next to [[sessionize]]'s
+    * hand-rolled lag/cumsum form: `session_window(ts, gap)` plans as a
+    * native streaming-capable session aggregation (UpdatingSessionsExec +
+    * merging buffers — the same operator Structured Streaming state uses),
+    * so the engine demonstrably covers both the composed and the built-in
+    * route to the same semantics. One boundary difference, replayed
+    * exactly in the oracle: session_window intervals are [t, t+gap), so an
+    * event at EXACTLY the previous end starts a NEW session (the
+    * lag/cumsum form's `> gap` break keeps it) — the oracle breaks on
+    * `>= gap` to match. Window end is last event + gap by construction.
+    *
+    * Scale shape: one user-keyed exchange into the session merge, output
+    * one row per session — the operator Spark maintains for exactly this
+    * at streaming scale; nothing bespoke rides the plan.
+    */
+  val sessionBuiltin: Q = Q("events_session_builtin",
+    """WITH d AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |s AS (SELECT user_id, tus,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |t AS (SELECT user_id, tus,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM s)
+      |SELECT user_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+      |  CAST(max(tus) + 1800000000 AS BIGINT) AS session_end_us,
+      |  count(*) AS n_events
+      |FROM t GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("tss",
+        expr(s"timestamp_micros(${Tables.nanosToMicrosSql("ts")})"))
+      .groupBy(col("user_id"),
+        session_window(col("tss"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("session_start_us"),
+        expr("unix_micros(w.end)").as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** Events with their 30-minute-gap session assignment — the shared
     * upstream of [[sessionize]], [[eventsConcurrency]] and
     * [[eventsTopPaths]] (one definition of "session", three consumers).
@@ -1775,5 +1818,6 @@ object Analytics {
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
-    incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto)
+    incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,
+    sessionBuiltin)
 }

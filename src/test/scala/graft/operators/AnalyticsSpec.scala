@@ -776,4 +776,20 @@ class AnalyticsSpec extends SparkSpec {
     val last = got.maxBy(_._1)._5
     assert(last > 999990L && last <= 1000000L, s"cum share end: $last")
   }
+  test("events_session_builtin plans the native session operator and agrees with the lag/cumsum form") {
+    import spark.implicits._
+    val q = Analytics.sessionBuiltin.run(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"),
+      s"expected the native session-window operator:\n$plan")
+    // parity with the hand-rolled sessionizer: same (user, session_start)
+    // set and member counts — the corpus has no exact-30min gaps, so the
+    // one documented boundary difference cannot bite here
+    val builtin = q.select($"user_id", $"session_start_us", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val custom = Analytics.sessionize.run(spark, dir)
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(builtin === custom)
+  }
 }
