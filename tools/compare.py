@@ -26,8 +26,28 @@ def main():
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        src = None
+        if os.path.isdir(p):
+            # Spark-written table (ScaleUp corpora): directory of part files
+            src = f"'{p}/*.parquet'"
+        elif os.path.exists(p):
+            src = f"'{p}'"
+        if src:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+            if t == "events":
+                # ScaleUp writes ts as raw int64 NANOS (the engine's declared
+                # unit); the oracles expect a timestamp column like the
+                # driver corpora carry — normalize via floor-to-micros
+                typ = con.execute(
+                    "SELECT data_type FROM duckdb_columns() "
+                    "WHERE table_name='events' AND column_name='ts'"
+                ).fetchone()[0]
+                if typ == "BIGINT":
+                    con.execute("DROP VIEW events")
+                    con.execute(
+                        f"CREATE VIEW events AS SELECT * REPLACE ("
+                        f"make_timestamp((ts - (ts % 1000 + 1000) % 1000)"
+                        f" // 1000) AS ts) FROM {src}")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
