@@ -1220,12 +1220,17 @@ object Analytics {
       |n AS (SELECT count(*) AS nc, CAST(sum(cents) AS BIGINT) AS total FROM cust),
       |g AS (SELECT cb * 10 // nc AS decile, CAST(sum(k) AS BIGINT) AS n_customers,
       |    CAST(sum(cents * k) AS BIGINT) AS cents
-      |  FROM w, n GROUP BY 1)
-      |SELECT g.decile AS decile, g.n_customers AS n_customers, g.cents AS cents,
-      |  CAST(g.cents * 1000000 // n.total AS BIGINT) AS share_ppm,
-      |  CAST((sum(g.cents) OVER (ORDER BY g.decile)) * 1000000 // n.total AS BIGINT)
-      |    AS cum_share_ppm
-      |FROM g, n ORDER BY decile""".stripMargin) { (s, dir) =>
+      |  FROM w, n GROUP BY 1),
+      |c AS (SELECT g.decile AS decile, g.n_customers AS n_customers,
+      |    g.cents AS cents, sum(g.cents) OVER (ORDER BY g.decile) AS cum,
+      |    n.total AS total
+      |  FROM g, n)
+      |SELECT decile, n_customers, cents,
+      |  CAST((cents * 1000 // total) * 1000
+      |    + ((cents * 1000 % total) * 1000) // total AS BIGINT) AS share_ppm,
+      |  CAST((cum * 1000 // total) * 1000
+      |    + ((cum * 1000 % total) * 1000) // total AS BIGINT) AS cum_share_ppm
+      |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
@@ -1240,12 +1245,19 @@ object Analytics {
         (col("cents") * col("k")).as("cs"), col("total"))
       .groupBy(col("decile"), col("total"))
       .agg(sum(col("k")).as("n_customers"), sum(col("cs")).as("cents"))
+    // ppm via base-split long division — floor(x·10⁶/total) as
+    // (x·10³ div T)·10³ + ((x·10³ mod T)·10³ div T), exact and
+    // overflow-safe to totals ≈ 9·10¹⁵ cents ($92T): the single-multiply
+    // form overflows int64 once cum·10⁶ passes 2⁶³ (it did at the ×100
+    // smoke, ~2.3·10¹⁹) and ANSI mode correctly refuses to wrap
+    def ppm(x: String): Column =
+      expr(s"($x * 1000L div total) * 1000L + (($x * 1000L % total) * 1000L) div total")
     g.withColumn("cum",
         sum(col("cents")).over(Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("decile"), col("n_customers"), col("cents"),
-        expr("cents * 1000000L div total").as("share_ppm"),
-        expr("cum * 1000000L div total").as("cum_share_ppm"))
+        ppm("cents").as("share_ppm"),
+        ppm("cum").as("cum_share_ppm"))
       .orderBy(col("decile"))
   }
 
