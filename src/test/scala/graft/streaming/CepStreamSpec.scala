@@ -98,4 +98,29 @@ class CepStreamSpec extends SparkSpec {
         Set((3L, us(ts(40)), us(ts(45)), us(ts(50)))))
     } finally query.stop()
   }
+
+  test("cepStream on RocksDB state matches the on-heap provider") {
+    // the matcher's buffered-events + scalar-anchor state must behave
+    // identically on the off-heap provider a 100 TB/day deployment runs
+    def run(name: String): Set[(Long, Long, Long, Long)] = {
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[EventsStream.Event]
+      val query = start(input, name)
+      try {
+        input.addData(
+          EventsStream.Event(ts(5), 7L, "click", 1.0),
+          EventsStream.Event(ts(8), 7L, "purchase", 5.0))
+        query.processAllAvailable()
+        input.addData(EventsStream.Event(ts(1), 7L, "view", 1.0))
+        query.processAllAvailable()
+        input.addData(EventsStream.Event(ts(59), 99L, "view", 0.0))
+        query.processAllAvailable()
+        matches(name)
+      } finally query.stop()
+    }
+    val onHeap = run("cep_heap")
+    val rocks = StateStores.withRocksDB(spark) { run("cep_rocks") }
+    assert(rocks === onHeap)
+    assert(onHeap === Set((7L, us(ts(1)), us(ts(5)), us(ts(8)))))
+  }
 }
