@@ -475,13 +475,25 @@ object EventsStream {
               case _ => // other event types don't participate
             }
           }
+          // dormant-anchor eviction: Spark drops events below the
+          // watermark before they reach this function, so every FUTURE
+          // processed event has ts ≥ wm — an armed click (or unarmed
+          // view) older than wm − band can never satisfy its band again
+          // and is dead state. Prune it here, and when only pendings
+          // remain set a timeout at (pending + band) so the prune fires
+          // on watermark progress even with no new arrivals — without
+          // this, one abandoned view per user would pin scalar state
+          // forever (the lastTouch age-out lesson).
+          if (pc >= 0 && pc < wmUs - bandMicros) { pv = -1; pc = -1 }
+          else if (pv >= 0 && pc < 0 && pv < wmUs - bandMicros) pv = -1
           if (open.isEmpty && pv < 0 && pc < 0) state.remove()
           else {
             state.update(CepState(open, pv, pc))
-            if (open.nonEmpty)
-              state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs() + 1,
-                open.map(_._1).min / 1000L + 1))
+            val wake =
+              if (open.nonEmpty) open.map(_._1).min / 1000L + 1
+              else math.max(pv, pc) / 1000L + bandMicros / 1000L + 1
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, wake))
           }
           out.result().iterator
       }

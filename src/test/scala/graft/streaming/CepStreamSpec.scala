@@ -123,4 +123,31 @@ class CepStreamSpec extends SparkSpec {
     assert(rocks === onHeap)
     assert(onHeap === Set((7L, us(ts(1)), us(ts(5)), us(ts(8)))))
   }
+  test("dormant anchors evict once the watermark passes their band") {
+    // user 11 leaves only an abandoned view; once the watermark passes
+    // view + band, its scalar state must be REMOVED, not pinned forever
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val (_, snaps) = graft.operators.Observability.withStateMetrics(spark) {
+      val query = start(input, "cep_evict")
+      try {
+        input.addData(EventsStream.Event(ts(0), 11L, "view", 1.0))
+        query.processAllAvailable()
+        // two heartbeats march the watermark far past view + 30min band
+        input.addData(EventsStream.Event(
+          Timestamp.valueOf("2024-01-01 12:00:00"), 99L, "view", 0.0))
+        query.processAllAvailable()
+        input.addData(EventsStream.Event(
+          Timestamp.valueOf("2024-01-01 14:00:00"), 99L, "view", 0.0))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    assert(matches("cep_evict").isEmpty)
+    assert(snaps.nonEmpty)
+    // user 11's abandoned anchor is gone; at most the last heartbeat's
+    // own (younger-than-band) state may remain
+    val last = snaps.groupBy(_.batchId).maxBy(_._1)._2
+    assert(last.forall(_.numRowsTotal <= 1L),
+      s"dormant CEP state must evict: $snaps")
+  }
 }
