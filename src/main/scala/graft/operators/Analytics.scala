@@ -1159,6 +1159,8 @@ object Analytics {
   // 24h: the corpus' realistic inter-event spacing (30-minute bands match
   // zero patterns even at sf0.01 — users act on day granularity here)
   private val CepBandNanos = 24L * HourNanos
+  // the CEP frames run on microsecond-floored event time (see eventsCep)
+  private val CepBandMicros = CepBandNanos / 1000L
 
   /** Complex-event pattern matching (the MATCH_RECOGNIZE shape): count,
     * per user, the clicks that complete a view → click → purchase pattern
@@ -1172,24 +1174,31 @@ object Analytics {
     * RANGE frames over the same ordered window (look-back max-flag,
     * look-ahead max-flag), so the whole pattern pass is two frame sweeps
     * on one sort — no self-joins (a join-per-step plan shuffles the events
-    * table once PER PATTERN STEP and explodes on hot users). Frames bound
-    * by ts VALUE, so duplicate-timestamp ties resolve identically on any
-    * partitioning and in the oracle.
+    * table once PER PATTERN STEP and explodes on hot users). Frames order
+    * by the MICROSECOND floor of ts, not raw nanos: DuckDB's `epoch_ns`
+    * truncates sub-micro digits, so on a nanos-unit corpus two events
+    * inside the same microsecond would satisfy Spark's `1 PRECEDING` raw
+    * bound yet collapse to an excluded tie in the oracle — flooring both
+    * engines to micros (the [[Tables.nanosToMicros]] idiom every other
+    * events consumer uses) makes ties resolve identically on any
+    * partitioning, in the oracle, and in the micros-native streaming twin.
     */
   val eventsCep: Q = Q("events_cep",
-    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
-      |f AS (SELECT user_id, event_type, tns,
+    s"""WITH e AS (SELECT user_id, event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % 1000 + 1000) % 1000)) // 1000 AS tus
+      |  FROM events),
+      |f AS (SELECT user_id, event_type, tus,
       |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
-      |      (PARTITION BY user_id ORDER BY tns
-      |       RANGE BETWEEN $CepBandNanos PRECEDING AND 1 PRECEDING) AS has_view,
+      |      (PARTITION BY user_id ORDER BY tus
+      |       RANGE BETWEEN $CepBandMicros PRECEDING AND 1 PRECEDING) AS has_view,
       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
-      |      (PARTITION BY user_id ORDER BY tns
-      |       RANGE BETWEEN 1 FOLLOWING AND $CepBandNanos FOLLOWING) AS has_purch
+      |      (PARTITION BY user_id ORDER BY tus
+      |       RANGE BETWEEN 1 FOLLOWING AND $CepBandMicros FOLLOWING) AS has_purch
       |  FROM e),
-      |m AS (SELECT user_id, tns FROM f
+      |m AS (SELECT user_id, tus FROM f
       |  WHERE event_type = 'click' AND has_view = 1 AND has_purch = 1)
       |SELECT user_id, count(*) AS n_matches,
-      |  CAST(min((tns - ((tns % 1000 + 1000) % 1000)) // 1000) AS BIGINT) AS first_match_us
+      |  CAST(min(tus) AS BIGINT) AS first_match_us
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     cepMatches(t(s, dir, "events"))
   }
@@ -1266,20 +1275,21 @@ object Analytics {
     * constructed sequences.
     */
   def cepMatches(events: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"))
     val f = events
-      .select(col("user_id"), col("event_type"), col("ts"))
+      .select(col("user_id"), col("event_type"),
+        Tables.nanosToMicros("ts").as("tus"))
       .withColumn("has_view",
         max(when(col("event_type") === "view", 1).otherwise(0))
-          .over(byUser.rangeBetween(-CepBandNanos, -1)))
+          .over(byUser.rangeBetween(-CepBandMicros, -1)))
       .withColumn("has_purch",
         max(when(col("event_type") === "purchase", 1).otherwise(0))
-          .over(byUser.rangeBetween(1, CepBandNanos)))
+          .over(byUser.rangeBetween(1, CepBandMicros)))
     f.filter(col("event_type") === "click" &&
         col("has_view") === 1 && col("has_purch") === 1)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_matches"),
-        min(Tables.nanosToMicros("ts")).as("first_match_us"))
+        min(col("tus")).as("first_match_us"))
       .orderBy(col("user_id"))
   }
 

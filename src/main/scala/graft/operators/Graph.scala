@@ -587,6 +587,9 @@ object Graph {
       }
       hop += 1
     }
+    // exit at the hop bound leaves the last frontier's checkpoint live
+    // (the in-loop release only fires at the top of the NEXT round)
+    if (!(frontier eq dist)) Dedup.releaseCheckpoint(frontier)
     dist.orderBy(col("node"))
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Idempotent keyed-parquet MERGE sink for `foreachBatch` — the concrete
@@ -20,8 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Swap protocol: the merged table is written to `.tmp-<batchId>`, the live
   * `data` dir is renamed aside, tmp renamed in, old state deleted, marker
-  * written last. Rename is the only mutation of the live path — readers see
-  * the old or the new table, never a partial write.
+  * written last (itself tmp-then-rename). Rename is the only mutation of the
+  * live path — readers see the old or the new table, never a partial write.
+  * A crash BETWEEN the two renames leaves `data` absent and `.old-<id>` as
+  * the only copy; [[recoverHalfSwap]] restores it at the top of every batch
+  * before anything reads or deletes, closing that loss window.
   *
   * 100 TB shape: per micro-batch this is one anti-join keyed on the upsert
   * key (sort-merge at table scale, broadcast when the batch is small — the
@@ -38,16 +41,41 @@ object UpsertSink {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Highest batchId already merged into `tableDir`, or -1. */
+  /** Highest batchId already merged into `tableDir`, or -1. A truncated /
+    * unparseable marker (crash mid-write on a filesystem without atomic
+    * create) also reads as -1: re-apply is idempotent, so degrading to
+    * "nothing committed" is safe where throwing would wedge the sink.
+    */
   def committedBatch(spark: SparkSession, tableDir: String): Long = {
     val f = fs(spark, tableDir)
     val marker = new Path(tableDir, "_committed_batch")
     if (!f.exists(marker)) -1L
     else {
       val in = f.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
+      val txt =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      scala.util.Try(txt.toLong).getOrElse(-1L)
     }
+  }
+
+  /** Repair a half-completed swap left by a crash between the two renames:
+    * `data` was moved aside to `.old-<id>` but the merged table was never
+    * published, so the `.old` dir is the ONLY surviving copy of the table.
+    * Restore it before any read or merge — without this, a replay would
+    * compute merged = batch-only and then delete the old dir, losing all
+    * prior state. No-op whenever `data` exists.
+    */
+  private def recoverHalfSwap(f: FileSystem, tableDir: String): Unit = {
+    val data = new Path(tableDir, "data")
+    if (f.exists(data)) return
+    val olds = Option(f.globStatus(new Path(tableDir, ".old-*")))
+      .getOrElse(Array.empty)
+    if (olds.isEmpty) return
+    val latest = olds
+      .maxBy(_.getPath.getName.stripPrefix(".old-").toLong).getPath
+    require(f.rename(latest, data), s"could not restore $latest to $data")
+    olds.map(_.getPath).filterNot(_ == latest).foreach(f.delete(_, true))
   }
 
   /** Current live table (empty-safe: before the first commit there is no
@@ -69,9 +97,10 @@ object UpsertSink {
       keyCol: String, seqCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, max_by, struct}
     val spark = batch.sparkSession
-    if (batchId <= committedBatch(spark, tableDir)) return // replayed: done
     val f = fs(spark, tableDir)
     f.mkdirs(new Path(tableDir))
+    recoverHalfSwap(f, tableDir) // crash between the two renames: restore
+    if (batchId <= committedBatch(spark, tableDir)) return // replayed: done
     // in-batch latest-wins: one map-side-combining aggregation
     val cols = batch.columns
     val latest = batch
@@ -89,7 +118,11 @@ object UpsertSink {
     val data = new Path(tableDir, "data")
     val old = new Path(tableDir, s".old-$batchId")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (f.exists(old)) f.delete(old, true) // this batchId crashed mid-swap before
+    // `data` exists here (recoverHalfSwap ran), so every remaining `.old-*`
+    // is garbage from a crash after publish — safe to clear before moving
+    // the live table aside
+    Option(f.globStatus(new Path(tableDir, ".old-*"))).getOrElse(Array.empty)
+      .foreach(s => f.delete(s.getPath, true))
     // Hadoop rename reports failure as `false`, not an exception — an
     // unchecked failure here would fall through to the marker write and
     // record a commit whose data never swapped in
@@ -97,9 +130,15 @@ object UpsertSink {
       require(f.rename(data, old), s"could not move live table aside: $data")
     require(f.rename(tmp, data), s"could not publish merged table: $tmp")
     f.delete(old, true)
-    val outStream = f.create(new Path(tableDir, "_committed_batch"), true)
+    // marker goes tmp-then-rename so a crash mid-write leaves either the
+    // previous marker or none — never a truncated file
+    val markerTmp = new Path(tableDir, "._committed_batch.tmp")
+    val outStream = f.create(markerTmp, true)
     try outStream.write(batchId.toString.getBytes("UTF-8"))
     finally outStream.close()
+    val marker = new Path(tableDir, "_committed_batch")
+    f.delete(marker, false)
+    require(f.rename(markerTmp, marker), s"could not publish marker: $marker")
   }
 
   /** The `(DataFrame, Long) => Unit` to hand `foreachBatch`. */

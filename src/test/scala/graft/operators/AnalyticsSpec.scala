@@ -746,15 +746,24 @@ class AnalyticsSpec extends SparkSpec {
       e(5, 0, "view"), e(5, 1 * H, "click"), e(5, 2 * H, "click"),
       e(5, 3 * H, "purchase"),
       // user 6: view at the SAME instant as the click — the look-back frame
-      // ends 1ns before the click's ts value, so the tie must NOT count
-      e(6, 1 * H, "view"), e(6, 1 * H, "click"), e(6, 2 * H, "purchase")
+      // ends 1µs before the click's ts value, so the tie must NOT count
+      e(6, 1 * H, "view"), e(6, 1 * H, "click"), e(6, 2 * H, "purchase"),
+      // user 7: view 400ns before the click — distinct raw nanos, but both
+      // floor to the SAME microsecond (DuckDB's epoch_ns truncates
+      // sub-micro digits), so this tie must not count either
+      e(7, 1 * H + 100, "view"), e(7, 1 * H + 500, "click"),
+      e(7, 2 * H, "purchase"),
+      // user 8: view one full microsecond before the click — counts
+      e(8, 1 * H - 1000, "view"), e(8, 1 * H, "click"),
+      e(8, 2 * H, "purchase")
     ).map { case (u, ty, t) => (u, ty, t) }
       .toDF("user_id", "event_type", "ts")
     val got = Analytics.cepMatches(fixture)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq(
       (1L, 1L, 1 * H / 1000),
-      (5L, 2L, 1 * H / 1000)))
+      (5L, 2L, 1 * H / 1000),
+      (8L, 1L, 1 * H / 1000)))
   }
   test("orders_pareto deciles partition customers and concentrate top revenue") {
     import spark.implicits._

@@ -48,6 +48,42 @@ class UpsertSinkSpec extends SparkSpec {
     assert(UpsertSink.committedBatch(spark, dir) === 0L)
   }
 
+  test("crash between the swap renames: replay restores .old-* and keeps prior state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert4").toString
+    UpsertSink.upsertBatch(
+      Seq((1L, 1L, "keep"), (2L, 1L, "old")).toDF("k", "seq", "v"),
+      0L, dir, "k", "seq")
+    // simulate the exact loss window: batch 1 crashed after rename(data→old)
+    // but before rename(tmp→data) AND before the marker write
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(f.rename(
+      new org.apache.hadoop.fs.Path(dir, "data"),
+      new org.apache.hadoop.fs.Path(dir, ".old-1")))
+    // replay of batch 1: must merge against the RESTORED table, not start empty
+    UpsertSink.upsertBatch(
+      Seq((2L, 2L, "new"), (3L, 1L, "ins")).toDF("k", "seq", "v"),
+      1L, dir, "k", "seq")
+    assert(table(dir) === Seq((1L, 1L, "keep"), (2L, 2L, "new"), (3L, 1L, "ins")))
+    assert(UpsertSink.committedBatch(spark, dir) === 1L)
+    assert(f.globStatus(new org.apache.hadoop.fs.Path(dir, ".old-*")).isEmpty)
+  }
+
+  test("truncated marker reads as -1 and the sink recovers instead of wedging") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert5").toString
+    val b = Seq((1L, 1L, "x")).toDF("k", "seq", "v")
+    UpsertSink.upsertBatch(b, 0L, dir, "k", "seq")
+    // crash mid-marker-write: empty file where the batchId should be
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(dir, "_committed_batch")
+    val f = marker.getFileSystem(conf)
+    f.create(marker, true).close()
+    assert(UpsertSink.committedBatch(spark, dir) === -1L)
+    UpsertSink.upsertBatch(b, 0L, dir, "k", "seq") // idempotent re-apply
+    assert(table(dir) === Seq((1L, 1L, "x")))
+    assert(UpsertSink.committedBatch(spark, dir) === 0L)
+  }
+
   test("foreachBatch + checkpoint restart maintains the table exactly-once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-upsert3").toString
     val landing = s"$tmp/landing"; val tableDir = s"$tmp/table"
