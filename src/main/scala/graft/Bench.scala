@@ -98,7 +98,14 @@ object Bench {
     val results = passes.map { case (name, (p1, p2)) =>
       name -> (if (p1 < 0 || p2 < 0) -1.0 else math.min(p1, p2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision in the stdout map: at 131 queries the
+    // full-precision doubles pushed the metric line past the driver's
+    // stdout tail window (BENCH_r07-r09 all recorded "parsed": null from
+    // a mid-map clip) — 3 decimals halve the line to ~3.5 KB; the sidecar
+    // keeps full precision
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // "sf" as the numeric scale factor when the dir encodes one (sf0.1 →
@@ -109,13 +116,17 @@ object Bench {
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+    // truncation-proof trailer FIRST: this compact line always fits a
+    // clipped tail, so a parser can recover the totals even when the
+    // per-query map below is cut
+    println(s"""{"total_s":${fmt(total)},"n":${results.size},"failed":${
+      results.values.count(_ < 0)},"bucketed_fixture_s":${fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)}}""")
+    // the driver-contract metric line goes LAST — nothing but sbt's own
+    // one-line [success] follows it on stdout, so a tail window loses the
+    // least possible of this line
     println(line)
-    // truncation-proof trailer: the per-query line above is long enough
-    // that captured tails have cut it mid-map; this compact line always
-    // fits, so a parser can recover the totals even from a clipped log
-    println(s"""{"total_s":$total,"n":${results.size},"failed":${
-      results.values.count(_ < 0)},"bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs}""")
+    System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
     // cannot be truncated by a capture window — write the full per-query

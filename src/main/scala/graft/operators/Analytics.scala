@@ -1162,6 +1162,11 @@ object Analytics {
   // the CEP frames run on microsecond-floored event time (see eventsCep)
   private val CepBandMicros = CepBandNanos / 1000L
 
+  // $1000 revenue bands for the Pareto two-level cumulative (the same
+  // monetary quantization orders_rfm uses) — bounds every window frame by
+  // the value range instead of the customer count
+  private val ParetoBandCents = 100000L
+
   /** Complex-event pattern matching (the MATCH_RECOGNIZE shape): count,
     * per user, the clicks that complete a view → click → purchase pattern
     * with both hops inside a 24-hour band — each match ANCHORED at its
@@ -1211,13 +1216,28 @@ object Analytics {
     *
     * Scale shape — the [[rfm]] order-statistics idiom, NOT a global
     * per-customer rank: the per-customer aggregate collapses to a
-    * DISTINCT-VALUE histogram (cents value → customer count), the
-    * ordered window walks that |value domain| frame, and a value group
-    * is assigned the decile of its FIRST member (cum_before·10 div n) —
-    * ties stay together, which keeps the bucketing deterministic and
+    * DISTINCT-VALUE histogram (cents value → customer count), and a value
+    * group is assigned the decile of its FIRST member (cum_before·10 div
+    * n) — ties stay together, which keeps the bucketing deterministic and
     * hash-stable with no (value, custkey) tiebreak sort over all
-    * customers. Output is ≤10 rows; everything after the customer
-    * aggregate is value-domain-sized.
+    * customers. Unlike prices, lifetime-revenue cents are near-unique (the
+    * histogram grows ~1:1 with |customers|), so the cumulative count runs
+    * TWO-LEVEL: values quantize into $1000 bands (the RFM monetary-band
+    * width), a single-task window cumulates only the per-band totals — a
+    * frame bounded by the REVENUE SPAN, not the customer count — and a
+    * band-partitioned window adds the intra-band offsets (≤100k integer
+    * cents values per band by construction). The sum of the two is
+    * bit-identical to the flat cumulative the oracle replays, with no
+    * unpartitioned window over a customer-sized frame anywhere in the
+    * plan. Output is ≤10 rows + `total_cents`, so any future ppm mismatch
+    * localizes to one visible division in one look.
+    *
+    * Oracle ppm arithmetic runs in HUGEINT (int128) single-multiply form —
+    * exact at any total, no `//`/`%` base-split chain to diverge across
+    * DuckDB versions; the Spark side computes the identical floor via
+    * int64 base-split (x·10³ div T)·10³ + ((x·10³ mod T)·10³ div T), exact
+    * to totals ≈ 9·10¹⁵ cents ($92T — the int64-safe bound the ×100 smoke
+    * needs; the single-multiply int64 form overflowed there).
     */
   val ordersPareto: Q = Q("orders_pareto",
     """WITH cust AS (SELECT o_custkey,
@@ -1234,37 +1254,44 @@ object Analytics {
       |    g.cents AS cents, sum(g.cents) OVER (ORDER BY g.decile) AS cum,
       |    n.total AS total
       |  FROM g, n)
-      |SELECT decile, n_customers, cents,
-      |  CAST((cents * 1000 // total) * 1000
-      |    + ((cents * 1000 % total) * 1000) // total AS BIGINT) AS share_ppm,
-      |  CAST((cum * 1000 // total) * 1000
-      |    + ((cum * 1000 % total) * 1000) // total AS BIGINT) AS cum_share_ppm
+      |SELECT decile, n_customers, cents, CAST(total AS BIGINT) AS total_cents,
+      |  CAST(CAST(cents AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT) AS cum_share_ppm
       |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
     val h = cust.groupBy(col("cents")).agg(count(lit(1)).as("k"))
-    val wDesc = Window.orderBy(col("cents").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("band", expr(s"cents div ${ParetoBandCents}L"))
+    // level 1: per-band customer counts, cumulated descending on the
+    // band frame alone (occupied bands ≤ revenue span / $1000 — bounded
+    // by the value range, never by |customers|)
+    val bandCb = h.groupBy(col("band")).agg(sum(col("k")).as("bk"))
+      .withColumn("band_cb",
+        coalesce(sum(col("bk")).over(Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("band_cb"))
+    // level 2: intra-band offsets under a band-PARTITIONED window (≤100k
+    // distinct integer cents per $1000 band); band_cb + offset replays
+    // the flat descending cumulative exactly
     val n = cust.agg(count(lit(1)).as("nc"), sum(col("cents")).as("total"))
-    val g = h
-      .withColumn("cb", coalesce(sum(col("k")).over(wDesc), lit(0L)))
+    val g = h.join(broadcast(bandCb), Seq("band"))
+      .withColumn("cb", col("band_cb") +
+        coalesce(sum(col("k")).over(Window.partitionBy(col("band"))
+          .orderBy(col("cents").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .crossJoin(broadcast(n))
       .select(expr("cb * 10 div nc").as("decile"), col("k"),
         (col("cents") * col("k")).as("cs"), col("total"))
       .groupBy(col("decile"), col("total"))
       .agg(sum(col("k")).as("n_customers"), sum(col("cs")).as("cents"))
-    // ppm via base-split long division — floor(x·10⁶/total) as
-    // (x·10³ div T)·10³ + ((x·10³ mod T)·10³ div T), exact and
-    // overflow-safe to totals ≈ 9·10¹⁵ cents ($92T): the single-multiply
-    // form overflows int64 once cum·10⁶ passes 2⁶³ (it did at the ×100
-    // smoke, ~2.3·10¹⁹) and ANSI mode correctly refuses to wrap
     def ppm(x: String): Column =
       expr(s"($x * 1000L div total) * 1000L + (($x * 1000L % total) * 1000L) div total")
     g.withColumn("cum",
         sum(col("cents")).over(Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("decile"), col("n_customers"), col("cents"),
+        col("total").as("total_cents"),
         ppm("cents").as("share_ppm"),
         ppm("cum").as("cum_share_ppm"))
       .orderBy(col("decile"))

@@ -767,22 +767,37 @@ class AnalyticsSpec extends SparkSpec {
   }
   test("orders_pareto deciles partition customers and concentrate top revenue") {
     import spark.implicits._
-    val got = Analytics.ordersPareto.run(spark, dir)
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val q = Analytics.ordersPareto.run(spark, dir)
+    // scale gate: every window ordered by the cents histogram must be
+    // band-partitioned — an unpartitioned cents window walks a frame that
+    // grows ~1:1 with |customers| through one task
+    val planLines = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    // (the decile-frame windows aggregate cents but ORDER by the ≤10-row
+    // decile axis — only a window SORTED on the cents histogram walks a
+    // customer-sized frame)
+    planLines.filter(l => "cents#\\d+L? DESC".r.findFirstIn(l).isDefined)
+      .foreach { l =>
+        assert(l.contains("band"), s"unpartitioned window over cents:\n$l")
+      }
+    val got = q.as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     val nCust = graft.sources.Tables.load(spark, dir, "orders")
       .select($"o_custkey").distinct().count()
     assert(got.map(_._2).sum === nCust, "deciles must partition the customers")
-    // equal-population up to value-group ties staying together
-    got.foreach { case (d, n, _, _, _) =>
-      assert(d >= 0 && d <= 9 && n > 0)
+    // equal-population up to value-group ties staying together; total is
+    // the same whole-corpus figure on every row (the ppm diagnostic)
+    val total = got.head._4
+    got.foreach { case (d, n, _, t, _, _) =>
+      assert(d >= 0 && d <= 9 && n > 0 && t === total)
     }
+    assert(got.map(_._3).sum === total, "decile cents must sum to total_cents")
     // decile 0 holds the top customers: its per-customer average revenue
     // must be the maximum across deciles, and shares must fall thereafter
     val avg = got.sortBy(_._1).map(r => r._3.toDouble / r._2)
     assert(avg.zip(avg.tail).forall { case (a, b) => a >= b },
       s"per-customer revenue must fall across deciles: $avg")
     // cumulative share reaches ~100% (floor-division undershoot < 10 ppm)
-    val last = got.maxBy(_._1)._5
+    val last = got.maxBy(_._1)._6
     assert(last > 999990L && last <= 1000000L, s"cum share end: $last")
   }
   test("events_session_builtin plans the native session operator and agrees with the lag/cumsum form") {
