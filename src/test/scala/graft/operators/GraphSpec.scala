@@ -298,6 +298,64 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._2).sum === pairs.map(_._2).distinct.size.toLong,
       "histogram must cover every supplier with at least one customer")
   }
+  test("graph_triangles_big matches an exact scalar replay of the k-NN co-purchase census") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    // scalar reference: weighted co-purchase pairs → per-node top-k by
+    // (w desc, neighbor) → union-symmetrized edges → brute triangle scan
+    val byOrder = tbl("lineitem").select($"l_orderkey", $"l_partkey")
+      .as[(Long, Long)].collect().groupBy(_._1).values
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { lines =>
+      val ps = lines.map(_._2)
+      for (a <- ps; b <- ps if a < b)
+        w((a, b)) = w.getOrElse((a, b), 0L) + 1L
+    }
+    val sym = w.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    val kept = sym.groupBy(_._1).values.flatMap { ns =>
+      ns.sortBy { case (_, y, c) => (-c, y) }.take(8)
+    }
+    val edges = kept.map { case (x, y, _) =>
+      (math.min(x, y), math.max(x, y))
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val triCnt = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } Seq(a, b, c).foreach(x => triCnt(x) = triCnt.getOrElse(x, 0L) + 1L)
+    val expect = triCnt.toSeq.sortBy { case (x, t) => (-t, x) }.take(100)
+    val got = Graph.trianglesBig.run(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "the co-purchase graph must close some triads")
+    graft.Scratch.release(spark)
+  }
+
+  test("the big triangle enumeration is shuffle-joined: no edge-set broadcast, no coalesce") {
+    // constructed canonical edge frame with stats erased (localCheckpoint),
+    // the same shapes trianglesBig feeds triangleCounts — the enumerated
+    // legs must stay keyed shuffle joins at any |E|
+    val raw = spark.range(0, 3000)
+      .selectExpr("id % 700 as a", "(id * 37) % 700 as b")
+      .where($"a" =!= $"b")
+      .selectExpr("least(a, b) as u", "greatest(a, b) as v")
+      .distinct().localCheckpoint()
+    val counts = Graph.triangleCounts(raw)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val parts =
+      try { spark.conf.set(coalesceKey, "false"); counts.rdd.getNumPartitions }
+      finally spark.conf.set(coalesceKey, prev)
+    assert(parts > 1, "triangle counts must stay partitioned")
+    val plan = counts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Coalesce 1"), plan)
+    val bhj = counts.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isEmpty, s"edge-set joins must shuffle, not broadcast:\n$plan")
+    graft.Scratch.release(spark)
+  }
+
   test("bfsDistances walks a chain level by level and stops at the hop bound") {
     import spark.implicits._
     // 0-1-2-...-10 chain, symmetric edges; seed 0. With the default bound
