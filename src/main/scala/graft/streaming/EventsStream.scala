@@ -147,6 +147,36 @@ object EventsStream {
       }
   }
 
+  /** Native session windows on a STREAM — the same
+    * `session_window(ts, gap)` aggregation the batch
+    * `events_session_builtin` query plans (UpdatingSessionsExec with
+    * merging session buffers IS the streaming-capable operator; this
+    * wires it through a watermark so it actually streams). Sessions
+    * close and emit in Append mode once the watermark passes their end;
+    * open sessions live in keyed state, merged as late-but-in-horizon
+    * events extend them, and are evicted on close — the built-in
+    * counterpart of [[sessionize]]'s hand-rolled mapGroupsWithState.
+    * Output schema matches the batch twin (unix-micro session bounds +
+    * event count), so stream≡batch parity is directly assertable, and
+    * runs unchanged on either state-store provider (EventsStreamSpec
+    * asserts both).
+    *
+    * Scale shape: one user-keyed exchange into the session merge (the
+    * same single shuffle as the batch plan), state bounded by open
+    * sessions inside the watermark horizon per user.
+    */
+  def sessionWindowStream(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("session_start_us"),
+        expr("unix_micros(w.end)").as("session_end_us"),
+        col("n_events"))
+
   case class RateVerdict(user_id: Long, ts_us: Long, n_window: Long,
       limited: Boolean)
 

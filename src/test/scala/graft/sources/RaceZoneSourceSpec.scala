@@ -60,6 +60,23 @@ class RaceZoneSourceSpec extends SparkSpec {
       s"pruned files were opened: $paths")
   }
 
+  test("the registered racezone_agg query prunes its fixture files at planning time") {
+    val dir = sf("sf0.001")
+    RaceZone.opened.clear()
+    val got = Ingest.raceZoneAgg.run(spark, dir)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // 25 nations → years 1990..1994 × 5 rounds; year >= 1992 keeps 3 years
+    assert(got.map(_._1) === Seq(1992L, 1993L, 1994L))
+    assert(got.map(_._2).sum === 15L, "five races per surviving year")
+    // planning-time pruning: none of the 10 files below 1992 was opened
+    val paths = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(RaceZone.opened.iterator()).asScala.toSet
+    assert(paths.nonEmpty, "content columns must force real file opens")
+    assert(paths.forall(p => !p.contains("_1990_") && !p.contains("_1991_")),
+      s"pruned files were opened: $paths")
+    Ingest.releaseSession(spark)
+  }
+
   test("content predicates stay residual and still filter correctly") {
     val dir = writeZone()
     val got = spark.read.format(Fmt).load(dir)

@@ -104,6 +104,49 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionWindowStream closes native sessions and matches the batch twin on both providers") {
+    implicit val sq = spark.sqlContext
+    // three sessions under a 30-minute gap: user 1 chains 10:00→10:10
+    // (one session), user 2 sits alone at 10:05 (arriving LATE, in a
+    // later micro-batch, inside the 10-minute horizon), user 1 returns at
+    // 10:50 after a 40-minute silence (new session)
+    val events = Seq(
+      EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+      EventsStream.Event(ts(10, 0), 1L, "view", 2.0),
+      EventsStream.Event(ts(5, 0), 2L, "click", 1.0),
+      EventsStream.Event(ts(50, 0), 1L, "click", 1.0))
+    def run(name: String): Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[EventsStream.Event]
+      val query = EventsStream.sessionWindowStream(input.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(events(0), events(1))
+        query.processAllAvailable() // watermark 10:10 − 10 min = 10:00
+        input.addData(events(2), events(3)) // 10:05 late but in horizon
+        query.processAllAvailable()
+        // push the watermark past every fixture session's end (last ends
+        // 10:50 + 30 min = 11:20); the flush user's own session stays
+        // open and must NOT emit
+        input.addData(EventsStream.Event(
+          Timestamp.valueOf("2024-01-01 11:35:00"), 99L, "flush", 0.0))
+        query.processAllAvailable()
+        spark.table(name)
+          .as[(Long, Long, Long, Long)].collect().toSet
+      } finally query.stop()
+    }
+    // batch twin: the IDENTICAL transform over the static frame (the
+    // watermark is a no-op in batch) — the stream must emit exactly the
+    // sessions the batch session_window aggregation produces
+    val batch = EventsStream.sessionWindowStream(events.toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.size === 3, s"fixture must form 3 sessions: $batch")
+    val onHeap = run("swin_heap")
+    assert(onHeap === batch, "stream≡batch parity on the default provider")
+    val rocks = StateStores.withRocksDB(spark) { run("swin_rocks") }
+    assert(rocks === batch, "stream≡batch parity on RocksDB")
+  }
+
   test("dedupStream drops duplicate (user, type) events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
