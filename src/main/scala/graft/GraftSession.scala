@@ -83,9 +83,26 @@ object GraftSession {
     // metadata-only; a dir without an embeddings table keeps defaults.
     dataDir.foreach { dir =>
       try {
-        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
         Knobs.sizeLshFor(n)
         System.err.println(s"[graft] LSH corpus hint: $n vectors in $dir")
+        // measured occupancy feeds the sizing too (LshPlanes
+        // .derivedGeometry) — only where it can matter (≤4k keeps the
+        // recall-tuned default geometry regardless), and on a
+        // deterministic ≤64k modulo sample so the instrument pass stays
+        // one bounded codegen scan at any corpus size (concentration is
+        // a ratio — sampling-invariant)
+        if (n > 4000L) {
+          val step = math.max(1L, n / 65536L)
+          val sample = emb.filter(
+            org.apache.spark.sql.functions.col("vec_id") % step === 0)
+          functions.LshSizing.measuredSkew(sample).foreach { s =>
+            Knobs.sizeLshSkew(s)
+            System.err.println(
+              f"[graft] LSH measured bucket concentration: $s%.2f")
+          }
+        }
       } catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     // Dedup.releaseCheckpoint unpersists each CC round's localCheckpoint

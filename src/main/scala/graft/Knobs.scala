@@ -31,6 +31,7 @@ object Knobs {
   // after the freeze is a programming-order bug — warn, never retro-size.
 
   @volatile private var lshRows: Option[Long] = None
+  @volatile private var lshSkew: Option[Double] = None
   @volatile private var lshFrozen = false
 
   /** Record the embeddings corpus row count for geometry auto-sizing.
@@ -42,9 +43,19 @@ object Knobs {
         s"[graft] LSH geometry already frozen; ignoring corpus hint $rows")
     else lshRows = Some(rows)
 
+  /** Record the MEASURED bucket-concentration factor
+    * ([[graft.functions.LshSizing.measuredSkew]]) alongside the row
+    * count — same freeze contract.
+    */
+  def sizeLshSkew(skew: Double): Unit =
+    if (lshFrozen)
+      System.err.println(
+        s"[graft] LSH geometry already frozen; ignoring skew hint $skew")
+    else lshSkew = Some(skew)
+
   /** One-shot read by LshPlanes' initializer. */
-  private[graft] def freezeLshHint(): Option[Long] = {
+  private[graft] def freezeLshHint(): Option[(Long, Option[Double])] = {
     lshFrozen = true
-    lshRows
+    lshRows.map(n => (n, lshSkew))
   }
 }

@@ -47,13 +47,32 @@ object LshPlanes {
   private[graft] def envInt(name: String, default: Int, lo: Int, hi: Int): Int =
     graft.Knobs.envInt(name, default, lo, hi)
 
-  private val sized: Option[(Int, Int)] = graft.Knobs.freezeLshHint().map { n =>
+  /** Pure geometry derivation from (corpus rows, measured bucket
+    * concentration) — factored out so specs exercise the sizing without
+    * freezing the JVM-lifetime constant. ≤4k vectors keep the
+    * recall-tuned default regardless of skew (every shipped gate corpus).
+    * Above that, bits start at ⌈log2(n/15)⌉ and the MEASURED
+    * concentration factor ([[LshSizing.measuredSkew]]) adds ⌈log2(skew)⌉
+    * more: within-bucket pair cost scales by skew relative to the
+    * uniform-occupancy assumption, and each extra bit halves expected
+    * bucket size, so the extra bits restore the uniform-case budget. A
+    * near-uniform measurement (≤1.5, inside Poisson noise) changes
+    * nothing — the uniform corpus keeps the row-count geometry.
+    */
+  def derivedGeometry(n: Long, skew: Option[Double]): (Int, Int) =
     if (n <= 4000L) (16, 6)
     else {
-      val bits = math.ceil(math.log(n / 15.0) / math.log(2.0)).toInt
-      (8, math.min(24, math.max(8, bits)))
+      val base = math.ceil(math.log(n / 15.0) / math.log(2.0)).toInt
+      val extra = skew.filter(_ > 1.5)
+        .map(s => math.ceil(math.log(s) / math.log(2.0)).toInt)
+        .getOrElse(0)
+      (8, math.min(24, math.max(8, base + extra)))
     }
-  }
+
+  private val sized: Option[(Int, Int)] =
+    graft.Knobs.freezeLshHint().map { case (n, skew) =>
+      derivedGeometry(n, skew)
+    }
   sized.foreach { case (t, b) =>
     System.err.println(s"[graft] LSH geometry auto-sized to $t tables x $b bits")
   }
