@@ -477,7 +477,93 @@ object Sampling {
         count(lit(1)).as("n_versions"), max(col("seq")).as("last_seq"))
       .filter(col("op") =!= "D")
 
+  private val DayNanos = 86400L * 1000000000L
+
+  /** Mergeable distinct-count sketch (HLL-register shape) maintained at
+    * DAY grain and folded to a total — the incremental COUNT DISTINCT
+    * primitive [[cdcApply]]/`incr_agg_merge` lack: plain distinct counts
+    * don't merge across snapshots (yesterday's count + today's count
+    * overcounts returners), but max-merged rho registers do, exactly —
+    * a new day folds into the running total with one 64-row max, no
+    * rescan of history. That algebraic identity (per-day max of maxes ≡
+    * global max) is what the gate pins: the output's register statistics
+    * come from the DAY-partial merge path, and the oracle replays the
+    * identical construction, so any drift in hash, bucketing, register
+    * width, or merge grain breaks the hash match.
+    *
+    * Cross-engine determinism, no floats: the hash is the first 12 hex
+    * chars of md5(user_id) — the engine's standard replayable-randomness
+    * source (the LSH tensor idiom) — parsed to a 48-bit int in both
+    * engines; rho is the trailing-zero count of the post-bucket bits via
+    * the `x & -x` lowbit (log2 of a power of two is float-exact), and
+    * the Σ2^-r indicator is fixed-point (2³⁰ scale, floor division), so
+    * every output cell is an exact BIGINT. The exact per-type distinct
+    * rides along as the fidelity reference (a production pipeline ships
+    * only the 64 registers per grain — constant state per snapshot).
+    *
+    * Scale shape: one scan; map-side partial max collapses the shuffle
+    * to ≤ |types|·|days|·64 register rows; everything after is
+    * register-domain-sized. (The count(DISTINCT) reference column is the
+    * gate's luxury, not the sketch's cost.)
+    */
+  val distinctSketch: Q = Q("distinct_sketch",
+    s"""WITH e AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+      |    user_id
+      |  FROM events),
+      |x AS (SELECT event_type, day, h % 64 AS bucket, h // 64 AS rest FROM e),
+      |rho AS (SELECT event_type, day, bucket,
+      |    CASE WHEN rest = 0 THEN 43
+      |         ELSE CAST(log2(rest & (-rest)) AS BIGINT) + 1 END AS rho
+      |  FROM x),
+      |daily AS (SELECT event_type, day, bucket, max(rho) AS r
+      |  FROM rho GROUP BY 1, 2, 3),
+      |merged AS (SELECT event_type, bucket, max(r) AS r
+      |  FROM daily GROUP BY 1, 2),
+      |stats AS (SELECT event_type, count(*) AS occupied,
+      |    CAST(sum(r) AS BIGINT) AS sum_reg,
+      |    CAST(sum(1073741824 // (1 << r)) AS BIGINT) AS fp_occ
+      |  FROM merged GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+      |    count(DISTINCT day) AS n_days FROM e GROUP BY 1)
+      |SELECT s.event_type, CAST(ex.n_days AS BIGINT) AS n_days,
+      |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+      |  CAST(s.occupied AS BIGINT) AS occupied, s.sum_reg,
+      |  CAST(s.fp_occ + (64 - s.occupied) * 1073741824 AS BIGINT) AS inv_sum_fp
+      |FROM stats s JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events").select(col("event_type"),
+      expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"),
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"),
+      col("user_id"))
+    val rho = e
+      .withColumn("bucket", expr("h % 64"))
+      .withColumn("rest", expr("h div 64"))
+      .withColumn("rho", expr(
+        "CASE WHEN rest = 0 THEN 43L ELSE CAST(log2(rest & -rest) AS BIGINT) + 1L END"))
+    val daily = rho.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val merged = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val stats = merged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("occupied"),
+        sum(col("r")).as("sum_reg"),
+        sum(expr("1073741824L div shiftleft(1L, CAST(r AS INT))")).as("fp_occ"))
+    val ex = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"),
+        countDistinct(col("day")).as("n_days"))
+    stats.join(ex, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_distinct"),
+        col("occupied"), col("sum_reg"),
+        (col("fp_occ") + (lit(64L) - col("occupied")) * 1073741824L)
+          .as("inv_sum_fp"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
-      temperature, pack, lengthBuckets, snapshotMerge, cdcApply)
+      temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
+      distinctSketch)
 }

@@ -202,4 +202,57 @@ class SamplingSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(plan).size <= 1, plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("distinct_sketch: scalar register replay, day-merge identity, estimate fidelity") {
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts", $"user_id")
+      .as[(String, Long, Long)].collect()
+    val dayNs = 86400L * 1000000000L
+    // scalar reference registers, built BOTH ways: per-day partials
+    // max-merged, and directly from the raw rows — the mergeability
+    // identity the operator's whole reason to exist rests on
+    def hash(u: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString, 16)
+    def rho(h: Long): Long = {
+      val rest = h / 64
+      if (rest == 0) 43L
+      else java.lang.Long.numberOfTrailingZeros(rest) + 1L
+    }
+    def regs(rows: Seq[(String, Long, Long)]): Map[(String, Long), Long] =
+      rows.groupBy(r => (r._1, hash(r._3) % 64))
+        .view.mapValues(_.map(r => rho(hash(r._3))).max).toMap
+    val direct = regs(events.toSeq)
+    val mergedDaily = events.groupBy(e => Math.floorDiv(e._2, dayNs))
+      .values.map(d => regs(d.toSeq))
+      .foldLeft(Map.empty[(String, Long), Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          k -> math.max(acc.getOrElse(k, 0L), m.getOrElse(k, 0L))
+        }.toMap
+      }
+    assert(mergedDaily === direct, "per-day max-merge must equal direct registers")
+    val got = Sampling.distinctSketch.run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    got.foreach { case (ty, _, exact, occupied, sumReg, invFp) =>
+      val mine = direct.filter(_._1._1 == ty)
+      assert(occupied === mine.size.toLong, s"$ty occupied")
+      assert(sumReg === mine.values.sum, s"$ty sum_reg")
+      val fp = mine.values.map(r => (1L << 30) / (1L << r)).sum +
+        (64 - mine.size) * (1L << 30)
+      assert(invFp === fp, s"$ty inv_sum_fp")
+      // HLL estimate from the exact fixed-point indicator: alpha·m²/Σ2^-r,
+      // with the standard linear-counting switch in the small range
+      // (raw < 2.5m and empty buckets remain). m=64 → ~13% standard
+      // error; assert a loose 35% band
+      val raw = 0.709 * 64 * 64 / (invFp.toDouble / (1L << 30))
+      val est =
+        if (raw < 160.0 && occupied < 64)
+          64.0 * math.log(64.0 / (64 - occupied))
+        else raw
+      assert(math.abs(est - exact) / exact < 0.35,
+        s"$ty estimate $est vs exact $exact")
+    }
+  }
 }
