@@ -479,6 +479,22 @@ object Sampling {
 
   private val DayNanos = 86400L * 1000000000L
 
+  /** Adds the [[distinctSketch]] hash columns (`bucket`, `rho`) to any
+    * frame with a `user_id` column — shared by the batch sketch and its
+    * streaming twin ([[graft.streaming.EventsStream.sketchStream]]) so
+    * the register arithmetic cannot drift between the two. See
+    * [[distinctSketch]] for the cross-engine determinism argument.
+    */
+  private[graft] def withSketchRho(events: DataFrame): DataFrame =
+    events
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", expr("h % 64"))
+      .withColumn("rho", expr(
+        """CASE WHEN h div 64 = 0 THEN 43L
+          |ELSE CAST(log2((h div 64) & -(h div 64)) AS BIGINT) + 1L END"""
+          .stripMargin))
+
   /** Mergeable distinct-count sketch (HLL-register shape) maintained at
     * DAY grain and folded to a total — the incremental COUNT DISTINCT
     * primitive [[cdcApply]]/`incr_agg_merge` lack: plain distinct counts
@@ -533,16 +549,11 @@ object Sampling {
       |  CAST(s.fp_occ + (64 - s.occupied) * 1073741824 AS BIGINT) AS inv_sum_fp
       |FROM stats s JOIN ex USING (event_type)
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "events").select(col("event_type"),
-      expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"),
-      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
-        .as("h"),
-      col("user_id"))
+    val e = withSketchRho(Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"),
+        col("user_id")))
     val rho = e
-      .withColumn("bucket", expr("h % 64"))
-      .withColumn("rest", expr("h div 64"))
-      .withColumn("rho", expr(
-        "CASE WHEN rest = 0 THEN 43L ELSE CAST(log2(rest & -rest) AS BIGINT) + 1L END"))
     val daily = rho.groupBy(col("event_type"), col("day"), col("bucket"))
       .agg(max(col("rho")).as("r"))
     val merged = daily.groupBy(col("event_type"), col("bucket"))
@@ -554,6 +565,7 @@ object Sampling {
     val ex = e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_distinct"),
         countDistinct(col("day")).as("n_days"))
+    // (bucket/rho columns ride along in e; ex ignores them)
     stats.join(ex, Seq("event_type"))
       .select(col("event_type"), col("n_days"), col("exact_distinct"),
         col("occupied"), col("sum_reg"),

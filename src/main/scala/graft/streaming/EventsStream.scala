@@ -177,6 +177,24 @@ object EventsStream {
         expr("unix_micros(w.end)").as("session_end_us"),
         col("n_events"))
 
+  /** Streaming distinct-count sketch — the online twin of the batch
+    * `distinct_sketch` query: per micro-batch, fold arriving events into
+    * the (event_type, bucket) → max-rho register table via a plain
+    * streaming max aggregation. No watermark and no eviction are NEEDED:
+    * unlike row-keyed state, the register table's domain is bounded by
+    * construction (|types| × 64 rows — the whole point of a sketch), so
+    * "unbounded" state here is a few KB forever. Registers merge across
+    * restarts, days, and with the batch-built partials by the same max —
+    * the mergeability the batch gate proves algebraically. Register
+    * arithmetic is [[graft.operators.Sampling.withSketchRho]], shared
+    * with the batch side so the two cannot drift.
+    */
+  def sketchStream(events: DataFrame): DataFrame =
+    graft.operators.Sampling.withSketchRho(
+        events.select(col("event_type"), col("user_id")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+
   case class RateVerdict(user_id: Long, ts_us: Long, n_window: Long,
       limited: Boolean)
 

@@ -147,6 +147,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(rocks === batch, "stream≡batch parity on RocksDB")
   }
 
+  test("sketchStream registers match the batch sketch over the same events") {
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      EventsStream.Event(ts(0), 1L, "click", 1.0),
+      EventsStream.Event(ts(1), 2L, "click", 1.0),
+      EventsStream.Event(ts(2), 3L, "view", 1.0),
+      EventsStream.Event(ts(3), 1L, "click", 1.0), // returner: no new register
+      EventsStream.Event(ts(4), 4L, "view", 1.0))
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.sketchStream(input.toDF())
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode(OutputMode.Complete).start()
+    val streamed = try {
+      input.addData(events(0), events(1), events(2))
+      query.processAllAvailable()
+      input.addData(events(3), events(4)) // folds into existing registers
+      query.processAllAvailable()
+      spark.table("sketch_out")
+        .as[(String, Long, Long)].collect().toSet
+    } finally query.stop()
+    // batch twin over the same static rows — identical shared arithmetic
+    val batch = EventsStream.sketchStream(events.toDF())
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch, "stream≡batch register parity")
+    assert(batch.nonEmpty && batch.size <= 2 * 64,
+      "register table must stay domain-bounded")
+  }
+
   test("dedupStream drops duplicate (user, type) events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
