@@ -1172,6 +1172,74 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
+  private val bpeEncodeOracle: String = {
+    val iters = (1 to BpeMerges).map(bpeIterSql).mkString(",\n")
+    s"""WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS w
+       |  FROM documents),
+       |v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+       |e0 AS (SELECT '  ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '  ')
+       |    || '  ' AS enc, c FROM v),
+       |$iters,
+       |tok AS (SELECT unnest(list_filter(string_split(enc, '  '),
+       |    x -> x != '')) AS token, c FROM e$BpeMerges)
+       |SELECT token, CAST(sum(c) AS BIGINT) AS n FROM tok
+       |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin
+  }
+
+  /** BPE ENCODING with a learned rule table — the inference half of the
+    * tokenizer loop [[bpeTrain]] trains: apply the ordered merge rules to
+    * the word vocabulary and report the resulting token histogram (the
+    * fertility/coverage readout a tokenizer owner checks after
+    * training). On the training corpus the sequential rule application
+    * reproduces the trainer's final encoded state exactly — the property
+    * the oracle pins by replaying the training chain to its last CTE and
+    * histogramming that.
+    *
+    * Scale shape: the corpus is touched once (the word-count pass); the
+    * encode itself is the [[BpeMerges]] chained `replace` calls over the
+    * |vocab| frame — ONE narrow codegen projection, no shuffle, however
+    * large the corpus that vocabulary summarizes — then a token
+    * histogram with map-side partials. The rule table rides the closure
+    * ([[bpeMerges]]' 8-row argmax output: the model, not data — the
+    * k-means centroid convention).
+    */
+  val bpeEncode: Q = Q("text_bpe_encode", bpeEncodeOracle) { (s, dir) =>
+    val rules = bpeMerges(docs(s, dir)).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs(s, dir)
+      .select(explode(expr(
+        "regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    bpeEncodeTokens(words, rules)
+      .orderBy(col("n").desc, col("token")).limit(40)
+  }
+
+  /** Apply an ordered BPE merge-rule list to a (w, c) word-count frame and
+    * return the (token, n) histogram — the production encode path for ANY
+    * text, trained rules shipped as a model. Separated so specs can
+    * encode unseen words with a learned table. The chained replaces use
+    * the same double-space sentinel encoding as training, so each rule is
+    * the exact left-to-right non-overlapping merge in both engines.
+    */
+  def bpeEncodeTokens(wordsDf: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    val e0 = wordsDf.select(
+      concat(lit("  "), expr(
+        "array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '  ')"),
+        lit("  ")).as("enc"),
+      col("c"))
+    val encoded = rules.foldLeft(e0) { case (acc, (l, r)) =>
+      acc.select(call_function("replace", col("enc"),
+        lit(s" $l  $r "), lit(s" $l$r ")).as("enc"), col("c"))
+    }
+    encoded
+      .select(explode(expr("filter(split(enc, '  '), x -> x != '')")).as("token"),
+        col("c"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
+  }
+
   /** Per-document duplicated-passage coverage — exact substring dedup at
     * word-shingle granularity (the C4 / "Deduplicating Training Data"
     * pass): an 8-gram occurring in ≥2 DISTINCT documents marks its 8 token
@@ -1279,5 +1347,5 @@ object TextAnalysis {
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
-      predictability, dedupSpans, bpeTrain)
+      predictability, dedupSpans, bpeTrain, bpeEncode)
 }

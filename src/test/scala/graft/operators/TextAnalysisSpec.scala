@@ -550,4 +550,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got2 === Seq((1, "t", "o", 3L), (2, "i", "t", 2L)))
   }
+  test("bpeEncodeTokens applies a learned rule table to UNSEEN words in order") {
+    // rules learned elsewhere: (a,b) then (ab,c). Encoding new words:
+    //  "abcab" -> [abc, ab]   (rule 1 merges both ab's, rule 2 chains one)
+    //  "bca"   -> [b, c, a]   (no ' a  b ' adjacency — rules don't fire)
+    //  "abab"  -> [ab, ab]    (consecutive occurrences both merge)
+    val words = Seq(("abcab", 2L), ("bca", 1L), ("abab", 1L)).toDF("w", "c")
+    val got = TextAnalysis
+      .bpeEncodeTokens(words, Seq(("a", "b"), ("ab", "c")))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "abc" -> 2L, // one per "abcab" occurrence
+      "ab" -> 4L,  // trailing ab x2 + both ab's of "abab"
+      "b" -> 1L, "c" -> 1L, "a" -> 1L))
+  }
 }
