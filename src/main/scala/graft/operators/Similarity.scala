@@ -106,6 +106,57 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Metadata-FILTERED vector search — the RAG-serving shape [[knnBrute]]
+    * lacks: each probe retrieves its top-5 only among vectors sharing the
+    * probe's `label` (tenant / category / language in production). The
+    * filter applies BEFORE scoring (pre-filtering): post-filtering a
+    * fixed-k candidate list is the classic recall bug when the predicate
+    * is selective — k survivors of an unfiltered top-k are not the top-k
+    * of the filtered set. Exact brute force over the filtered slice is
+    * the correctness baseline; at scale the same predicate becomes
+    * partition pruning under a label-partitioned layout (the
+    * [[graft.sources.Ingest.bucketedTables]] argument), and the
+    * LSH/IVF/PQ candidate paths compose by carrying the label through
+    * the candidate join — the plumbing, not the semantics, changes.
+    *
+    * Scale shape: 5 probe rows broadcast; the corpus-side scan stays one
+    * codegen pass (quantize + dot), the equality predicate drops
+    * non-matching rows before any arithmetic, and the per-probe top-5 is
+    * a bounded window over each probe's filtered stripe.
+    */
+  val annFiltered: Q = Q("ann_filtered",
+    s"""WITH $quantizedSql,
+      |lb AS (SELECT vec_id, label FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+      |    ${cosSql("q.qv", "q.nrm", "t.qv", "t.nrm")} AS cos_sim
+      |  FROM nz q JOIN lb ql ON ql.vec_id = q.vec_id
+      |  JOIN nz t ON q.vec_id < 5 AND t.vec_id != q.vec_id
+      |  JOIN lb tl ON tl.vec_id = t.vec_id AND tl.label = ql.label),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      |  FROM p)
+      |SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** LSH layout (constants in [[graft.functions.LshPlanes]]): 16 independent
     * tables × 6-bit signatures (64 buckets each). One table alone has poor
     * recall (a true neighbor must match all bits at once); OR-amplification
@@ -812,6 +863,6 @@ object Similarity {
   }
 
   val all: Seq[Q] =
-    Seq(knnBrute, annLsh, annIvf, kmeansTrain, annRecall, embedProject,
-      classStats, annPq, embedGram)
+    Seq(knnBrute, annFiltered, annLsh, annIvf, kmeansTrain, annRecall,
+      embedProject, classStats, annPq, embedGram)
 }
