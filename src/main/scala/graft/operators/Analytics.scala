@@ -493,6 +493,58 @@ object Analytics {
     sessionFrame(s, dir).orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Events per training sequence cap for [[eventsSequences]]. */
+  private val SeqMaxLen = 20
+
+  /** Per-session ordered ACTION SEQUENCES — the behavior-sequence
+    * extraction a recommendation / user-model training pipeline runs over
+    * the event log: for every 30-minute session, the first [[SeqMaxLen]]
+    * event types in event-time order joined into one training string,
+    * with the true length and a truncation flag riding along (the
+    * sequence-length planning inputs [[graft.operators.Sampling]]'s
+    * packing and length-bucket stages consume).
+    *
+    * Determinism: elements sort by (tus, event_id) — event_id breaks
+    * same-microsecond ties identically in both engines. Scale shape: ONE
+    * user-keyed exchange (the shared [[sessionEvents]] sort), then a
+    * session-keyed aggregation whose per-group state is the session's own
+    * event list — the working set ANY sequence builder needs, bounded by
+    * session activity, not the corpus; the cap bounds the OUTPUT string.
+    */
+  val eventsSequences: Q = Q("events_sequences",
+    s"""WITH d AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      |  FROM events),
+      |s AS (SELECT user_id, event_id, event_type, tus,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |t AS (SELECT user_id, event_id, event_type, tus,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM s),
+      |u AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+      |    ORDER BY tus, event_id) AS rn FROM t)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  min(tus) AS session_start_us,
+      |  string_agg(CASE WHEN rn <= $SeqMaxLen THEN event_type END, '>'
+      |    ORDER BY tus, event_id) AS action_seq,
+      |  count(*) > $SeqMaxLen AS truncated
+      |FROM u GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+    sessionEvents(s, dir)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("session_start_us"),
+        array_join(slice(expr(
+          "transform(array_sort(collect_list(struct(tus, event_id, event_type)))," +
+            " x -> x.event_type)"),
+          1, SeqMaxLen), ">").as("action_seq"))
+      .withColumn("truncated", col("n_events") > SeqMaxLen)
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("session_start_us"), col("action_seq"), col("truncated"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   /** The BUILT-IN sessionization operator, next to [[sessionize]]'s
     * hand-rolled lag/cumsum form: `session_window(ts, gap)` plans as a
     * native streaming-capable session aggregation (UpdatingSessionsExec +
@@ -1865,6 +1917,7 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
+    eventsSequences,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
     incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,
