@@ -574,8 +574,112 @@ object Sampling {
       .orderBy(col("event_type"))
   }
 
+  /** Temporal holdout split — the leakage rule [[splitSafe]]'s
+    * cluster-based assignment cannot express: per user, the FIRST 80% of
+    * events (event-time order) train and the LAST 20% evaluate, so
+    * evaluation is always strictly in the training data's future for
+    * that user — the split a sequence / recommendation model needs
+    * (random or hash splits leak future behavior into training). The
+    * 80/20 boundary is pure integer arithmetic (rn·5 ≤ n·4), and
+    * ordering ties break on event_id, so assignment is deterministic on
+    * any partitioning and replays exactly in the oracle.
+    *
+    * Scale shape: one user-keyed exchange feeding both the rank and the
+    * per-user count windows (same sort), then a stateless projection —
+    * no global order, no driver state.
+    */
+  val timeSplit: Q = Q("sample_time_split",
+    """WITH d AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+      |r AS (SELECT event_id, user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS n FROM d)
+      |SELECT event_id, user_id,
+      |  CASE WHEN rn * 5 <= n * 4 THEN 'train' ELSE 'eval' END AS split
+      |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val w = byUser.orderBy(col("tus"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Tables.nanosToMicros("ts").as("tus"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .select(col("event_id"), col("user_id"),
+        when(col("rn") * 5 <= col("n") * 4, "train").otherwise("eval")
+          .as("split"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Draws per positive-free slot for [[negatives]]: 8 probes per user
+    * comfortably survive positive collisions (a user touches ~2% of the
+    * item domain) to fill the 3 kept slots. */
+  private val NegDraws = 8
+  private val NegK = 3
+
+  /** Deterministic NEGATIVE SAMPLING for recommendation / contrastive
+    * training: per customer, [[NegK]] items they never purchased, drawn
+    * by replayable hashing. The scale trick is what is ABSENT: the naive
+    * candidate space (every customer × every item, anti-join positives)
+    * is |users|·|items| — quadratic and dead at any real scale. Instead
+    * each user gets [[NegDraws]] pseudo-random PROBES (md5 of user#j
+    * mapped into the item-key domain), and only those M·|users| rows
+    * meet the positives in a keyed anti-join; duplicates collapse to
+    * their first draw and the first [[NegK]] survivors (draw order, then
+    * item) are kept. A probe colliding with a positive just burns one of
+    * the 8 draws — both engines replay the identical probes, so the gate
+    * pins the whole path. Item keys are mapped modulo the item COUNT
+    * (one scalar, broadcast) — the key domain is contiguous in this
+    * corpus; a sparse catalog would add a semi-join against the item
+    * dimension, same shape.
+    */
+  val negatives: Q = Q("sample_negatives",
+    s"""WITH pos AS (SELECT DISTINCT o.o_custkey AS cust,
+      |    CAST(l.l_partkey AS BIGINT) AS item
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |np AS (SELECT count(*) AS n FROM part),
+      |cands AS (SELECT c.cust, j.j,
+      |    CAST(concat('0x', substr(md5(CAST(c.cust AS VARCHAR) || '#' ||
+      |      CAST(j.j AS VARCHAR)), 1, 12)) AS BIGINT) % (SELECT n FROM np) AS item
+      |  FROM (SELECT DISTINCT cust FROM pos) c,
+      |       (SELECT unnest(range($NegDraws)) AS j) j),
+      |neg AS (SELECT cust, item, min(j) AS j FROM cands
+      |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+      |    WHERE p.cust = cands.cust AND p.item = cands.item)
+      |  GROUP BY 1, 2),
+      |r AS (SELECT cust, item,
+      |    row_number() OVER (PARTITION BY cust ORDER BY j, item) AS rank
+      |  FROM neg)
+      |SELECT CAST(cust AS BIGINT) AS cust, CAST(rank AS BIGINT) AS rank, item
+      |FROM r WHERE rank <= $NegK ORDER BY cust, rank""".stripMargin) { (s, dir) =>
+    val pos = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_partkey").cast("long").as("item"))
+      .distinct()
+    val np = Tables.load(s, dir, "part").agg(count(lit(1)).as("np"))
+    val cands = pos.select(col("cust")).distinct()
+      .crossJoin(broadcast(np))
+      .select(col("cust"), explode(expr(
+        s"sequence(0, ${NegDraws - 1})")).as("j"), col("np"))
+      .withColumn("item", expr(
+        """CAST(conv(substr(md5(concat(CAST(cust AS STRING), '#',
+          |  CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % np"""
+          .stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cust")).orderBy(col("j"), col("item"))
+    cands.join(pos, Seq("cust", "item"), "left_anti")
+      .groupBy(col("cust"), col("item")).agg(min(col("j")).as("j"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= NegK)
+      .select(col("cust"), col("rank"), col("item"))
+      .orderBy(col("cust"), col("rank"))
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
-      distinctSketch)
+      distinctSketch, timeSplit, negatives)
 }

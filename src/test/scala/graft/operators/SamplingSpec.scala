@@ -203,6 +203,49 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("sample_time_split: per user, every eval event is in the training future") {
+    val split = Sampling.timeSplit.run(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val times = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", expr(
+        graft.sources.Tables.nanosToMicrosSql("ts")).as("tus"))
+      .as[(Long, Long)].collect().toMap
+    val byUser = split.groupBy(_._2)
+    byUser.values.foreach { evs =>
+      val (train, eval0) = evs.partition(_._3 == "train")
+      // 80/20 by count (floor rule): train = floor(4n/5)
+      assert(train.length === evs.length * 4 / 5)
+      if (train.nonEmpty && eval0.nonEmpty)
+        assert(train.map(e => times(e._1)).max <=
+          eval0.map(e => times(e._1)).min,
+          "future leakage: a train event after an eval event")
+    }
+    assert(split.length === times.size, "every event gets a split")
+  }
+
+  test("sample_negatives never samples a positive, ranks contiguously") {
+    val neg = Sampling.negatives.run(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val pos = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .join(graft.sources.Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".cast("long"), $"l_partkey".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    neg.foreach { case (cust, _, item) =>
+      assert(!pos.contains((cust, item)), s"positive sampled: $cust/$item")
+    }
+    neg.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq,
+        "ranks must be contiguous from 1")
+      assert(rs.map(_._3).distinct.length === rs.length,
+        "negatives must be distinct items")
+    }
+    // every interacting customer is served (up to collision shortfall)
+    assert(neg.groupBy(_._1).size === pos.map(_._1).size)
+  }
+
   test("distinct_sketch: scalar register replay, day-merge identity, estimate fidelity") {
     val events = graft.sources.Tables.load(spark, dir, "events")
       .select($"event_type", $"ts", $"user_id")
