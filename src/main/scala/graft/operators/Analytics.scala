@@ -1313,8 +1313,12 @@ object Analytics {
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val h = cust.groupBy(col("cents")).agg(count(lit(1)).as("k"))
-      .withColumn("band", expr(s"cents div ${ParetoBandCents}L"))
+    // persist the distinct-value histogram: THREE consumers (band totals,
+    // intra-band offsets, corpus totals) would otherwise each re-run the
+    // per-customer fact aggregation — 3 scans of orders at 100 TB
+    val h = graft.Scratch.track(
+      cust.groupBy(col("cents")).agg(count(lit(1)).as("k"))
+        .withColumn("band", expr(s"cents div ${ParetoBandCents}L")))
     // level 1: per-band customer counts, cumulated descending on the
     // band frame alone (occupied bands ≤ revenue span / $1000 — bounded
     // by the value range, never by |customers|)
@@ -1325,8 +1329,10 @@ object Analytics {
       .select(col("band"), col("band_cb"))
     // level 2: intra-band offsets under a band-PARTITIONED window (≤100k
     // distinct integer cents per $1000 band); band_cb + offset replays
-    // the flat descending cumulative exactly
-    val n = cust.agg(count(lit(1)).as("nc"), sum(col("cents")).as("total"))
+    // the flat descending cumulative exactly. Corpus totals fold off the
+    // persisted histogram, not a third pass over customers.
+    val n = h.agg(sum(col("k")).as("nc"),
+      sum(col("cents") * col("k")).as("total"))
     val g = h.join(broadcast(bandCb), Seq("band"))
       .withColumn("cb", col("band_cb") +
         coalesce(sum(col("k")).over(Window.partitionBy(col("band"))

@@ -238,10 +238,16 @@ object Graph {
     * broadcasts the edge set and nothing coalesces, so the same plan
     * runs at any |E|.
     */
-  private[operators] def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("x"))
-      .unionByName(edges.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+  private[operators] def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    // persist the canonical edge set: FIVE reads below (both union legs
+    // of the degree count, the orientation join, and deg's two join legs
+    // each re-deriving it) would otherwise re-run the whole upstream
+    // derivation per read
+    val edges = graft.Scratch.track(edgesIn)
+    val deg = graft.Scratch.track(
+      edges.select(col("u").as("x"))
+        .unionByName(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg")))
     val o = edges
       .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
@@ -282,12 +288,15 @@ object Graph {
   val trianglesBig: Q = Q("graph_triangles_big", triBigOracle) { (s, dir) =>
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.as("l1").join(li.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
-      .groupBy(col("l1.l_partkey").cast("long").as("u"),
-        col("l2.l_partkey").cast("long").as("v"))
-      .agg(count(lit(1)).as("w"))
+    // persisted: the symmetrization below reads the weighted pair frame
+    // twice, and re-deriving it means re-running the basket self-join
+    val pairs = graft.Scratch.track(
+      li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .groupBy(col("l1.l_partkey").cast("long").as("u"),
+          col("l2.l_partkey").cast("long").as("v"))
+        .agg(count(lit(1)).as("w")))
     val sym = pairs.select(col("u").as("x"), col("v").as("y"), col("w"))
       .unionByName(pairs.select(col("v").as("x"), col("u").as("y"), col("w")))
     val edges = sym
