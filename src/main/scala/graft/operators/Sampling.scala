@@ -651,14 +651,17 @@ object Sampling {
       |  FROM neg)
       |SELECT CAST(cust AS BIGINT) AS cust, CAST(rank AS BIGINT) AS rank, item
       |FROM r WHERE rank <= $NegK ORDER BY cust, rank""".stripMargin) { (s, dir) =>
-    val pos = Tables.load(s, dir, "lineitem")
+    // persisted: the probe generator (distinct users) and the anti-join
+    // both consume the positive set — unpersisted, each re-runs the
+    // fact join + distinct
+    val pos = graft.Scratch.track(Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long").as("cust"),
         col("l_partkey").cast("long").as("item"))
-      .distinct()
+      .distinct())
     val np = Tables.load(s, dir, "part").agg(count(lit(1)).as("np"))
     val cands = pos.select(col("cust")).distinct()
       .crossJoin(broadcast(np))
