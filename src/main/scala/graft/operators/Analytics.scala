@@ -35,6 +35,10 @@ object Analytics {
   // cannot skew a bucket on one engine only (declared before first use:
   // object vals initialize in order).
   private val MinuteNanos = 60L * 1000000000L
+  // declared with the first constants, not near its first consumer:
+  // object vals initialize in order, and a val-interpolated oracle string
+  // reading a later-declared constant would silently bake in 0
+  private val DayNanos = 86400L * 1000000000L
 
   /** A1 (wins, F:329-335): filter → groupBy → count → global sort. */
   val wins: Q = Q("wins",
@@ -491,6 +495,48 @@ object Analytics {
     // diverge from DuckDB's µs coercion exactly where eventsWindow's
     // bucketing already had to solve this — one helper, one semantics
     sessionFrame(s, dir).orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** Daily + trailing-7-day distinct active users (DAU/WAU) — the
+    * engagement metric every product dashboard leads with, and a
+    * genuinely non-derivable one: WAU is a ROLLING DISTINCT, which no
+    * arithmetic over daily counts can produce (summing daily DAU
+    * double-counts returning users). The scale form avoids re-scanning
+    * 7 days of raw events per output day: the corpus collapses once to
+    * the distinct (user, active-day) frame, each activity day then
+    * contributes its user to the 7 window-days it can serve (a bounded
+    * ×7 explode of the SMALL frame), and the per-window distinct dedups
+    * users active on several days of the same window. Day keys are the
+    * sign-correct raw-nanos floor shared with [[eventsResample]];
+    * trailing windows at the history's start are partial by standard
+    * trailing-window semantics, and window days beyond the last observed
+    * day are dropped by the DAU join.
+    */
+  val eventsActiveUsers: Q = Q("events_active_users",
+    s"""WITH d AS (SELECT DISTINCT user_id,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day
+      |  FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+      |w AS (SELECT user_id, day + o.o AS wday
+      |  FROM d, (SELECT unnest(range(7)) AS o) o),
+      |wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+      |  FROM w GROUP BY wday)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+      |  CAST(wau AS BIGINT) AS wau
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin) { (s, dir) =>
+    // persisted: DAU and the window explode both read the (user, day)
+    // frame — the only corpus-sized pass happens once
+    val d = graft.Scratch.track(t(s, dir, "events")
+      .select(col("user_id"),
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"))
+      .distinct())
+    val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = d
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
   }
 
   /** Events per training sequence cap for [[eventsSequences]]. */
@@ -1185,8 +1231,6 @@ object Analytics {
     * exact-sum idiom, so the incremental add/retract arithmetic is
     * order-independent and replayable.
     */
-  private val DayNanos = 86400L * 1000000000L
-
   val eventsRolling: Q = Q("events_rolling",
     s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns,
       |    epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v FROM events)
@@ -1923,7 +1967,7 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
-    eventsSequences,
+    eventsSequences, eventsActiveUsers,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
     incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,

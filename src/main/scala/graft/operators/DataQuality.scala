@@ -201,5 +201,43 @@ object DataQuality {
       .orderBy(col("o_orderpriority"))
   }
 
-  val all: Seq[Q] = Seq(audit, drift)
+  /** k for [[kanon]]: the conventional release threshold. */
+  private val KAnon = 5
+
+  /** K-ANONYMITY audit — the data-release gate [[audit]]'s row-level
+    * rules don't cover: group the table by its quasi-identifier
+    * combination (nation × market segment × $1000 account-balance band —
+    * the attributes an attacker can link from outside) and flag every
+    * group smaller than k=[[KAnon]]: those customers are re-identifiable
+    * and must be suppressed or generalized before the table ships. The
+    * balance band uses the sign-correct pmod floor (negative balances
+    * band correctly and identically in both engines).
+    *
+    * Scale shape: one scan, one grouped aggregate with map-side partials;
+    * the output is the QI-domain-sized group frame (bounded by the
+    * attribute domains, not the row count), ready for a suppression join.
+    */
+  val kanon: Q = Q("dq_kanon",
+    s"""WITH q AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |b AS (SELECT c_nationkey, c_mktsegment,
+      |    (cents - ((cents % 100000 + 100000) % 100000)) // 100000 AS bal_band
+      |  FROM q)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  c_mktsegment AS segment, CAST(bal_band AS BIGINT) AS bal_band,
+      |  count(*) AS n, count(*) >= $KAnon AS k_anonymous
+      |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        expr("""(CAST(round(c_acctbal * 100) AS BIGINT)
+          | - pmod(CAST(round(c_acctbal * 100) AS BIGINT), 100000L))
+          | div 100000L""".stripMargin).as("bal_band"))
+      .groupBy(col("nationkey"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", col("n") >= KAnon)
+      .orderBy(col("nationkey"), col("segment"), col("bal_band"))
+  }
+
+  val all: Seq[Q] = Seq(audit, drift, kanon)
 }
