@@ -146,6 +146,11 @@ object Ingest {
     * retries, which is the right fidelity for operational counters (the
     * sink itself is as idempotent as the injected POST; ES bulk with
     * explicit ids is).
+    *
+    * The first-class form of this sink is the DSv2 write connector
+    * [[graft.sources.bulksink.BulkSink]] (`df.write.format(...)` with
+    * configured transport, native custom metrics, commit-time report) —
+    * this helper remains the minimal programmatic path.
     */
   def bulkIndex(df: DataFrame, batchSize: Int = 500, maxAttempts: Int = 3)(
       post: Seq[String] => Unit): IndexReport = {
