@@ -577,7 +577,17 @@ object Analytics {
       |  count(*) > $SeqMaxLen AS truncated
       |FROM u GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
-    sessionEvents(s, dir)
+    sequenceFrame(sessionEvents(s, dir))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** [[eventsSequences]]' aggregation over any (user_id, session_no, tus,
+    * event_id, event_type) frame — separated so specs can pin ordering
+    * and the [[SeqMaxLen]] truncation on constructed sessions (the
+    * shipped corpora never exceed the cap).
+    */
+  def sequenceFrame(sessionEv: DataFrame): DataFrame =
+    sessionEv
       .groupBy(col("user_id"), col("session_no"))
       .agg(count(lit(1)).as("n_events"),
         min(col("tus")).as("session_start_us"),
@@ -588,8 +598,6 @@ object Analytics {
       .withColumn("truncated", col("n_events") > SeqMaxLen)
       .select(col("user_id"), col("session_no"), col("n_events"),
         col("session_start_us"), col("action_seq"), col("truncated"))
-      .orderBy(col("user_id"), col("session_no"))
-  }
 
   /** The BUILT-IN sessionization operator, next to [[sessionize]]'s
     * hand-rolled lag/cumsum form: `session_window(ts, gap)` plans as a

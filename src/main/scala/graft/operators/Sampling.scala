@@ -539,7 +539,7 @@ object Sampling {
       |  FROM daily GROUP BY 1, 2),
       |stats AS (SELECT event_type, count(*) AS occupied,
       |    CAST(sum(r) AS BIGINT) AS sum_reg,
-      |    CAST(sum(1073741824 // (1 << r)) AS BIGINT) AS fp_occ
+      |    CAST(sum(1073741824 // (CAST(1 AS BIGINT) << r)) AS BIGINT) AS fp_occ
       |  FROM merged GROUP BY 1),
       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
       |    count(DISTINCT day) AS n_days FROM e GROUP BY 1)

@@ -800,6 +800,27 @@ class AnalyticsSpec extends SparkSpec {
     val last = got.maxBy(_._1)._6
     assert(last > 999990L && last <= 1000000L, s"cum share end: $last")
   }
+  test("sequenceFrame orders by (tus, event_id), truncates at 20, flags it") {
+    import spark.implicits._
+    // one 25-event session: event types cycle a/b/c/d/e, same-microsecond
+    // tie at positions 3 and 4 resolved by event_id
+    val rows = (0 until 25).map { i =>
+      val tus = if (i == 4) 3L else i.toLong // event 4 ties with event 3
+      (1L, 0L, tus, i.toLong, ("abcde" (i % 5)).toString)
+    } :+ ((2L, 0L, 0L, 99L, "x")) // a second, 1-event session
+    val got = Analytics.sequenceFrame(
+        rows.toDF("user_id", "session_no", "tus", "event_id", "event_type"))
+      .as[(Long, Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, _, n, start, seq, trunc) = got(1L)
+    assert((n, start, trunc) === ((25L, 0L, true)))
+    val toks = seq.split(">")
+    assert(toks.length === 20, "sequence must cap at 20 actions")
+    // order: 0,1,2,3,4(tie, id 4 after id 3),5,... — types cycle in id order
+    assert(toks.take(6).mkString === "abcdea")
+    assert(got(2L)._5 === "x" && !got(2L)._6)
+  }
+
   test("events_session_builtin plans the native session operator and agrees with the lag/cumsum form") {
     import spark.implicits._
     val q = Analytics.sessionBuiltin.run(spark, dir)
