@@ -981,6 +981,59 @@ object Dedup {
       .orderBy(col("band"), col("bucket_size"))
   }
 
+  // NOTE (round 10): an exact prefix-filtered set-similarity join
+  // (AllPairs/PPJoin, word-set Jaccard ≥ 0.8 corpus-wide) was built,
+  // oracle-verified at all three SFs — and then REMOVED: this corpus'
+  // template-heavy near-dup clusters give "rare" prefix tokens document
+  // frequencies in the hundreds and ~3M true result pairs at sf0.1, so
+  // the exact join is output-bound (253 s at sf0.1 — 2.5× the whole
+  // bench). The banded [[minhash]] path with hot-bucket caps IS the
+  // 100 TB answer on such corpora; exact thresholds belong on bounded
+  // slices ([[ngramJaccard]]'s deterministic sample).
+
+  /** EXACT set-similarity join via prefix filtering (the AllPairs /
+    * PPJoin family) over any (doc_id, text) frame: every pair with
+    * word-set Jaccard ≥ 0.8, exactly. The candidate generator is the
+    * classic prefix principle: under one global token order (rarest
+    * document-frequency first, token text as tie-break), any pair
+    * meeting τ MUST share a token inside both documents' first
+    * |x| − ⌈τ·|x|⌉ + 1 tokens, so only prefix-token collisions become
+    * candidates; survivors verify with exact integer arithmetic
+    * (9·inter ≥ 4·(n₁+n₂) ⟺ Jaccard ≥ 0.8 — no float threshold).
+    * Spec-gated (completeness proven against a brute-force pairwise
+    * scan); NOT registered over the benchmark corpus — see the removal
+    * note above. Intended for bounded slices or corpora whose prefix
+    * tokens are genuinely rare.
+    */
+  def prefixJoinPairs(docsDf: DataFrame): DataFrame = {
+    val words = graft.Scratch.track(docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct())
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val ranked = words.join(dfreq, Seq("w")).join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("w"))))
+      .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("w"))
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val inter = cands
+      .join(words.select(col("doc_id").as("id1"), col("w")), Seq("id1"))
+      .join(words.select(col("doc_id").as("id2"), col("w")), Seq("id2", "w"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(expr("9 * n_common >= 4 * (n1 + n2)"))
+      .select(col("id1"), col("id2"), col("n_common"), col("n1"), col("n2"),
+        expr("n_common * 1000000L div (n1 + n2 - n_common)").as("jaccard_ppm"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, containment, minhash, simhash, embed, clusters,
       keepCanonical, crossEval, fuzzyJoin, agreement, bucketStats)
