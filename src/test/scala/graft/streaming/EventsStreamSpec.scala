@@ -147,6 +147,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(rocks === batch, "stream≡batch parity on RocksDB")
   }
 
+  test("sessionWindowStream survives a checkpoint restart: open sessions restore and extend") {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swin-ck").toString
+    val landing = s"$tmp/landing"; val ck = s"$tmp/ck"; val out = s"$tmp/out"
+    def land(rows: EventsStream.Event*): Unit =
+      rows.toSeq.toDF().write.mode("append").parquet(landing)
+    def start() = EventsStream.sessionWindowStream(
+        spark.readStream.schema(
+          "ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+          .parquet(landing))
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", out)
+      .start()
+    // run 1: open a session for user 1, then stop mid-session
+    land(EventsStream.Event(ts(0, 10), 1L, "click", 1.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while down: an event EXTENDING the open session lands, plus a
+    // far-future flush that will close everything on restart
+    land(EventsStream.Event(ts(10, 0), 1L, "view", 1.0))
+    land(EventsStream.Event(
+      Timestamp.valueOf("2024-01-01 12:00:00"), 99L, "flush", 0.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the restored state merged both events into ONE session — a lost
+    // checkpoint would emit a fragment per run
+    val batch = EventsStream.sessionWindowStream(Seq(
+        EventsStream.Event(ts(0, 10), 1L, "click", 1.0),
+        EventsStream.Event(ts(10, 0), 1L, "view", 1.0)).toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === batch, s"restart must merge into the batch sessions: $got")
+    assert(got.exists { case (u, _, _, n) => u == 1L && n == 2L })
+  }
+
   test("sketchStream registers match the batch sketch over the same events") {
     implicit val sq = spark.sqlContext
     val events = Seq(
