@@ -188,6 +188,12 @@ object EventsStream {
     * the mergeability the batch gate proves algebraically. Register
     * arithmetic is [[graft.operators.Sampling.withSketchRho]], shared
     * with the batch side so the two cannot drift.
+    *
+    * Sink contract: a watermarkless aggregation emits in Update/Complete
+    * mode (memory/console/foreachBatch) — an append-only file sink needs
+    * the foreachBatch route, e.g. [[UpsertSink]] keyed on (event_type,
+    * bucket), which the register table's max-merge idempotence suits
+    * exactly.
     */
   def sketchStream(events: DataFrame): DataFrame =
     graft.operators.Sampling.withSketchRho(

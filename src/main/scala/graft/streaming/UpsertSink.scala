@@ -69,8 +69,11 @@ object UpsertSink {
   private def recoverHalfSwap(f: FileSystem, tableDir: String): Unit = {
     val data = new Path(tableDir, "data")
     if (f.exists(data)) return
+    // only dirs whose suffix parses as a batchId participate — a stray
+    // foreign `.old-*` must not wedge recovery with a parse error
     val olds = Option(f.globStatus(new Path(tableDir, ".old-*")))
       .getOrElse(Array.empty)
+      .filter(_.getPath.getName.stripPrefix(".old-").forall(_.isDigit))
     if (olds.isEmpty) return
     val latest = olds
       .maxBy(_.getPath.getName.stripPrefix(".old-").toLong).getPath
