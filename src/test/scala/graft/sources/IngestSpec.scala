@@ -176,6 +176,18 @@ class IngestSpec extends SparkSpec {
     val rebuilt = Ingest.orcPartCopy(spark, dir)
     assert(new java.io.File(rebuilt).getParentFile.exists())
   }
+
+  test("releaseSession deletes the racezone fixture dir with the same contract") {
+    val dir = sf("sf0.001")
+    val out = Ingest.raceZoneFixture(spark, dir)
+    val fixtureDir = new java.io.File(out).getParentFile
+    assert(fixtureDir.exists() && fixtureDir.getName.startsWith("graft_racezone_"))
+    Ingest.releaseSession(spark)
+    assert(!fixtureDir.exists(),
+      s"racezone fixture must be deleted on release: $fixtureDir")
+    val rebuilt = Ingest.raceZoneFixture(spark, dir)
+    assert(new java.io.File(rebuilt).getParentFile.exists())
+  }
 }
 
 /** Shared state for the bulkIndex specs: the injected post fn executes on
