@@ -84,6 +84,49 @@ class UpsertSinkSpec extends SparkSpec {
     assert(UpsertSink.committedBatch(spark, dir) === 0L)
   }
 
+  test("every crash point in the swap protocol converges on replay") {
+    // protocol: write .tmp-N → clear stale .old-* → rename(data → .old-N)
+    // → rename(.tmp-N → data) → delete .old-N → publish marker. For each
+    // intermediate on-disk state a crash can leave, hand-construct it,
+    // replay the batch, and demand the exact merged table + marker.
+    val conf = spark.sessionState.newHadoopConf()
+    def P(dir: String, n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    val batch0 = Seq((1L, 1L, "base"), (2L, 1L, "old")).toDF("k", "seq", "v")
+    val batch1 = Seq((2L, 2L, "new"), (3L, 1L, "ins")).toDF("k", "seq", "v")
+    val expect = Seq((1L, 1L, "base"), (2L, 2L, "new"), (3L, 1L, "ins"))
+    // crash states: what exists besides the committed batch-0 table
+    //  tmpOnly   — crashed after writing .tmp-1
+    //  published — crashed after rename(.tmp-1→data): data = merged,
+    //              .old-1 still present, marker still 0
+    //  oldGone   — crashed after delete(.old-1), marker still 0
+    val states = Seq("tmpOnly", "published", "oldGone")
+    states.foreach { state =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-upsert-$state").toString
+      val f = P(dir, "x").getFileSystem(conf)
+      UpsertSink.upsertBatch(batch0, 0L, dir, "k", "seq")
+      state match {
+        case "tmpOnly" =>
+          // a half-written tmp from the crashed attempt: stale garbage
+          batch1.limit(1).write.parquet(P(dir, ".tmp-1").toString)
+        case "published" | "oldGone" =>
+          // drive the real protocol to the publish point by hand
+          val merged = UpsertSink.currentTable(spark, dir).get
+            .join(batch1, Seq("k"), "left_anti").unionByName(batch1)
+          merged.write.parquet(P(dir, ".tmp-1").toString)
+          assert(f.rename(P(dir, "data"), P(dir, ".old-1")))
+          assert(f.rename(P(dir, ".tmp-1"), P(dir, "data")))
+          if (state == "oldGone") f.delete(P(dir, ".old-1"), true)
+        case other => fail(s"unknown state $other")
+      }
+      // replay batch 1 (marker still says 0 in every state)
+      UpsertSink.upsertBatch(batch1, 1L, dir, "k", "seq")
+      assert(table(dir) === expect, s"state '$state' must converge")
+      assert(UpsertSink.committedBatch(spark, dir) === 1L, state)
+      assert(f.globStatus(P(dir, ".old-*")).isEmpty, state)
+    }
+  }
+
   test("foreachBatch + checkpoint restart maintains the table exactly-once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-upsert3").toString
     val landing = s"$tmp/landing"; val tableDir = s"$tmp/table"
