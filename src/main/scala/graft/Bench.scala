@@ -115,17 +115,18 @@ object Bench {
     val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
-    // truncation-proof trailer FIRST: this compact line always fits a
-    // clipped tail, so a parser can recover the totals even when the
-    // per-query map below is cut
-    println(s"""{"total_s":${fmt(total)},"n":${results.size},"failed":${
-      results.values.count(_ < 0)},"bucketed_fixture_s":${fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)}}""")
-    // the driver-contract metric line goes LAST — nothing but sbt's own
-    // one-line [success] follows it on stdout, so a tail window loses the
-    // least possible of this line
-    println(line)
+    // the long per-query line is INFORMATIONAL and goes FIRST: ten rounds
+    // (BENCH_r01-r10) proved the driver keeps a bounded stdout TAIL and
+    // the ~3 KB per-query map overflows it no matter the order — every
+    // recorded tail was clipped mid-token at the front. Whatever is meant
+    // to be machine-parsed must be SMALL and LAST.
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
+    // the driver-contract line: summary-only (~120 bytes — no tail window
+    // can clip it), per-query detail lives in the bench_last.json sidecar
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
+      results.size},"failed":${results.values.count(_ < 0)},"sf":$sf,"bucketed_fixture_s":${
+      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)}}""")
     System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk

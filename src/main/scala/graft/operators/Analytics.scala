@@ -509,8 +509,11 @@ object Analytics {
     * users active on several days of the same window. Day keys are the
     * sign-correct raw-nanos floor shared with [[eventsResample]];
     * trailing windows at the history's start are partial by standard
-    * trailing-window semantics, and window days beyond the last observed
-    * day are dropped by the DAU join.
+    * trailing-window semantics. Output days are driven from the WAU side
+    * (left join, dau coalesced to 0) so interior zero-activity days keep
+    * their well-defined trailing-7-day distinct; only window days beyond
+    * the last OBSERVED day are dropped (bounded by the max-day scalar, a
+    * broadcast 1-row aggregate).
     */
   val eventsActiveUsers: Q = Q("events_active_users",
     s"""WITH d AS (SELECT DISTINCT user_id,
@@ -521,11 +524,12 @@ object Analytics {
       |  FROM d, (SELECT unnest(range(7)) AS o) o),
       |wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
       |  FROM w GROUP BY wday)
-      |SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
-      |  CAST(wau AS BIGINT) AS wau
-      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin) { (s, dir) =>
-    // persisted: DAU and the window explode both read the (user, day)
-    // frame — the only corpus-sized pass happens once
+      |SELECT CAST(day AS BIGINT) AS day,
+      |  CAST(coalesce(dau, 0) AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau
+      |FROM wau LEFT JOIN dau USING (day)
+      |WHERE day <= (SELECT max(day) FROM d) ORDER BY day""".stripMargin) { (s, dir) =>
+    // persisted: DAU, the window explode AND the max-day scalar all read
+    // the (user, day) frame — the only corpus-sized pass happens once
     val d = graft.Scratch.track(t(s, dir, "events")
       .select(col("user_id"),
         expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"))
@@ -534,8 +538,11 @@ object Analytics {
     val wau = d
       .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
       .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
-    dau.join(wau, Seq("day"))
-      .select(col("day"), col("dau"), col("wau"))
+    val maxDay = d.agg(max(col("day")).as("maxday"))
+    wau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("maxday"))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
       .orderBy(col("day"))
   }
 
@@ -1351,7 +1358,7 @@ object Analytics {
       |w AS (SELECT cents, k, coalesce(sum(k) OVER (ORDER BY cents DESC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
       |n AS (SELECT count(*) AS nc, CAST(sum(cents) AS BIGINT) AS total FROM cust),
-      |g AS (SELECT cb * 10 // nc AS decile, CAST(sum(k) AS BIGINT) AS n_customers,
+      |g AS (SELECT CAST(cb * 10 // nc AS BIGINT) AS decile, CAST(sum(k) AS BIGINT) AS n_customers,
       |    CAST(sum(cents * k) AS BIGINT) AS cents
       |  FROM w, n GROUP BY 1),
       |c AS (SELECT g.decile AS decile, g.n_customers AS n_customers,

@@ -60,7 +60,7 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     media(s, dir).select(
       col("doc_id"), col("media_type"),
-      length(col("payload")).as("n_bytes"),
+      length(col("payload")).cast("long").as("n_bytes"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       ceil(length(col("payload")) / col("meta.frame_bytes").cast("double"))
         .cast("long").as("n_frames"))

@@ -627,10 +627,11 @@ object Sampling {
     * their first draw and the first [[NegK]] survivors (draw order, then
     * item) are kept. A probe colliding with a positive just burns one of
     * the 8 draws — both engines replay the identical probes, so the gate
-    * pins the whole path. Item keys are mapped modulo the item COUNT
-    * (one scalar, broadcast) — the key domain is contiguous in this
-    * corpus; a sparse catalog would add a semi-join against the item
-    * dimension, same shape.
+    * pins the whole path. Item keys are mapped 1 + h % COUNT so draws
+    * land exactly in the 1..|part| partkey domain (one scalar,
+    * broadcast) — the key domain is contiguous in this corpus; a sparse
+    * catalog would add a semi-join against the item dimension, same
+    * shape.
     */
   val negatives: Q = Q("sample_negatives",
     s"""WITH pos AS (SELECT DISTINCT o.o_custkey AS cust,
@@ -638,7 +639,7 @@ object Sampling {
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       |np AS (SELECT count(*) AS n FROM part),
       |cands AS (SELECT c.cust, j.j,
-      |    CAST(concat('0x', substr(md5(CAST(c.cust AS VARCHAR) || '#' ||
+      |    1 + CAST(concat('0x', substr(md5(CAST(c.cust AS VARCHAR) || '#' ||
       |      CAST(j.j AS VARCHAR)), 1, 12)) AS BIGINT) % (SELECT n FROM np) AS item
       |  FROM (SELECT DISTINCT cust FROM pos) c,
       |       (SELECT unnest(range($NegDraws)) AS j) j),
@@ -668,7 +669,7 @@ object Sampling {
       .select(col("cust"), explode(expr(
         s"sequence(0, ${NegDraws - 1})")).as("j"), col("np"))
       .withColumn("item", expr(
-        """CAST(conv(substr(md5(concat(CAST(cust AS STRING), '#',
+        """1 + CAST(conv(substr(md5(concat(CAST(cust AS STRING), '#',
           |  CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % np"""
           .stripMargin))
     val w = org.apache.spark.sql.expressions.Window

@@ -101,7 +101,7 @@ object Similarity {
     base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -152,7 +152,7 @@ object Similarity {
         col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -280,7 +280,7 @@ object Similarity {
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -372,7 +372,7 @@ object Similarity {
         assigned("cid") <=> probes("cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -524,7 +524,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function("pq_adc", col("codes"), col("dtabs")).as("adist"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -684,7 +684,8 @@ object Similarity {
       .select(col("cid"), posexplode(col("cqv")).as(Seq("dim", "c")))
     val sizes = assign(cents).groupBy(col("cid")).agg(count(lit(1)).as("n"))
     model.join(sizes, Seq("cid"), "left")
-      .select(col("cid"), col("dim"), col("c"),
+      .select(col("cid").cast("long").as("cid"),
+        col("dim").cast("long").as("dim"), col("c"),
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("cid"), col("dim"))
   }

@@ -43,7 +43,7 @@ object TextAnalysis {
     val nTokens = spaces + 1
     docs(s, dir).select(
       col("doc_id"),
-      length(col("text")).as("n_chars2"),
+      length(col("text")).cast("long").as("n_chars2"),
       nTokens.as("n_tokens"),
       occurrences(col("text"), " the ").cast("long").as("n_stop"),
       (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
@@ -118,7 +118,7 @@ object TextAnalysis {
     docs(s, dir).select(
       col("doc_id"),
       md5(lower(norm)).as("fp"),
-      length(norm).as("norm_len"))
+      length(norm).cast("long").as("norm_len"))
       .orderBy(col("doc_id"))
   }
 

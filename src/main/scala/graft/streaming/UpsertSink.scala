@@ -121,10 +121,13 @@ object UpsertSink {
     val data = new Path(tableDir, "data")
     val old = new Path(tableDir, s".old-$batchId")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    // `data` exists here (recoverHalfSwap ran), so every remaining `.old-*`
-    // is garbage from a crash after publish — safe to clear before moving
-    // the live table aside
+    // `data` exists here (recoverHalfSwap ran), so every remaining
+    // digit-suffixed `.old-<batchId>` is garbage from a crash after
+    // publish — safe to clear before moving the live table aside. The
+    // filter matches recoverHalfSwap's: a foreign `.old-*` this sink
+    // didn't write is neither parsed there nor destroyed here.
     Option(f.globStatus(new Path(tableDir, ".old-*"))).getOrElse(Array.empty)
+      .filter(_.getPath.getName.stripPrefix(".old-").forall(_.isDigit))
       .foreach(s => f.delete(s.getPath, true))
     // Hadoop rename reports failure as `false`, not an exception — an
     // unchecked failure here would fall through to the marker write and

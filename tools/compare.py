@@ -12,6 +12,29 @@ compared bit-exactly and with a 1e-9 fallback report).
 import sys, os, json, math
 import duckdb
 import pyarrow.dataset as ds
+import pyarrow.types as pt
+
+def normtype(t):
+    """Normalize an Arrow type for oracle-vs-Spark parity.
+
+    String/binary width variants (string vs large_string) and timezone
+    annotations are representation details the two writers legitimately
+    differ on; integer WIDTH and decimal-vs-integer are exactly the class
+    that burned orders_pareto for two rounds (DuckDB HUGEINT -> Arrow
+    decimal128 vs Spark int64) and stay STRICT.
+    """
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return f"list<{normtype(t.value_type)}>"
+    return str(t)
+
+def typemap(schema):
+    return {f.name: normtype(f.type) for f in schema}
 
 def canon(rows, cols):
     # sort columns by name, then rows by string repr of all cells
@@ -75,6 +98,19 @@ def main():
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:
             print(f"{name:24s} FAIL cols got={gc} exp={ec}")
+            n_fail += 1
+            continue
+        # standing TYPE-PARITY gate: the driver's hasher is type-sensitive
+        # (decimal128-vs-int64 failed orders_pareto for two rounds while a
+        # value-only comparator passed) — fetch the oracle result as Arrow
+        # and require each column's normalized type to match the Spark
+        # parquet output exactly
+        exp_types = typemap(con.execute(oracles[name]).arrow().schema)
+        got_types = typemap(tbl.schema)
+        skew = {c: (got_types[c], exp_types[c]) for c in got_types
+                if got_types[c] != exp_types.get(c, got_types[c])}
+        if skew:
+            print(f"{name:24s} FAIL type-skew (col: spark vs oracle) {skew}")
             n_fail += 1
             continue
         if len(gr) != len(er):
