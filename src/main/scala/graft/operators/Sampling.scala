@@ -574,6 +574,155 @@ object Sampling {
       .orderBy(col("event_type"))
   }
 
+  /** Adds the [[quantileSketch]] register columns (`v` cents, `bucket`)
+    * to any frame with a `value` column — shared by the batch sketch and
+    * its streaming twin ([[graft.streaming.EventsStream.quantStream]]) so
+    * the bucket arithmetic cannot drift between the two.
+    *
+    * Geometry: log₂ octaves split into 8 linear sub-buckets (DDSketch /
+    * HdrHistogram shape, ~9% relative error), all INTEGER: cents via the
+    * DECIMAL(18,2) trick, the octave via `length(bin(v)) - 1` (both
+    * engines print unpadded binary — no float log near power-of-two
+    * boundaries), the sub-bucket via `(v - 2^e)·8 div 2^e`. A 64-bit
+    * value occupies ≤ 8·63 buckets, so registers per grain are
+    * fixed-size at any corpus.
+    */
+  private[graft] def withQuantBucket(df: DataFrame): DataFrame =
+    df.withColumn("v", expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("qe", expr("length(bin(v)) - 1"))
+      .withColumn("bucket", expr(
+        """CASE WHEN v < 1 THEN 0 ELSE 8 * qe
+          |  + ((v - shiftleft(CAST(1 AS BIGINT), qe)) * 8)
+          |    div shiftleft(CAST(1 AS BIGINT), qe) END""".stripMargin))
+      .drop("qe")
+
+  /** Mergeable QUANTILE sketch maintained at DAY grain and folded to a
+    * total — the percentile complement of [[distinctSketch]]: plain
+    * percentiles don't merge across snapshots (yesterday's p99 and
+    * today's p99 say nothing about the union), but fixed-size log-bucket
+    * COUNT registers merge exactly (sum per bucket), so a new day folds
+    * into the running total with one register-domain add — no rescan of
+    * history. The consumer is watermark/latency sizing (`events_lateness`
+    * wants "p99 over the whole history so far" nightly without re-reading
+    * the corpus).
+    *
+    * What the gate pins: the output's register statistics come from the
+    * DAY-partial merge path (`day_registers` counts the per-day register
+    * rows, so the grain itself is observable), and the oracle replays the
+    * identical construction — any drift in cents conversion, octave
+    * arithmetic, sub-bucketing, or merge grain breaks the hash. Rank
+    * positions reuse [[graft.operators.Analytics.winsorize]]'s pure
+    * integer `(n−1)·q ∕∕ 100 + 1` so both engines pick the identical
+    * register; the exact per-type percentiles ride along as the fidelity
+    * reference via the distinct-VALUE histogram idiom (a bounded domain —
+    * the windows walk |value domain| rows, never the corpus).
+    *
+    * Scale shape: one scan; map-side partial counts collapse the shuffle
+    * to ≤ |types|·|days|·512 register rows; everything after is
+    * register-domain-sized. (The exact-percentile reference columns are
+    * the gate's luxury, not the sketch's cost — a production pipeline
+    * ships only the registers per grain.)
+    */
+  val quantileSketch: Q = Q("quantile_sketch",
+    s"""WITH e AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |b AS (SELECT event_type, day, v,
+      |    CASE WHEN v < 1 THEN 0 ELSE 8 * (length(bin(v)) - 1)
+      |      + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 8)
+      |        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) END AS bucket
+      |  FROM e),
+      |daily AS (SELECT event_type, day, bucket, count(*) AS c
+      |  FROM b GROUP BY 1, 2, 3),
+      |merged AS (SELECT event_type, bucket, CAST(sum(c) AS BIGINT) AS c
+      |  FROM daily GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bucket, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n FROM merged),
+      |lo AS (SELECT event_type, cum, n,
+      |    CASE WHEN bucket = 0 THEN 0
+      |         ELSE (CAST(1 AS BIGINT) << (bucket // 8))
+      |           + ((bucket % 8) * (CAST(1 AS BIGINT) << (bucket // 8))) // 8
+      |    END AS blo
+      |  FROM cum),
+      |sq AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      |    CAST(min(CASE WHEN cum >= (n-1) * 50 // 100 + 1 THEN blo END) AS BIGINT) AS p50_lo,
+      |    CAST(min(CASE WHEN cum >= (n-1) * 90 // 100 + 1 THEN blo END) AS BIGINT) AS p90_lo,
+      |    CAST(min(CASE WHEN cum >= (n-1) * 99 // 100 + 1 THEN blo END) AS BIGINT) AS p99_lo
+      |  FROM lo GROUP BY 1),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS occupied,
+      |    CAST(sum(bucket * c) AS BIGINT) AS reg_checksum FROM merged GROUP BY 1),
+      |dr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS day_registers,
+      |    CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+      |vh AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+      |vc AS (SELECT event_type, v,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n FROM vh),
+      |ex AS (SELECT event_type,
+      |    CAST(min(CASE WHEN cum >= (n-1) * 50 // 100 + 1 THEN v END) AS BIGINT) AS p50_exact,
+      |    CAST(min(CASE WHEN cum >= (n-1) * 90 // 100 + 1 THEN v END) AS BIGINT) AS p90_exact,
+      |    CAST(min(CASE WHEN cum >= (n-1) * 99 // 100 + 1 THEN v END) AS BIGINT) AS p99_exact
+      |  FROM vc GROUP BY 1)
+      |SELECT sq.event_type AS event_type, n_events, n_days, day_registers,
+      |  occupied, reg_checksum, p50_lo, p90_lo, p99_lo,
+      |  p50_exact, p90_exact, p99_exact
+      |FROM sq JOIN st USING (event_type) JOIN dr USING (event_type)
+      |  JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the bucketed frame feeds the day partials AND the exact
+    // value histogram — the only corpus-sized pass happens once
+    val e = graft.Scratch.track(withQuantBucket(
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"),
+          col("value"))))
+    val daily = e.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val merged = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    // register-domain window: ≤ 512 rows per type by construction
+    val cum = merged
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(byType))
+      .withColumn("blo", expr(
+        """CASE WHEN bucket = 0 THEN 0L
+          |ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket div 8 AS INT))
+          |  + ((bucket % 8) * shiftleft(CAST(1 AS BIGINT), CAST(bucket div 8 AS INT))) div 8
+          |END""".stripMargin))
+    val sq = cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        min(when(col("cum") >= expr("(n-1) * 50 div 100 + 1"), col("blo"))).as("p50_lo"),
+        min(when(col("cum") >= expr("(n-1) * 90 div 100 + 1"), col("blo"))).as("p90_lo"),
+        min(when(col("cum") >= expr("(n-1) * 99 div 100 + 1"), col("blo"))).as("p99_lo"))
+    val st = merged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("occupied"),
+        sum(col("bucket") * col("c")).as("reg_checksum"))
+    val dr = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("day_registers"),
+        countDistinct(col("day")).as("n_days"))
+    // exact reference: distinct-VALUE histogram (bounded 2-decimal domain)
+    val vc = e.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byType))
+    val ex = vc.groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= expr("(n-1) * 50 div 100 + 1"), col("v"))).as("p50_exact"),
+        min(when(col("cum") >= expr("(n-1) * 90 div 100 + 1"), col("v"))).as("p90_exact"),
+        min(when(col("cum") >= expr("(n-1) * 99 div 100 + 1"), col("v"))).as("p99_exact"))
+    sq.join(st, Seq("event_type")).join(dr, Seq("event_type"))
+      .join(ex, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        col("day_registers"), col("occupied"), col("reg_checksum"),
+        col("p50_lo"), col("p90_lo"), col("p99_lo"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"))
+      .orderBy(col("event_type"))
+  }
+
   /** Temporal holdout split — the leakage rule [[splitSafe]]'s
     * cluster-based assignment cannot express: per user, the FIRST 80% of
     * events (event-time order) train and the LAST 20% evaluate, so
@@ -685,5 +834,5 @@ object Sampling {
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
-      distinctSketch, timeSplit, negatives)
+      distinctSketch, quantileSketch, timeSplit, negatives)
 }

@@ -201,6 +201,37 @@ object EventsStream {
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("r"))
 
+  /** Day length in MICROS — quantStream keys state off TimestampType
+    * event time (µs precision), unlike the batch side's raw-nanos floor;
+    * both floors land on the same day integer.
+    */
+  private val DayMicros = 86400L * 1000000L
+
+  /** Streaming maintenance of the batch `quantile_sketch` day-grain COUNT
+    * registers — the percentile complement of [[sketchStream]]: arriving
+    * events fold into the (event_type, day, bucket) → count table via a
+    * plain streaming count aggregation. Like the rho registers, the state
+    * domain is bounded by construction (|types| × |days in horizon| × ≤512
+    * log-buckets — see [[graft.operators.Sampling.withQuantBucket]], the
+    * SHARED bucket arithmetic, so stream and batch cannot drift); a
+    * nightly consumer folds any day range with a register-domain sum and
+    * reads p50/p90/p99 without touching the corpus.
+    *
+    * Sink contract: counts (unlike max-rho) are not re-apply-idempotent,
+    * so the emit path must be keyed REPLACEMENT of register rows — the
+    * streaming aggregation state holds true totals, and Update/Complete
+    * into a keyed sink ([[UpsertSink]] on (event_type, day, bucket))
+    * replays safely: re-delivering a row overwrites it with the same
+    * total.
+    */
+  def quantStream(events: DataFrame): DataFrame =
+    graft.operators.Sampling.withQuantBucket(
+        events.select(col("event_type"), col("ts"), col("value")))
+      .withColumn("day", expr(
+        s"(unix_micros(ts) - pmod(unix_micros(ts), ${DayMicros}L)) div ${DayMicros}L"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   case class RateVerdict(user_id: Long, ts_us: Long, n_window: Long,
       limited: Boolean)
 

@@ -298,4 +298,56 @@ class SamplingSpec extends SparkSpec {
         s"$ty estimate $est vs exact $exact")
     }
   }
+  test("quantile_sketch: scalar bucket replay, day-merge identity, rank consistency") {
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts", $"value")
+      .as[(String, Long, Double)].collect()
+    val dayNs = 86400L * 1000000000L
+    // scalar reference: the shared withQuantBucket arithmetic re-derived
+    // independently (numberOfLeadingZeros, not bin-string length)
+    def cents(v: Double): Long = math.round(v * 100)
+    def bucket(v: Long): Long =
+      if (v < 1) 0L
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        8L * e + ((v - (1L << e)) * 8) / (1L << e)
+      }
+    def lo(b: Long): Long =
+      if (b == 0) 0L
+      else {
+        val e = (b / 8).toInt
+        (1L << e) + ((b % 8) * (1L << e)) / 8
+      }
+    def regs(rows: Seq[(String, Long, Double)]): Map[(String, Long), Long] =
+      rows.groupBy(r => (r._1, bucket(cents(r._3))))
+        .view.mapValues(_.size.toLong).toMap
+    // day-merge identity: per-day count partials summed ≡ direct counts
+    val direct = regs(events.toSeq)
+    val mergedDaily = events.groupBy(e => Math.floorDiv(e._2, dayNs))
+      .values.map(d => regs(d.toSeq))
+      .foldLeft(Map.empty[(String, Long), Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          k -> (acc.getOrElse(k, 0L) + m.getOrElse(k, 0L))
+        }.toMap
+      }
+    assert(mergedDaily === direct, "per-day sum-merge must equal direct registers")
+    val got = Sampling.quantileSketch.run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    got.foreach { case (ty, n, _, _, occupied, checksum, p50, p90, p99,
+        e50, e90, e99) =>
+      val mine = direct.filter(_._1._1 == ty)
+      assert(occupied === mine.size.toLong, s"$ty occupied")
+      assert(n === mine.values.sum, s"$ty n_events")
+      assert(checksum === mine.map { case ((_, b), c) => b * c }.sum,
+        s"$ty reg_checksum")
+      // rank consistency: the register picked at rank k is the BUCKET of
+      // the rank-k value — the sketch answer's lower bound is exactly
+      // lo(bucket(exact)), and never exceeds the exact percentile
+      Seq((p50, e50), (p90, e90), (p99, e99)).foreach { case (pl, ex) =>
+        assert(pl === lo(bucket(ex)), s"$ty sketch register vs exact bucket")
+        assert(pl <= ex, s"$ty lower bound must not exceed the exact value")
+      }
+    }
+  }
 }

@@ -212,6 +212,36 @@ class EventsStreamSpec extends SparkSpec {
       "register table must stay domain-bounded")
   }
 
+  test("quantStream registers match the batch quantile partials over the same events") {
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      EventsStream.Event(ts(0), 1L, "click", 1.50),
+      EventsStream.Event(ts(1), 2L, "click", 1.52), // same log-bucket as 1.50
+      EventsStream.Event(ts(2), 3L, "view", 80.00),
+      EventsStream.Event(ts(3), 1L, "click", 300.25),
+      EventsStream.Event(ts(4), 4L, "view", 0.01))
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.quantStream(input.toDF())
+      .writeStream.format("memory").queryName("quant_out")
+      .outputMode(OutputMode.Complete).start()
+    val streamed = try {
+      input.addData(events(0), events(1), events(2))
+      query.processAllAvailable()
+      input.addData(events(3), events(4)) // folds into existing registers
+      query.processAllAvailable()
+      spark.table("quant_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+    } finally query.stop()
+    // batch twin over the same static rows — identical shared arithmetic
+    val batch = EventsStream.quantStream(events.toDF())
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, "stream≡batch register parity")
+    // 1.50 and 1.52 cents (150, 152) share an octave-8 sub-bucket: the
+    // register must have FOLDED them (count 2), not grown the domain
+    assert(batch.exists { case (ty, _, _, c) => ty == "click" && c == 2L })
+    assert(batch.size <= 2 * 512, "register table must stay domain-bounded")
+  }
+
   test("dedupStream drops duplicate (user, type) events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
