@@ -529,10 +529,186 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** DuckDB replay of the composed IVF×PQ pipeline: the coarse chain
+    * replays [[kmeansTrain]] VERBATIM ([[kmIterSql]] — same seeds, same
+    * Lloyd updates, final sims/assignment `ks3`/`ka3` vs the trained
+    * `kc2`), then [[annPq]]'s per-subspace Lloyd updates run on RESIDUALS
+    * (vector − its trained-cell centroid — `psv` is rebuilt from `rsd`,
+    * so [[pqIterSql]] replays verbatim), ADC tables from the QUERY's
+    * residual in each probed cell, and exact-int ADC sums restricted to
+    * candidates of probed cells. The kmeans iteration count is pinned
+    * literally (2 — `KmIters` is declared after this val; object init
+    * order would bake 0); DedupSimilaritySpec asserts they agree.
+    */
+  private val annIvfPqOracle: String = {
+    import graft.functions.LshPlanes.Dims
+    val kmIters = (1 to 2)
+      .map(i => kmIterSql(i, s"kc${i - 1}", s"kc$i")).mkString(",\n")
+    val iters = (1 to PqIters)
+      .map(i => pqIterSql(i, s"pcb${i - 1}", s"pcb$i")).mkString(",\n")
+    s"""WITH $quantizedSql,
+       |dims AS (SELECT unnest(range($Dims)) AS dim),
+       |elems AS (SELECT vec_id, d.dim, qv[d.dim + 1] AS x FROM nz, dims d),
+       |kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv
+       |  FROM nz WHERE vec_id < $IvfK),
+       |$kmIters,
+       |${kmIterSql(3, "kc2", "kcend")},
+       |rsd AS (SELECT a.vec_id, a.cid,
+       |    list_transform(range($Dims), i -> v.qv[i + 1] - c.cqv[i + 1]) AS rv
+       |  FROM ka3 a JOIN nz v USING (vec_id) JOIN kc2 c USING (cid)),
+       |psv AS (SELECT vec_id, ms.m,
+       |    rv[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS sv
+       |  FROM rsd, (SELECT unnest(range($PqM)) AS m) ms),
+       |pcb0 AS (SELECT m,
+       |    row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid,
+       |    sv AS cv FROM psv
+       |  WHERE vec_id >= $IvfK AND vec_id < ${IvfK + PqK}),
+       |$iters,
+       |${pqIterSql(PqIters + 1, s"pcb$PqIters", "pcbend")},
+       |probes AS (SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM ks3 WHERE vec_id < 5) WHERE rn <= $IvfNProbe),
+       |qrsd AS (SELECT p.query_id, p.cid,
+       |    list_transform(range($Dims), i -> q.qv[i + 1] - c.cqv[i + 1]) AS rv
+       |  FROM probes p JOIN nz q ON q.vec_id = p.query_id JOIN kc2 c USING (cid)),
+       |qsv AS (SELECT query_id, cid,  ms.m,
+       |    rv[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS sv
+       |  FROM qrsd, (SELECT unnest(range($PqM)) AS m) ms),
+       |qdt AS (SELECT s.query_id, s.cid AS cell, c.m, c.cid AS code,
+       |    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+       |  FROM qsv s JOIN pcb$PqIters c ON c.m = s.m),
+       |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    CAST(sum(q.d) AS BIGINT) AS adist
+       |  FROM pqa${PqIters + 1} e
+       |  JOIN ka3 av ON av.vec_id = e.vec_id
+       |  JOIN qdt q ON q.cell = av.cid AND q.m = e.m AND q.code = e.cid
+       |  WHERE e.vec_id != q.query_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adist, rn FROM r WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** IVF×PQ — the production ANN composition: [[annIvf]]'s coarse
+    * quantizer prunes the candidate space to NProbe cells, and [[annPq]]'s
+    * codebooks — trained on the RESIDUAL (vector − cell centroid), whose
+    * variance is a fraction of the raw vectors' — compress what remains,
+    * so query cost is NProbe·n/K table lookups instead of n and the index
+    * stores ~8 bytes per vector. This is the FAISS `IVFx,PQy` shape: the
+    * coarse step buys the scan pruning, the residual step buys PQ accuracy
+    * at the same bit budget (residuals within a cell are centered near
+    * zero, so codewords spend resolution on the local geometry, not on
+    * reproducing the cell's offset).
+    *
+    * Shape: assignment and residual are ONE map pass (codegen'd
+    * `centroid_sims` + `zip_with` against plan-literal centroids); the
+    * persisted residual frame feeds Lloyd training (≤ M·K·sub partials per
+    * exchange, the [[annPq]] argument) and the zero-shuffle native encode.
+    * The candidate join keys on the CELL id against the ~20-row broadcast
+    * probe table — pruning happens BEFORE any ADC evaluation, and only
+    * slim (query, neighbor, adist) rows reach the one top-k exchange.
+    *
+    * Cross-engine determinism: residuals are differences of quantized
+    * int64 vectors, so codes, per-cell ADC tables and distance sums stay
+    * exact integers — the composed index's OUTPUT is hash-gated end to
+    * end, tie-breaks included.
+    */
+  val annIvfPq: Q = Q("ann_ivfpq", annIvfPqOracle) { (s, dir) =>
+    import s.implicits._
+    graft.functions.IvfExpressions.register(s)
+    graft.functions.PqExpressions.register(s)
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // the TRAINED coarse quantizer ([[trainCoarse]], shared with
+    // kmeansTrain) — raw seed centroids leave label clusters without a
+    // cell, whose members carry huge heterogeneous residuals that drown
+    // the ADC ranking (measured: recall 0.20 vs 0.30 at sf0.1)
+    val cents: Seq[Seq[Long]] = trainCoarse(s, base)
+    val centsLit = typedLit(cents)
+    val withSims = base.withColumn("sims",
+      call_function("centroid_sims", col("qv"), centsLit))
+    // persisted: the residual frame feeds codebook training (PqIters
+    // passes) AND the final encode — the K×64 assignment pass runs once
+    val rsd = graft.Scratch.track(withSims
+      .withColumn("cid",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(centsLit, col("cid") + 1), (x, c) => x - c))
+      .select(col("vec_id"), col("cid"), col("rv")))
+    // deterministic seed codebooks: residual subvectors of the first K ids
+    // AFTER the centroid block — vec_ids 0..IvfK-1 ARE the cell centroids,
+    // so their residuals are zero vectors and would collapse the codebook
+    // (every code ties to cid 0) — asserted in DedupSimilaritySpec
+    val seedRows: Seq[Seq[Long]] = rsd
+      .filter(col("vec_id") >= IvfK && col("vec_id") < IvfK + PqK)
+      .orderBy(col("vec_id")).select(col("rv")).as[Seq[Long]].collect().toSeq
+    var cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
+      seedRows.map(q => q.slice(m * PqSub, m * PqSub + PqSub)))
+    def assignedSub(codebook: Seq[Seq[Seq[Long]]]): DataFrame =
+      rsd
+        .withColumn("codes",
+          call_function("pq_codes", col("rv"), typedLit(codebook)))
+        .select(posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(codes[m] AS code, slice(rv, m * $PqSub + 1, $PqSub) AS sv))"))
+          .as(Seq("m", "e")))
+        .select(col("m"), col("e.code").as("code"), col("e.sv").as("sv"))
+    for (_ <- 1 to PqIters) {
+      // ≤ M·K·sub = 1024 partial rows: the codebook's state, not a data collect
+      val partials = assignedSub(cb)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(sum(col("x")).as("su"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = partials.map(r =>
+        (r.getAs[Int]("m"), r.getAs[Int]("code"), r.getAs[Int]("dim")) ->
+          (r.getAs[Long]("su"), r.getAs[Long]("n"))).toMap
+      cb = cb.zipWithIndex.map { case (words, m) =>
+        words.zipWithIndex.map { case (prev, c) =>
+          if (!byKey.contains((m, c, 0))) prev // lost every member: keep
+          else (0 until PqSub).map { j =>
+            val (su, n) = byKey((m, c, j))
+            Math.floorDiv(su, n)
+          }
+        }
+      }
+    }
+    val cbLit = typedLit(cb)
+    val encoded = rsd
+      .withColumn("codes", call_function("pq_codes", col("rv"), cbLit))
+      .select(col("vec_id"), col("cid"), col("codes"))
+    // per-(query, probed cell) ADC tables from the QUERY's residual in
+    // that cell — 5×NProbe rows of M×K lookup tables, broadcast
+    val probes = withSims.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"),
+        explode(expr(
+          s"""slice(transform(array_sort(zip_with(sims, sequence(0, ${IvfK - 1}),
+             |(s, i) -> named_struct('negs', -s, 'i', i))), x -> x.i), 1, $IvfNProbe)"""
+            .stripMargin.replace("\n", " "))).as("cid"))
+      .withColumn("qrv", zip_with(col("qv"),
+        element_at(centsLit, col("cid") + 1), (x, c) => x - c))
+      .select(col("query_id"), col("cid"),
+        call_function("pq_dtab", col("qrv"), cbLit).as("dtabs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    encoded.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("codes"), col("dtabs")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Recall diagnostic: fraction of the exact brute-force top-10 that each
-    * approximate method (LSH, IVF, PQ) recovers, per query — the quality
-    * metric an ANN deployment tunes (tables/bits, K/NProbe, codebook
-    * geometry) against. Recall floors are asserted in DedupSimilaritySpec.
+    * approximate method (LSH, IVF, PQ, IVF×PQ) recovers, per query — the
+    * quality metric an ANN deployment tunes (tables/bits, K/NProbe,
+    * codebook geometry) against. Recall floors are asserted in
+    * DedupSimilaritySpec.
     */
   /** The recall diagnostic's oracle nests each method's FULL oracle (brute,
     * LSH, IVF, PQ — all hash-gated above) as subqueries and recomputes the
@@ -544,14 +720,16 @@ object Similarity {
        |lsh AS (SELECT query_id, neighbor_id FROM ($annLshOracle)),
        |ivf AS (SELECT query_id, neighbor_id FROM ($annIvfOracle)),
        |pq AS (SELECT query_id, neighbor_id FROM ($annPqOracle)),
+       |ivfpq AS (SELECT query_id, neighbor_id FROM ($annIvfPqOracle)),
        |approx AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
-       |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id FROM pq),
+       |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id FROM pq
+       |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ivfpq),
        |recall AS (SELECT m.method, b.query_id,
        |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
        |      / count(*) AS recall
        |  FROM brute b
-       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq']) AS method) m
+       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS method) m
        |  LEFT JOIN approx a ON a.method = m.method
        |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
        |  GROUP BY m.method, b.query_id)
@@ -648,21 +826,27 @@ object Similarity {
     * unchanged. Exactness bound: per-(cid,dim) int64 sums are exact to
     * ~9·10¹⁴ members per cluster, far past any real shard.
     */
-  val kmeansTrain: Q = Q("kmeans_train", kmeansOracle) { (s, dir) =>
+  /** [[KmIters]] Lloyd updates from the deterministic first-[[KmK]] seeds
+    * over a (vec_id, qv) frame → the trained K×Dims centroid matrix.
+    * Shared by [[kmeansTrain]] (which reports the model) and [[annIvfPq]]
+    * (which consumes it as the coarse quantizer — the composition
+    * kmeansTrain's doc promises). Per iteration: one map-side codegen'd
+    * assignment + a K×Dims-bounded partial-sum exchange; the model
+    * collect is the quantizer's state, not a data collect.
+    */
+  private def trainCoarse(s: SparkSession,
+      base: DataFrame): Seq[Seq[Long]] = {
     import s.implicits._
     import graft.functions.LshPlanes.Dims
     graft.functions.IvfExpressions.register(s)
-    val base = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    def assign(cents: Seq[Seq[Long]]): DataFrame = base
-      .withColumn("sims", call_function("centroid_sims", col("qv"), typedLit(cents)))
-      .withColumn("cid",
-        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
-      .drop("sims")
     var cents: Seq[Seq[Long]] = base.filter(col("vec_id") < KmK)
       .orderBy(col("vec_id")).select(col("qv")).as[Seq[Long]].collect().toSeq
     for (_ <- 1 to KmIters) {
-      val partials = assign(cents)
+      val partials = base
+        .withColumn("sims",
+          call_function("centroid_sims", col("qv"), typedLit(cents)))
+        .withColumn("cid",
+          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
         .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -679,6 +863,20 @@ object Similarity {
         }
       }
     }
+    cents
+  }
+
+  val kmeansTrain: Q = Q("kmeans_train", kmeansOracle) { (s, dir) =>
+    import s.implicits._
+    graft.functions.IvfExpressions.register(s)
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    def assign(cents: Seq[Seq[Long]]): DataFrame = base
+      .withColumn("sims", call_function("centroid_sims", col("qv"), typedLit(cents)))
+      .withColumn("cid",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
+    val cents: Seq[Seq[Long]] = trainCoarse(s, base)
     val model = cents.zipWithIndex.map { case (c, k) => (k, c) }
       .toDF("cid", "cqv")
       .select(col("cid"), posexplode(col("cqv")).as(Seq("dim", "c")))
@@ -739,8 +937,9 @@ object Similarity {
     val approx = tagged("lsh", annLsh.run(s, dir))
       .unionByName(tagged("ivf", annIvf.run(s, dir)))
       .unionByName(tagged("pq", annPq.run(s, dir)))
+      .unionByName(tagged("ivfpq", annIvfPq.run(s, dir)))
       .withColumn("hit", lit(1))
-    brute.crossJoin(Seq("lsh", "ivf", "pq").toDF("method"))
+    brute.crossJoin(Seq("lsh", "ivf", "pq", "ivfpq").toDF("method"))
       .join(approx, Seq("method", "query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
       .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
@@ -865,5 +1064,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annLsh, annIvf, kmeansTrain, annRecall,
-      embedProject, classStats, annPq, embedGram)
+      embedProject, classStats, annPq, annIvfPq, embedGram)
 }

@@ -141,7 +141,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("kmeans_train produces a full model that Lloyd's actually trained") {
     val model = Similarity.kmeansTrain.run(spark, dir)
       .select($"cid", $"dim", $"c", $"n")
-      .as[(Int, Int, Long, Long)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     val corpus = graft.sources.Tables.load(spark, dir, "embeddings").count()
     // complete K×Dims matrix, one size per centroid
     assert(model.length === 16 * graft.functions.LshPlanes.Dims)
@@ -294,7 +294,7 @@ class DedupSimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val out = Similarity.annPq.run(spark, dir)
       .select($"query_id", $"neighbor_id", $"adist", $"rn")
-      .as[(Long, Long, Long, Int)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(out.length === 50) // 5 queries × top-10
     out.foreach { case (q, n, d, _) => assert(q != n && d >= 0L) }
     // recall vs the exact brute-force top-10: PQ quantizes distances (8
@@ -324,6 +324,41 @@ class DedupSimilaritySpec extends SparkSpec {
           cb.getArray(m).getArray(c).getLong(1)))).min
     }.sum
     assert(PqMath.adc(codes, dt) === exp)
+  }
+
+  test("ann_ivfpq: residual codes score only probed cells, recall clears its floor") {
+    val out = Similarity.annIvfPq.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"adist", $"rn")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 50) // 5 queries × top-10
+    out.foreach { case (q, n, d, _) => assert(q != n && d >= 0L) }
+    // the composed index must at least match plain PQ's floor while
+    // scoring only NProbe/K of the corpus (measured 0.46 at sf0.001 with
+    // the TRAINED coarse quantizer; raw seed centroids measured 0.36 —
+    // and the zero-residual seed degeneracy this spec exists to catch
+    // measured 0.10)
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = out.count { case (q, n, _, _) => brute.contains((q, n)) }
+    assert(hits >= 15, s"IVFPQ recall ${hits}/50 below floor")
+    // the oracle pins the kmeans chain at 2 iterations literally (object
+    // init order); the Spark side trains KmIters — they must agree
+    assert(Similarity.annIvfPq.oracle.get.contains("kc2"), "oracle kc chain")
+    assert(!Similarity.annIvfPq.oracle.get.contains("kc3 AS"), "oracle kc chain")
+  }
+
+  test("ann_ivfpq plan: candidates prune on the cell id BEFORE any ADC work") {
+    val plan = Similarity.annIvfPq.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the probe table broadcasts and the cell-id join prunes candidates
+    // before scoring: corpus-side assignment/residual/encode stay
+    // map-side, so the only (hash|range) exchanges are the per-query
+    // window and the presentation sort
+    assert("Exchange (hash|range)partitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("pq_adc"), plan)
+    assert(!plan.toLowerCase.contains("sortmergejoin"), plan)
   }
 
   test("ann_pq plan: encode and scoring are map-side; only top-k exchanges") {
