@@ -1034,7 +1034,86 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Incremental MinHash-index maintenance — `incr_agg_merge`'s proof
+    * shape applied to the near-dup family: the band-bucket index is built
+    * from the PRE-MIDPOINT half of the corpus, the post-midpoint docs
+    * arrive as a delta whose signatures are banded separately, and the two
+    * entry sets merge by plain union — valid because a MinHash signature
+    * is a PER-DOCUMENT function (min over the doc's own shingle hashes,
+    * no corpus interaction), so index(base ∪ δ) = index(base) ∪ band(sig(δ))
+    * exactly. The ORACLE is the full rebuild over all documents; the hash
+    * gate therefore IS the merge theorem, proven at every SF. This is the
+    * shape a daily ingest runs at 100 TB: sign and band ONLY the day's
+    * delta, append to the index, and re-run the capped bucket join —
+    * never re-signature the corpus.
+    *
+    * Output observability: per band, `n_base`/`n_delta` count entries
+    * from the two SEPARATELY-built frames (so the gate observes that both
+    * paths ran — the merge grain, like quantile_sketch's day_registers),
+    * plus merged-bucket and capped-candidate-pair counts. The bucket cap
+    * is the one corpus-global step (bucket sizes must see the merged
+    * index) — it runs on the union, exactly as a production refresh
+    * re-caps after append, and costs a band-keyed window on the
+    * entry-sized frame, not a corpus pass.
+    *
+    * Shape: the midpoint is a 2-value aggregate collected as a LITERAL so
+    * both halves' filters push into the parquet scan (plan-asserted in
+    * DedupSpec: two documents scans, each with a doc_id pushed filter —
+    * no unfiltered third signature pass); each half pays one
+    * shingle/md5/min-agg pass; everything downstream is entry-sized.
+    */
+  val incrIndex: Q = Q("dedup_incr_index",
+    s"""WITH $minhashBandsSql,
+       |m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+       |$capBucketsSql,
+       |pr AS (SELECT DISTINCT x.b, x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bandsk x JOIN bandsk y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pb AS (SELECT b, count(*) AS n_pairs FROM pr GROUP BY b),
+       |st AS (SELECT b,
+       |    count(CASE WHEN doc_id < (SELECT mid FROM m) THEN 1 END) AS n_base,
+       |    count(CASE WHEN doc_id >= (SELECT mid FROM m) THEN 1 END) AS n_delta,
+       |    count(DISTINCT bkey) AS n_buckets
+       |  FROM bands GROUP BY b)
+       |SELECT CAST(b AS BIGINT) AS band, CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_delta AS BIGINT) AS n_delta,
+       |  CAST(n_buckets AS BIGINT) AS n_buckets,
+       |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs
+       |FROM st LEFT JOIN pb USING (b) ORDER BY band""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    // 2-value model collect → literal midpoint → pushed-down half filters
+    val r = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()(0)
+    val mid = Math.floorDiv(r.getAs[Long]("lo") + r.getAs[Long]("hi"), 2L)
+    // persisted: each half's entries feed its own stat AND the merged
+    // index — the signature pass per half runs once
+    val baseIdx = graft.Scratch.track(
+      bandFrame(minhashSignatures(d.filter(col("doc_id") < mid))))
+    val deltaIdx = graft.Scratch.track(
+      bandFrame(minhashSignatures(d.filter(col("doc_id") >= mid))))
+    val merged = baseIdx.unionByName(deltaIdx)
+    def entriesOf(idx: DataFrame, n: String): DataFrame =
+      idx.groupBy(col("band")).agg(count(lit(1)).as(n))
+    val kept = capBuckets(merged)
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.band").as("band"), col("x.doc_id").as("id1"),
+        col("y.doc_id").as("id2"))
+      .distinct()
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    entriesOf(baseIdx, "n_base")
+      .join(entriesOf(deltaIdx, "n_delta"), Seq("band"))
+      .join(merged.groupBy(col("band"))
+        .agg(countDistinct(col("bkey")).as("n_buckets")), Seq("band"))
+      .join(pairs, Seq("band"), "left")
+      .select(col("band").cast("long").as("band"), col("n_base"),
+        col("n_delta"), col("n_buckets"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, containment, minhash, simhash, embed, clusters,
-      keepCanonical, crossEval, fuzzyJoin, agreement, bucketStats)
+      keepCanonical, crossEval, fuzzyJoin, agreement, bucketStats, incrIndex)
 }

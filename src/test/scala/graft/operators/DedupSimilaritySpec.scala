@@ -326,6 +326,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(PqMath.adc(codes, dt) === exp)
   }
 
+  test("dedup_incr_index: delta-only signing, pushed half filters, band accounting") {
+    val out = Dedup.incrIndex.run(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // no full-corpus re-signature: every documents scan carries a doc_id
+    // half filter pushed into parquet — one base (<mid), one delta (>=mid),
+    // and no third unfiltered signature pass
+    assert("LessThan\\(doc_id".r.findAllIn(plan).nonEmpty, plan)
+    assert("GreaterThanOrEqual\\(doc_id".r.findAllIn(plan).nonEmpty, plan)
+    // every documents SCAN (cached-frame repetitions included) must carry
+    // a half filter — an unfiltered line would be a third signature pass
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(scanLines.nonEmpty, plan)
+    scanLines.foreach { l =>
+      assert(l.contains("LessThan(doc_id") ||
+        l.contains("GreaterThanOrEqual(doc_id"),
+        s"documents scan without a half filter: $l")
+    }
+    // band accounting: 4 bands, every entry attributed to exactly one half
+    val rows = out.as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val corpus = graft.sources.Tables.load(spark, dir, "documents").count()
+    rows.foreach { case (_, nBase, nDelta, nBuckets, _) =>
+      assert(nBase + nDelta === corpus, "one entry per doc per band")
+      assert(nBuckets <= nBase + nDelta && nBuckets > 0)
+    }
+  }
+
   test("ann_ivfpq: residual codes score only probed cells, recall clears its floor") {
     val out = Similarity.annIvfPq.run(spark, dir)
       .select($"query_id", $"neighbor_id", $"adist", $"rn")
