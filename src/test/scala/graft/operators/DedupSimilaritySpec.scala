@@ -480,4 +480,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size < 40 * 39 / 2, "threshold must actually filter")
     graft.Scratch.release(spark)
   }
+
+  test("dedup_semantic: keep rule, live verdict, and cluster invariants") {
+    val out = Similarity.dedupSemantic.run(spark, dir)
+      .select($"vec_id", $"cid", $"csim", $"n_near", $"kept")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+    assert(out.length === 500)
+    val dropped = out.filter(!_._5)
+    assert(dropped.nonEmpty, "verdict must be live on the shipped corpus")
+    // a dropped doc always has a near neighbor; an isolated doc is kept
+    dropped.foreach { case (v, _, _, nn, _) => assert(nn >= 1, s"vec $v dropped with n_near 0") }
+    out.filter(_._4 == 0).foreach { case (v, _, _, _, kept) => assert(kept, s"isolated vec $v dropped") }
+    // per cluster, the member with minimal (csim, vec_id) can never be
+    // dominated — the keep rule's anchor
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val anchor = members.minBy(m => (m._3, m._1))
+      assert(anchor._5, s"cluster anchor ${anchor._1} was dropped")
+    }
+    graft.Scratch.release(spark)
+  }
+
+  test("dedup_semantic: an exact planted copy is dropped, the original kept") {
+    val base = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv"))
+      .withColumn("nrm", Similarity.dotQ($"qv", $"qv"))
+    // plant an exact copy of vec 7 under a fresh high id: same qv -> same
+    // cell, cosine 1.0, equal csim -> tie breaks to the smaller vec_id
+    val copy = base.filter($"vec_id" === 7L)
+      .select(lit(9999L).as("vec_id"), $"qv", $"nrm")
+    val out = Similarity.semanticVerdict(spark, base.unionByName(copy))
+      .select($"vec_id", $"n_near", $"kept").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(9999L)._1 >= 1L, "copy must see its original as a neighbor")
+    assert(!out(9999L)._2, "the higher-id exact copy must be dropped")
+    assert(out(7L)._2, "the original must be kept")
+    graft.Scratch.release(spark)
+  }
+
+  test("dedup_semantic: K is measured from the corpus and assignment is map-side") {
+    // knob-free growth: cells stay ~250 at any corpus size
+    assert(Similarity.semK(500) === 4)
+    assert(Similarity.semK(2000) === 8)
+    assert(Similarity.semK(50000) === 200)
+    assert(Similarity.semK(500000) === 2000)
+    // the assignment frame is one codegen projection over the base: the
+    // trained matrix rides as a plan literal, zero exchanges
+    val base = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv"))
+      .withColumn("nrm", Similarity.dotQ($"qv", $"qv"))
+    val plan = Similarity.semanticAssign(spark, base)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    graft.Scratch.release(spark)
+  }
 }
