@@ -196,8 +196,14 @@ object Graph {
     */
   private val TriK = 8
 
-  private val triBigOracle: String =
-    s"""WITH pw AS (SELECT CAST(l1.l_partkey AS BIGINT) AS u,
+  /** Shared DuckDB CTE chain: the co-purchase k-NN edge set (weighted
+    * basket pairs → per-node top-[[TriK]] → canonical u < v, distinct) —
+    * ends with MATERIALIZED `e`. The SQL twin of [[coPurchaseEdges]],
+    * shared by [[trianglesBig]] and [[lpa]] so the two graph queries run
+    * over the identical similarity graph.
+    */
+  private val coPurchaseEdgesSql: String =
+    s"""pw AS (SELECT CAST(l1.l_partkey AS BIGINT) AS u,
        |    CAST(l2.l_partkey AS BIGINT) AS v, count(*) AS w
        |  FROM lineitem l1 JOIN lineitem l2
        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
@@ -208,7 +214,10 @@ object Graph {
        |    row_number() OVER (PARTITION BY x ORDER BY w DESC, y) AS rn
        |  FROM sym) WHERE rn <= $TriK),
        |e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
-       |    greatest(x, y) AS v FROM knn),
+       |    greatest(x, y) AS v FROM knn)""".stripMargin
+
+  private val triBigOracle: String =
+    s"""WITH $coPurchaseEdgesSql,
        |deg AS (SELECT x, count(*) AS dg FROM
        |    (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
        |o AS MATERIALIZED (SELECT
@@ -285,16 +294,21 @@ object Graph {
     * stage is a keyed shuffle with map-side partials; output is the
     * top-100 triangle-participation slice (TakeOrderedAndProject).
     */
-  val trianglesBig: Q = Q("graph_triangles_big", triBigOracle) { (s, dir) =>
+  /** The co-purchase k-NN similarity graph as a canonical (u < v,
+    * distinct) edge frame — shared by [[trianglesBig]] and [[lpa]].
+    * Pair generation aggregates each order's parts list once and
+    * explodes intra-list index pairs (i < j, canonical a < b) — the
+    * same (u, v, w) multiset as the oracle's basket self-join, computed
+    * with ONE orderkey exchange instead of the join's two-sided
+    * build/probe over the fact (measured 4.4 → 2.5 s at sf0.1; fan-out
+    * stays bounded by order size either way). The weighted pair frame is
+    * persisted (the symmetrization reads it twice); per-node top-k runs
+    * in a node-partitioned window (per-node co-purchase degree is
+    * corpus-size-invariant, so frames stay bounded).
+    */
+  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    // persisted: the symmetrization below reads the weighted pair frame
-    // twice. Pair generation aggregates each order's parts list once and
-    // explodes intra-list index pairs (i < j, canonical a < b) — the
-    // same (u, v, w) multiset as the oracle's basket self-join, computed
-    // with ONE orderkey exchange instead of the join's two-sided
-    // build/probe over the fact (measured 4.4 → 2.5 s at sf0.1; fan-out
-    // stays bounded by order size either way)
     val pairs = graft.Scratch.track(
       li.groupBy(col("l_orderkey"))
         .agg(collect_list(col("l_partkey").cast("long")).as("ps"))
@@ -308,14 +322,17 @@ object Graph {
         .agg(count(lit(1)).as("w")))
     val sym = pairs.select(col("u").as("x"), col("v").as("y"), col("w"))
       .unionByName(pairs.select(col("v").as("x"), col("u").as("y"), col("w")))
-    val edges = sym
+    sym
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("x")).orderBy(col("w").desc, col("y"))))
       .filter(col("rn") <= TriK)
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .distinct()
-    triangleCounts(edges)
+  }
+
+  val trianglesBig: Q = Q("graph_triangles_big", triBigOracle) { (s, dir) =>
+    triangleCounts(coPurchaseEdges(s, dir))
       .orderBy(col("tri").desc, col("x")).limit(100)
       .select(col("x").as("node"), col("tri"))
   }
@@ -726,6 +743,88 @@ object Graph {
     dist.orderBy(col("node"))
   }
 
+  private val LpaIters = 4
+
+  /** One DuckDB LPA round: count neighbor labels, keep the most frequent
+    * (ties to the smallest label) — the exact [[lpaRound]] semantics. */
+  private def lpaIterSql(i: Int): String = {
+    val mat = if (i == LpaIters) "MATERIALIZED " else ""
+    s"""m$i AS (SELECT s.y AS node, l.lbl, count(*) AS c
+       |  FROM se s JOIN l${i - 1} l ON s.x = l.node GROUP BY 1, 2),
+       |l$i AS $mat(SELECT node, lbl FROM (SELECT node, lbl,
+       |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |  FROM m$i) WHERE rn = 1)""".stripMargin
+  }
+
+  private val lpaOracle: String =
+    s"""WITH $coPurchaseEdgesSql,
+       |se AS MATERIALIZED (SELECT u AS x, v AS y FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM se),
+       |${(1 to LpaIters).map(lpaIterSql).mkString(",\n")},
+       |cs AS (SELECT lbl, count(*) AS csz FROM l$LpaIters GROUP BY lbl)
+       |SELECT CAST(l.node AS BIGINT) AS node, CAST(l.lbl AS BIGINT) AS community,
+       |  CAST(c.csz AS BIGINT) AS csz
+       |FROM l$LpaIters l JOIN cs c USING (lbl) ORDER BY node""".stripMargin
+
+  /** One synchronous label-propagation round over a symmetric (x, y) edge
+    * frame: every node adopts its neighbors' most frequent label, ties to
+    * the smallest label — all-integer (count-max then label-min via one
+    * struct max), so DuckDB replays it bit-for-bit. Factored out so
+    * [[lpa]] and the GraphSpec plan assertion run the identical step.
+    * Two keyed exchanges per round: the label vector joins the
+    * src-partitioned edge list (only the |V|-sized vector moves), and the
+    * message count re-keys by destination with map-side partials. Nothing
+    * broadcasts — the vector is data-sized (plan-asserted).
+    */
+  private[operators] def lpaRound(se: DataFrame, labels: DataFrame): DataFrame =
+    se.join(labels.select(col("node").as("x"), col("lbl")), Seq("x"))
+      .groupBy(col("y"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("y"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("y").as("node"), (-col("m.nl")).as("lbl"))
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over the co-purchase k-NN similarity graph — the third Pregel
+    * shape in the graph family beside [[pagerankBig]] (fixed rounds over a
+    * value vector) and [[components]] (converging pointer-jumping): LPA's
+    * per-round state is a LABEL vector updated by a neighborhood VOTE.
+    * [[LpaIters]] synchronous rounds from self-labels; the deterministic
+    * count-desc/label-asc tie-break makes the unrolled oracle replay exact
+    * (synchronous LPA on a fixed round budget needs no convergence
+    * argument — oscillation, its known failure mode, is simply truncated
+    * identically in both engines).
+    *
+    * Scale shape, per the [[pagerankBig]] contract: the edge list is
+    * persisted pre-partitioned by the join key once and every round moves
+    * only the (node, lbl) vector through two keyed exchanges
+    * ([[lpaRound]]); per-round `localCheckpoint` cuts lineage with eager
+    * release of the previous vector; community sizes are a two-phase
+    * count (no window over the data-sized label frame). Output is the
+    * full per-node assignment — the frame a curation pipeline joins back
+    * against the corpus to stratify by community.
+    */
+  val lpa: Q = Q("graph_lpa", lpaOracle) { (s, dir) =>
+    val edges = coPurchaseEdges(s, dir)
+    val se = graft.Scratch.track(
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+        .repartition(col("x")))
+    var r = se.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      val next = lpaRound(se, r).localCheckpoint()
+      Dedup.releaseCheckpoint(r)
+      r = next
+    }
+    graft.Scratch.trackCheckpointed(r)
+    val sizes = r.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+    r.join(sizes, Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("csz"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[Q] = Seq(pagerank, pagerankBig, triangles, trianglesBig,
-    kcore, components, bipartiteDegree, bfs)
+    kcore, components, bipartiteDegree, bfs, lpa)
 }

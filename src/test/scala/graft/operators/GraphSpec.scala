@@ -374,4 +374,49 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got2 === (0L to 3L).map(i => (i, i)))
   }
+
+  test("graph_lpa: cliques converge to one community each; bridge stays split") {
+    // two 5-cliques joined by a single bridge edge 4-10: after 4 rounds
+    // every clique member votes with 4 intra-clique neighbors against at
+    // most 1 bridge neighbor, so labels converge inside each clique and
+    // the cliques keep distinct communities
+    val cliqueA = for (i <- 0L to 4L; j <- 0L to 4L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- 10L to 14L if i < j) yield (i, j)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 10L))).toDF("u", "v")
+    val se = edges.select($"u".as("x"), $"v".as("y"))
+      .unionByName(edges.select($"v".as("x"), $"u".as("y"))).repartition($"x")
+    var r = se.select($"x".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    for (_ <- 1 to 4) r = Graph.lpaRound(se, r).localCheckpoint()
+    val got = r.as[(Long, Long)].collect().toMap
+    assert(got.keySet === ((0L to 4L) ++ (10L to 14L)).toSet)
+    val labelsA = (0L to 4L).map(got).toSet
+    val labelsB = (10L to 14L).map(got).toSet
+    assert(labelsA.size === 1, s"clique A split: $labelsA")
+    assert(labelsB.size === 1, s"clique B split: $labelsB")
+    assert(labelsA !== labelsB, "bridge merged the cliques")
+  }
+
+  test("graph_lpa: the round keeps the label vector distributed") {
+    val edges = spark.range(0, 2000)
+      .select(($"id" % 500).as("u"), ($"id" % 499 + 1000).as("v")).distinct()
+    val se = edges.select($"u".as("x"), $"v".as("y"))
+      .unionByName(edges.select($"v".as("x"), $"u".as("y"))).repartition($"x")
+    val labels = se.select($"x".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val round = Graph.lpaRound(se, labels)
+    val parts =
+      try { spark.conf.set(coalesceKey, "false"); round.rdd.getNumPartitions }
+      finally spark.conf.set(coalesceKey, prev)
+    assert(parts > 1, "round output must stay partitioned")
+    val plan = round.queryExecution.executedPlan
+    assert(!plan.toString.contains("Coalesce 1"), plan.toString)
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isEmpty,
+      s"label-vector join must shuffle, not broadcast:\n$plan")
+  }
 }
