@@ -756,18 +756,19 @@ object Similarity {
     * its previous centroid. Requires `nz` ([[quantizedSql]]) and `elems`
     * (vec_id, dim, x) upstream.
     */
-  private def kmIterSql(i: Int, prev: String, next: String): String =
+  private def kmIterSql(i: Int, prev: String, next: String,
+      corpus: String = "nz", elemsT: String = "elems"): String =
     s"""ks$i AS (SELECT v.vec_id, c.cid,
        |    CASE WHEN v.nrm = 0 OR list_dot_product(c.cqv, c.cqv) = 0 THEN 0.0
        |         ELSE CAST(list_dot_product(v.qv, c.cqv) AS DOUBLE)
        |           / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(list_dot_product(c.cqv, c.cqv) AS DOUBLE))) END AS sim
-       |  FROM nz v CROSS JOIN $prev c),
+       |  FROM $corpus v CROSS JOIN $prev c),
        |ka$i AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
        |    FROM ks$i) WHERE rn = 1),
        |ku$i AS (SELECT a.cid, e.dim, CAST(sum(e.x) AS BIGINT) AS s, count(*) AS n
-       |  FROM ka$i a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
+       |  FROM ka$i a JOIN $elemsT e USING (vec_id) GROUP BY a.cid, e.dim),
        |kn$i AS (SELECT cid,
        |    list((s - (((s % n) + n) % n)) // n ORDER BY dim) AS cqv
        |  FROM ku$i GROUP BY cid),
@@ -834,7 +835,7 @@ object Similarity {
     * assignment + a K×Dims-bounded partial-sum exchange; the model
     * collect is the quantizer's state, not a data collect.
     */
-  private def trainCoarse(s: SparkSession,
+  private[operators] def trainCoarse(s: SparkSession,
       base: DataFrame, k: Int = KmK): Seq[Seq[Long]] = {
     import s.implicits._
     import graft.functions.LshPlanes.Dims
@@ -1191,7 +1192,137 @@ object Similarity {
       .withColumn("nrm", dotQ(col("qv"), col("qv"))))
   }
 
+  /** DuckDB replay of the incremental-index contract: train the coarse
+    * quantizer on the pre-midpoint half only ([[kmIterSql]] over `nzb`),
+    * then assign the WHOLE corpus in one pass — the frozen-quantizer
+    * rebuild the incremental path must exactly equal.
+    */
+  private val annIncrOracle: String = {
+    import graft.functions.LshPlanes.Dims
+    val iters = (1 to KmIters)
+      .map(i => kmIterSql(i, s"kc${i - 1}", s"kc$i", "nzb", "elemsb"))
+      .mkString(",\n")
+    s"""WITH $quantizedSql,
+       |mm AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM nz),
+       |nzb AS (SELECT * FROM nz WHERE vec_id < (SELECT mid FROM mm)),
+       |dims AS (SELECT unnest(range($Dims)) AS dim),
+       |elemsb AS (SELECT vec_id, d.dim, qv[d.dim + 1] AS x FROM nzb, dims d),
+       |kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv
+       |  FROM nzb WHERE vec_id < $IvfK),
+       |$iters,
+       |cents AS (SELECT cid, cqv, list_dot_product(cqv, cqv) AS cnrm
+       |  FROM kc$KmIters),
+       |sims AS (SELECT v.vec_id, c.cid,
+       |    CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
+       |         ELSE ${cosSql("v.qv", "v.nrm", "c.cqv", "c.cnrm")} END AS sim
+       |  FROM nz v CROSS JOIN cents c),
+       |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |st AS (SELECT cid,
+       |    count(CASE WHEN vec_id < (SELECT mid FROM mm) THEN 1 END) AS n_base,
+       |    count(CASE WHEN vec_id >= (SELECT mid FROM mm) THEN 1 END) AS n_delta
+       |  FROM asg GROUP BY cid),
+       |probes AS (SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sims WHERE vec_id < 5) WHERE rn <= $IvfNProbe),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cid,
+       |    ${cosSql("q.qv", "q.nrm", "n.qv", "n.nrm")} AS cos_sim
+       |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id != p.query_id
+       |  JOIN nz q ON q.vec_id = p.query_id
+       |  JOIN nz n ON n.vec_id = a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cid, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT r.query_id, r.neighbor_id, r.cos_sim, CAST(r.rn AS BIGINT) AS rn,
+       |  CAST(r.cid AS BIGINT) AS cid, CAST(s.n_base AS BIGINT) AS cell_base,
+       |  CAST(s.n_delta AS BIGINT) AS cell_delta
+       |FROM r JOIN st s USING (cid) WHERE r.rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Incremental ANN-index maintenance — the FAISS `add()` production
+    * shape, and [[Dedup.incrIndex]]'s proof pattern applied to the ANN
+    * family: the coarse quantizer is TRAINED on the pre-midpoint half of
+    * the corpus and then FROZEN; the post-midpoint delta is assigned
+    * map-side under the frozen quantizer and its postings merge into the
+    * index by plain union — exact because cell assignment is a
+    * PER-VECTOR function of the frozen centroids (no corpus interaction),
+    * so postings(base ∪ δ) = postings(base) ∪ assign(δ). The ORACLE
+    * trains on the same base half but assigns everything in ONE pass, so
+    * the hash gate proves the merge identity at every SF. Retraining the
+    * quantizer is deliberately NOT part of the daily path (that is a
+    * re-index event — in FAISS terms `train()` vs `add()`).
+    *
+    * Output: the top-10 probe retrievals over the merged index
+    * ([[annIvf]]'s query surface), each row annotated with its cell's
+    * (cell_base, cell_delta) posting counts — the merge grain observable
+    * to the gate, per the [[Dedup.incrIndex]] convention.
+    *
+    * Scale shape: the corpus is persisted once and read four ways
+    * (training sweeps over the base half, two map-side assignment
+    * branches, probe rescore); both assignment branches are single
+    * codegen projections with the frozen matrix as a plan literal (zero
+    * exchanges — spec-asserted), the per-cell stats aggregate is K-sized,
+    * and the probe join broadcasts only the NProbe·|queries| probe rows.
+    * In production the base branch's postings are already on disk; the
+    * daily cost is the delta branch alone — linear in the delta, zero
+    * touches of the base corpus.
+    */
+  val annIncrIndex: Q = Q("ann_incr_index", annIncrOracle) { (s, dir) =>
+    import s.implicits._
+    graft.functions.IvfExpressions.register(s)
+    val base = graft.Scratch.track(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+    // 2-value model collect → literal midpoint (the incr_agg_merge idiom)
+    val mm = base.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .collect()(0)
+    val mid = Math.floorDiv(mm.getAs[Long]("lo") + mm.getAs[Long]("hi"), 2L)
+    val cents = trainCoarse(s,
+      base.filter(col("vec_id") < mid).select(col("vec_id"), col("qv")), IvfK)
+    val centsLit = typedLit(cents)
+    def assignHalf(half: DataFrame, tag: Int): DataFrame = half
+      .withColumn("sims", call_function("centroid_sims", col("qv"), centsLit))
+      .withColumn("cid",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
+      .withColumn("src", lit(tag))
+    // the merged index: base postings ∪ delta postings, built SEPARATELY
+    val postings = graft.Scratch.track(
+      assignHalf(base.filter(col("vec_id") < mid), 0)
+        .unionByName(assignHalf(base.filter(col("vec_id") >= mid), 1)))
+    val st = postings.groupBy(col("cid"))
+      .agg(sum(when(col("src") === 0, 1L).otherwise(0L)).as("cell_base"),
+        sum(when(col("src") === 1, 1L).otherwise(0L)).as("cell_delta"))
+    val withSims = base
+      .withColumn("sims", call_function("centroid_sims", col("qv"), centsLit))
+    val probes = withSims.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"),
+        explode(expr(
+          s"""slice(transform(array_sort(zip_with(sims, sequence(0, ${IvfK - 1}),
+             |(s, i) -> named_struct('negs', -s, 'i', i))), x -> x.i), 1, $IvfNProbe)"""
+            .stripMargin.replace("\n", " "))).as("pcid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    postings.join(broadcast(probes),
+        postings("cid") <=> probes("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
+        cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .join(st, Seq("cid"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rn"),
+        col("cid").cast("long").as("cid"), col("cell_base"), col("cell_delta"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annLsh, annIvf, kmeansTrain, annRecall,
-      embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic)
+      embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
+      annIncrIndex)
 }

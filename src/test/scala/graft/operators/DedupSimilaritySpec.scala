@@ -533,4 +533,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
     graft.Scratch.release(spark)
   }
+
+  test("ann_incr_index: delta-assign under the frozen quantizer equals the one-shot rebuild") {
+    graft.functions.IvfExpressions.register(spark)
+    val base = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv"))
+    val Array(lo, hi) = base
+      .agg(min($"vec_id"), max($"vec_id")).as[(Long, Long)].collect()
+      .flatMap(t => Array(t._1, t._2))
+    val mid = Math.floorDiv(lo + hi, 2L)
+    val cents = Similarity.trainCoarse(spark, base.filter($"vec_id" < mid), 16)
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sims", call_function("centroid_sims", $"qv", typedLit(cents)))
+      .select($"vec_id",
+        (array_position($"sims", array_max($"sims")) - 1).as("cid"))
+    val oneShot = assign(base).as[(Long, Long)].collect().toSet
+    val merged = assign(base.filter($"vec_id" < mid))
+      .unionByName(assign(base.filter($"vec_id" >= mid)))
+      .as[(Long, Long)].collect().toSet
+    assert(merged === oneShot)
+    assert(merged.nonEmpty)
+    // the delta branch is one map-side codegen projection: the frozen
+    // matrix rides as a plan literal, zero exchanges
+    val plan = assign(base.filter($"vec_id" >= mid))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"delta assignment must not shuffle:\n$plan")
+  }
 }
