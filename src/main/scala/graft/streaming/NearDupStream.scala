@@ -125,4 +125,55 @@ object NearDupStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         bucketStep(usesTimeout, ttl))
   }
+
+  // public: Catalyst's generated (de)serializers instantiate these
+  case class MgShard(shard: Int, seq: Long, ws: Seq[String], cs: Seq[Long])
+  case class MgShardState(seq: Long, buf: graft.functions.TypedAggs.MGBuf)
+
+  /** Streaming Misra–Gries heavy-hitter candidate maintenance over a
+    * DOCUMENT stream — the online twin of the batch `heavy_hitters`
+    * two-pass pipeline ([[graft.operators.TextAnalysis.heavyHitters]]):
+    * tokens hash-route to one of `shards` sketch keys, and each shard
+    * folds its substream through the IDENTICAL [[graft.functions.TypedAggs.misraGries]]
+    * reduce step the batch aggregator runs — one shared fold, so stream
+    * and batch cannot drift. Every micro-batch each touched shard emits a
+    * (seq-stamped) snapshot of its candidate list; the nightly consumer
+    * takes the latest snapshot per shard, unions the candidate sets, and
+    * runs the batch pipeline's exact pass 2 over them.
+    *
+    * Superset guarantee end to end: a true global heavy hitter
+    * (c · HHFrac > n) hashes ALL its occurrences into one shard whose
+    * substream is at most n tokens, so within the shard its frequency
+    * ratio is at least its global ratio and shard-local MG with
+    * k ≥ HHFrac keeps it — the union of final shard candidates therefore
+    * contains every true heavy hitter (asserted against the batch query
+    * in NearDupStreamSpec), and the exact pass restores equality.
+    *
+    * State is `shards` keys × O(k) counters — BOUNDED BY CONSTRUCTION
+    * over an infinite stream (no TTL needed, unlike [[candidates]]'s
+    * unbounded bucket space): the streaming analogue of the batch
+    * sketch's exchange-volume bound.
+    */
+  def hhStream(docs: DataFrame, shards: Int, k: Int): Dataset[MgShard] = {
+    import docs.sparkSession.implicits._
+    val agg = graft.functions.TypedAggs.misraGries(k)
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .withColumn("shard",
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long")
+          % shards).cast("int"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MgShardState, MgShard](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(String, Int)],
+            state: GroupState[MgShardState]) =>
+          val prev = state.getOption.getOrElse(MgShardState(0L, agg.zero))
+          var buf = prev.buf
+          rows.foreach { case (w, _) => buf = agg.reduce(buf, w) }
+          val next = MgShardState(prev.seq + 1L, buf)
+          state.update(next)
+          Iterator.single(MgShard(shard, next.seq, buf.ws, buf.cs))
+      }
+  }
 }

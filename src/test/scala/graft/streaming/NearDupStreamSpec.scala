@@ -116,4 +116,41 @@ class NearDupStreamSpec extends SparkSpec {
     assert(state.getTimeoutTimestampMs.isPresent &&
       state.getTimeoutTimestampMs.get() === 1000L + 30L * 60L * 1000L)
   }
+
+  test("hhStream candidates cover every batch heavy hitter; exact pass restores equality") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docRows = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val query = NearDupStream.hhStream(
+        input.toDF().toDF("doc_id", "text"), shards = 8, k = 64)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    val candidates = try {
+      val chunks = docRows.grouped((docRows.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c: _*); query.processAllAvailable() }
+      // latest seq-stamped snapshot per shard = final sketch state
+      spark.table("hh_out").as[NearDupStream.MgShard].collect()
+        .groupBy(_.shard).values.map(_.maxBy(_.seq)).flatMap(_.ws).toSet
+    } finally query.stop()
+    assert(candidates.nonEmpty && candidates.size <= 8 * 64,
+      "state must stay shards x k bounded")
+    // batch truth: the exact heavy hitters over the same corpus
+    val exact = graft.operators.TextAnalysis.heavyHitters.run(spark, dir)
+      .select($"w", $"c").as[(String, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture corpus must have heavy hitters")
+    assert(exact.keySet.subsetOf(candidates),
+      s"MG superset guarantee broken: ${exact.keySet -- candidates}")
+    // exact pass 2 over the streamed candidates == the batch output
+    val toks = graft.sources.Tables.load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+    val n = toks.count()
+    val restored = toks.filter($"w".isInCollection(candidates))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .filter($"c" * 35 > n)
+      .as[(String, Long)].collect().toMap
+    assert(restored === exact, "exact pass over candidates must equal batch")
+  }
 }
