@@ -1066,7 +1066,7 @@ object Dedup {
     s"""WITH $minhashBandsSql,
        |m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
        |$capBucketsSql,
-       |pr AS (SELECT DISTINCT x.b, x.doc_id AS id1, y.doc_id AS id2
+       |pr AS (SELECT x.b, x.doc_id AS id1, y.doc_id AS id2
        |  FROM bandsk x JOIN bandsk y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |pb AS (SELECT b, count(*) AS n_pairs FROM pr GROUP BY b),
@@ -1095,12 +1095,15 @@ object Dedup {
     def entriesOf(idx: DataFrame, n: String): DataFrame =
       idx.groupBy(col("band")).agg(count(lit(1)).as(n))
     val kept = capBuckets(merged)
+    // NO pair distinct: a doc holds exactly ONE bkey per band (sig → one
+    // bandFrame entry per (doc, band); the cap only filters), so per-band
+    // join matches are already unique — the (band, id1, id2) DISTINCT the
+    // cross-band minhash pair set needs is a no-op here, and at the ×100
+    // smoke it shuffled 88M rows to remove zero (measured 10.9 s)
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.band").as("band"), col("x.doc_id").as("id1"),
-        col("y.doc_id").as("id2"))
-      .distinct()
+      .select(col("x.band").as("band"))
       .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
     entriesOf(baseIdx, "n_base")
       .join(entriesOf(deltaIdx, "n_delta"), Seq("band"))
