@@ -1342,10 +1342,101 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The shared BM25 per-(query-term, doc) score in MICRO-units, written
+    * ONCE as expression text both engines evaluate verbatim: Robertson
+    * idf in the RATIONAL form ((N − df + 0.5)/(df + 0.5), the [[tfidf]]
+    * no-logarithm convention — swap in the ln-damped form without
+    * changing the plan), k1 = 1.2, b = 0.75 folded as literals
+    * (k1+1 = 2.2, 1−b = 0.25). Every input is an exact integer below
+    * 2⁵³, each double step is IEEE-correctly-rounded with an identical
+    * operation tree, and the final round-to-micro makes the per-doc SUM
+    * an integer — summation-order-free, so the gate hashes exactly.
+    */
+  private val bm25ScoreSql: String =
+    "CAST(round((((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+      " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75" +
+      " * (CAST(len AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))" +
+      " * 1000000.0) AS BIGINT)"
+
+  /** BM25 ranked retrieval — the scoring half of the RAG stack whose
+    * storage half is [[invertedIndex]]: five probe queries (each
+    * `doc_id < 5` document's first 6 tokens as a term bag) rank the
+    * corpus by Okapi BM25 and keep the top-10. The candidate set is the
+    * real inverted-index probe: postings (the (doc, term, tf) frame)
+    * join the ≤ 30-row broadcast query-term list, so only documents
+    * containing a query term are ever scored and the exchanges are
+    * candidate-sized (Σ_t df_t), never corpus-wide. df joins the query
+    * terms BEFORE touching postings — the vocabulary aggregation stays
+    * two-phase/skew-resistant ([[tfidf]]'s argument) and the scored join
+    * broadcasts a ≤ 30-row (term, df) model. Corpus stats (N, total
+    * length) ride as a 1-row broadcast; scores are integer micro-units
+    * ([[bm25ScoreSql]]) so the per-document sum is order-free.
+    */
+  val bm25: Q = Q("text_bm25",
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+       |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |lens AS (SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS len
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS tot_len
+       |  FROM documents),
+       |qt AS (SELECT DISTINCT query_id, w FROM (
+       |    SELECT doc_id AS query_id, unnest(t[1:6]) AS w
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |      FROM documents WHERE doc_id < 5))),
+       |sc AS (SELECT q.query_id, tf.doc_id, $bm25ScoreSql AS score_micro
+       |  FROM tf JOIN qt q USING (w) JOIN dfr USING (w)
+       |  JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id,
+       |    CAST(sum(score_micro) AS BIGINT) AS bm25_micro
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, bm25_micro,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id) AS rn
+       |  FROM agg)
+       |SELECT query_id, doc_id, bm25_micro, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+    bm25Rank(docs(s, dir))
+  }
+
+  /** The BM25 pipeline over any (doc_id, text) frame — factored out so
+    * the planted-fixture spec drives constructed corpora. */
+  private[operators] def bm25Rank(docsDf: DataFrame): DataFrame = {
+    val words = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val lens = docsDf.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val stats = docsDf.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("tot_len"))
+    val qterms = docsDf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("w"))
+      .distinct()
+    // query-restricted df: ≤ |queries|·6 rows after the broadcast join —
+    // the model the postings probe broadcasts
+    val qdf = df.join(broadcast(qterms), Seq("w"))
+    val w10 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    tf.join(broadcast(qdf), Seq("w"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(bm25ScoreSql))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micro")).as("bm25_micro"))
+      .withColumn("rn", row_number().over(w10).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("bm25_micro"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
       bpePairs, corpusReport, boilerplate, cooccur, featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
-      predictability, dedupSpans, bpeTrain, bpeEncode)
+      predictability, dedupSpans, bpeTrain, bpeEncode, bm25)
 }

@@ -564,4 +564,35 @@ class TextAnalysisSpec extends SparkSpec {
       "ab" -> 4L,  // trailing ab x2 + both ab's of "abab"
       "b" -> 1L, "c" -> 1L, "a" -> 1L))
   }
+
+  test("text_bm25: candidate pruning, ranking invariants, planted fixture") {
+    import org.apache.spark.sql.functions._
+    // doc 0 is the query source (first 6 tokens); doc 5 matches a term
+    // subset densely; doc 6 shares nothing and must never be scored
+    val fixture = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta trailing words beyond query"),
+      (5L, "alpha alpha alpha beta beta gamma"),
+      (6L, "unrelated vocabulary entirely disjoint from the probe terms"),
+      (7L, "alpha mixed with unrelated filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(fixture)
+      .select($"query_id", $"doc_id", $"bm25_micro", $"rn")
+      .as[(Long, Long, Long, Long)].collect()
+    val q0 = got.filter(_._1 == 0L)
+    assert(q0.map(_._2).toSet === Set(0L, 5L, 7L),
+      "only docs sharing a query term are scored; the disjoint doc is pruned")
+    assert(q0.forall(_._3 > 0L), "rational-idf scores stay positive")
+    // rn dense from 1, scores non-increasing in rank
+    assert(q0.sortBy(_._4).map(_._4).toSeq === (1L to q0.length))
+    assert(q0.sortBy(_._4).map(_._3).toSeq.reverse.sorted.reverse ===
+      q0.sortBy(_._4).map(_._3).toSeq)
+    // the single-term doc cannot outrank the all-terms source doc
+    val rank = q0.map(t => t._2 -> t._4).toMap
+    assert(rank(0L) < rank(7L), "six matching terms outrank one")
+    // the postings probe broadcasts the query-term model: candidate
+    // pruning happens in a broadcast join BEFORE any scoring
+    val plan = TextAnalysis.bm25Rank(fixture)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
