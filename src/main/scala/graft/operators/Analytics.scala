@@ -1975,6 +1975,84 @@ object Analytics {
       .orderBy(col("o_custkey"))
   }
 
+  /** Per-type daily-volume EWMA forecast with residuals — the capacity
+    * planning / drift-alarm series next to [[eventsAnomaly]]'s z-scores:
+    * for every event type, daily counts over the type's ZERO-FILLED day
+    * span (gap days count 0 — the [[eventsActiveUsers]] lesson, explicit)
+    * feed an exponentially-weighted level with α = 1/8 in ×8 fixed-point:
+    * s₁ = 8·c₁, sₜ = sₜ₋₁ + ⌊(8·cₜ − sₜ₋₁)/8⌋ (sign-correct pmod floor,
+    * the [[graft.operators.Similarity]] kmIterSql trick), forecast for
+    * day t is ⌊sₜ₋₁/8⌋ and the residual is cₜ − forecast (day 1 anchors
+    * forecast = c₁, resid = 0). All-integer, so DuckDB's recursive-CTE
+    * replay is bit-exact.
+    *
+    * Scale shape — "aggregate to model size, then iterate": the one
+    * corpus-sized pass is the (type, day) count with map-side partials;
+    * the EWMA recursion runs INSIDE Catalyst as an `aggregate` fold over
+    * each type's day array — a calendar-bounded, corpus-size-invariant
+    * domain (|types| × span days), the same legitimacy as the winsorize
+    * histogram. No driver collect, no window over data-sized frames, no
+    * UDF: one codegen'd projection after the count.
+    */
+  val eventsForecast: Q = Q("events_forecast",
+    s"""WITH RECURSIVE
+      |ed AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day
+      |  FROM events),
+      |c0 AS (SELECT event_type, day, count(*) AS c FROM ed GROUP BY 1, 2),
+      |sp AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+      |  FROM c0 GROUP BY 1),
+      |days AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
+      |  FROM sp),
+      |cd AS (SELECT d.event_type, d.day, coalesce(c0.c, 0) AS c
+      |  FROM days d LEFT JOIN c0 USING (event_type, day)),
+      |n AS (SELECT event_type, day, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM cd),
+      |rec AS (
+      |  SELECT event_type, rn, day, CAST(c AS BIGINT) AS c,
+      |    CAST(8 * c AS BIGINT) AS s, CAST(c AS BIGINT) AS forecast,
+      |    CAST(0 AS BIGINT) AS resid
+      |  FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.rn, n.day, CAST(n.c AS BIGINT),
+      |    r.s + ((8 * n.c - r.s) - (((8 * n.c - r.s) % 8 + 8) % 8)) // 8,
+      |    r.s // 8,
+      |    n.c - r.s // 8
+      |  FROM rec r JOIN n ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+      |SELECT event_type, CAST(day AS BIGINT) AS day, c, forecast, resid
+      |FROM rec ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val counts = t(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val filled = counts
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"),
+        collect_list(struct(col("day"), col("c"))).as("obs"))
+      .select(col("event_type"),
+        // zero-filled (day, c) series: observed counts scattered into the
+        // type's full calendar span, sorted by construction of `sequence`
+        expr("""transform(sequence(lo, hi), d ->
+          |  named_struct('day', d,
+          |    'c', coalesce(filter(obs, o -> o.day = d)[0].c, 0L)))"""
+          .stripMargin.replace("\n", " ")).as("arr"))
+    filled
+      .select(col("event_type"), explode(expr(
+        """aggregate(slice(arr, 2, size(arr) - 1),
+          |  named_struct('s', 8L * arr[0].c,
+          |    'out', array(named_struct('day', arr[0].day, 'c', arr[0].c,
+          |      'forecast', arr[0].c, 'resid', 0L))),
+          |  (acc, x) -> named_struct(
+          |    's', acc.s + ((8L * x.c - acc.s) - pmod(8L * x.c - acc.s, 8L)) div 8L,
+          |    'out', concat(acc.out, array(named_struct('day', x.day, 'c', x.c,
+          |      'forecast', acc.s div 8L, 'resid', x.c - acc.s div 8L)))),
+          |  acc -> acc.out)""".stripMargin.replace("\n", " "))).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.c").as("c"),
+        col("r.forecast").as("forecast"), col("r.resid").as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsSegmentWindow,
@@ -1982,7 +2060,7 @@ object Analytics {
     eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
-    eventsSequences, eventsActiveUsers,
+    eventsSequences, eventsActiveUsers, eventsForecast,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
     incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,

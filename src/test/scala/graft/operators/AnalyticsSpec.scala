@@ -837,4 +837,25 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(builtin === custom)
   }
+
+  test("events_forecast: dense day spans and an exact EWMA replay") {
+    val out = Analytics.eventsForecast.run(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2)
+      // zero-filled: the day axis is contiguous over the type's span
+      assert(series.map(_._2).toSeq ===
+        (series.head._2 to series.last._2), s"$tpe days not dense")
+      // independent Scala replay of the fixed-point fold
+      var s = 8L * series.head._3
+      assert(series.head._4 === series.head._3 && series.head._5 === 0L)
+      series.tail.foreach { case (_, _, c, forecast, resid) =>
+        assert(forecast === Math.floorDiv(s, 8L), s"$tpe forecast drift")
+        assert(resid === c - Math.floorDiv(s, 8L))
+        s = s + Math.floorDiv(8L * c - s, 8L)
+      }
+    }
+  }
 }
