@@ -1079,11 +1079,15 @@ object Similarity {
     * within-cell pair scoring + keep rule — so the kept/dropped VERDICT
     * per document is hash-gated, not just counted.
     */
-  private val semanticOracle: String = {
+  /** Shared oracle prefix: measured-K training + zero-guarded assignment,
+    * ending with `asg` (vec_id, cid, csim) — the replay of
+    * [[semanticAssign]], consumed by [[semanticOracle]] and
+    * [[pruneOracle]]. */
+  private val semanticAsgSql: String = {
     import graft.functions.LshPlanes.Dims
     val iters = (1 to KmIters)
       .map(i => kmIterSql(i, s"kc${i - 1}", s"kc$i")).mkString(",\n")
-    s"""WITH $quantizedSql,
+    s"""$quantizedSql,
        |dims AS (SELECT unnest(range($Dims)) AS dim),
        |elems AS (SELECT vec_id, d.dim, qv[d.dim + 1] AS x FROM nz, dims d),
        |kp AS (SELECT greatest(4, (count(*) + ${SemTargetCell - 1}) // $SemTargetCell) AS k FROM nz),
@@ -1098,7 +1102,11 @@ object Similarity {
        |asg AS (SELECT vec_id, cid, sim AS csim FROM (
        |    SELECT vec_id, cid, sim,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-       |    FROM fs) WHERE rn = 1),
+       |    FROM fs) WHERE rn = 1)""".stripMargin
+  }
+
+  private val semanticOracle: String = {
+    s"""WITH $semanticAsgSql,
        |av AS (SELECT a.vec_id, a.cid, a.csim, n.qv, n.nrm
        |  FROM asg a JOIN nz n USING (vec_id)),
        |pr AS (SELECT v.vec_id,
@@ -1321,8 +1329,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  private val pruneOracle: String =
+    s"""WITH $semanticAsgSql,
+       |nc AS (SELECT cid, count(*) AS n_c FROM asg GROUP BY cid),
+       |r AS (SELECT vec_id, cid, csim,
+       |    row_number() OVER (PARTITION BY cid ORDER BY csim DESC, vec_id) AS rn
+       |  FROM asg)
+       |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.csim,
+       |  CAST(r.rn AS BIGINT) AS rn, CAST(nc.n_c AS BIGINT) AS n_c,
+       |  (4 * r.rn > nc.n_c) AS kept
+       |FROM r JOIN nc USING (cid) ORDER BY r.vec_id""".stripMargin
+
+  /** Prototype-density data pruning — the "beyond neural scaling laws"
+    * selection rule (Sorscher et al. 2022, arXiv:2206.14486): on abundant
+    * data, the EASY examples are the redundant ones, and easiness is
+    * distance to the example's k-means cluster centroid. Reusing
+    * [[semanticAssign]]'s measured-K trained assignment verbatim (and the
+    * ORACLE reusing its replay CTEs — one chain, two gates), each cluster
+    * ranks its members most-prototypical-first (csim desc, vec_id
+    * tie-break) and prunes its top quarter: kept ⟺ 4·rank > |cluster|,
+    * pure integer arithmetic. Complements [[dedupSemantic]] — that
+    * operator removes near-COPIES pairwise; this one thins dense cluster
+    * CORES wholesale, no pair stage at all.
+    *
+    * Scale shape: one map-side assignment projection (zero exchanges,
+    * plan-asserted via the shared helper), a K-sized cluster-count
+    * aggregate, and ONE window partitioned by cid — whose frames the
+    * measured K bounds at ~[[SemTargetCell]] rows at any corpus size
+    * (the partitioned-window rule: bounded frames by construction).
+    */
+  val sampleProto: Q = Q("sample_prune_proto", pruneOracle) { (s, dir) =>
+    val assigned = graft.Scratch.track(semanticAssign(s,
+      graft.Scratch.track(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", dotQ(col("qv"), col("qv"))))))
+    val nc = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("csim").desc, col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(nc), Seq("cid"))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("csim"),
+        col("rn"), col("n_c"), (lit(4L) * col("rn") > col("n_c")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
-      annIncrIndex)
+      annIncrIndex, sampleProto)
 }

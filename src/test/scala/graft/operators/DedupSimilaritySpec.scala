@@ -559,4 +559,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"delta assignment must not shuffle:\n$plan")
   }
+
+  test("sample_prune_proto: each cluster prunes exactly its most-prototypical quarter") {
+    val out = Similarity.sampleProto.run(spark, dir)
+      .select($"vec_id", $"cid", $"rn", $"n_c", $"kept")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.length === 500)
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val n = members.head._4
+      assert(members.length === n)
+      val pruned = members.filter(!_._5)
+      // kept iff 4*rank > n: exactly floor(n/4) pruned, and they are the
+      // LOWEST ranks (most prototypical = closest to the centroid)
+      assert(pruned.length === n / 4, s"cluster $cid pruned ${pruned.length}")
+      assert(pruned.map(_._3).toSet === (1L to n / 4).toSet,
+        s"cluster $cid pruned wrong ranks")
+    }
+    graft.Scratch.release(spark)
+  }
 }
