@@ -2022,20 +2022,28 @@ object Analytics {
       |  FROM rec r JOIN n ON n.event_type = r.event_type AND n.rn = r.rn + 1)
       |SELECT event_type, CAST(day AS BIGINT) AS day, c, forecast, resid
       |FROM rec ORDER BY event_type, day""".stripMargin) { (s, dir) =>
-    val counts = t(s, dir, "events")
+    forecastSeries(t(s, dir, "events")
       .select(col("event_type"),
         expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c")))
+  }
+
+  /** The zero-fill + Catalyst EWMA fold over a (event_type, day, c) frame
+    * — factored out so the spec drives gap-day fixtures. */
+  private[operators] def forecastSeries(counts: DataFrame): DataFrame = {
     val filled = counts
       .groupBy(col("event_type"))
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"),
         collect_list(struct(col("day"), col("c"))).as("obs"))
       .select(col("event_type"),
         // zero-filled (day, c) series: observed counts scattered into the
-        // type's full calendar span, sorted by construction of `sequence`
+        // type's full calendar span, sorted by construction of `sequence`.
+        // get(), not [0]: a GAP day's filter() is empty, and ANSI indexing
+        // throws on it (first bound at the ×10 smoke — the shipped SFs
+        // have no gap days, the spec fixture now does)
         expr("""transform(sequence(lo, hi), d ->
           |  named_struct('day', d,
-          |    'c', coalesce(filter(obs, o -> o.day = d)[0].c, 0L)))"""
+          |    'c', coalesce(get(filter(obs, o -> o.day = d), 0).c, 0L)))"""
           .stripMargin.replace("\n", " ")).as("arr"))
     filled
       .select(col("event_type"), explode(expr(

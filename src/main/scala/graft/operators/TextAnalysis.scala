@@ -1405,7 +1405,10 @@ object TextAnalysis {
   private[operators] def bm25Rank(docsDf: DataFrame): DataFrame = {
     val words = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // persisted: df AND the candidate probe both consume the postings —
+    // without this the corpus tokenization explode runs twice
+    val tf = graft.Scratch.track(
+      words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val lens = docsDf.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("len"))

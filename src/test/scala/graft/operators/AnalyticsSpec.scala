@@ -858,4 +858,22 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("events_forecast: gap days zero-fill instead of throwing under ANSI") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // day 12 is missing: the zero-fill must fabricate c=0 (the ANSI [0]
+    // indexing bug the x10 smoke caught) and the EWMA must decay through it
+    val counts = Seq(("click", 10L, 8L), ("click", 11L, 8L), ("click", 13L, 8L))
+      .toDF("event_type", "day", "c")
+    val got = Analytics.forecastSeries(counts)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(10L, 11L, 12L, 13L))
+    assert(got(2)._2 === 0L, "gap day must count zero")
+    // replay: s=64; day11: f=8, s=64; day12: c=0 -> f=8, s=64+floor(-64/8)=56
+    // day13: f=floor(56/8)=7, resid=1
+    assert(got(2)._3 === 8L && got(2)._4 === -8L)
+    assert(got(3)._3 === 7L && got(3)._4 === 1L)
+  }
 }
