@@ -723,6 +723,124 @@ object Sampling {
       .orderBy(col("event_type"))
   }
 
+  /** Count-min geometry for [[cmsSketch]]: 4 independent hash rows × 256
+    * buckets. Expected overcount per cell ≈ n/256 per row; the min over 4
+    * rows drives the realized error far below that. 1024 integer cells
+    * per grain — constant state at any corpus size.
+    */
+  private[operators] val CmsRows = 4
+  private[operators] val CmsW = 256
+
+  /** The replayable row-salted CMS bucket hash, shared verbatim by both
+    * engines: first 12 hex chars of md5(row '#' user) mod [[CmsW]]. */
+  private def cmsBucketSqlDuck(r: String, u: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($r AS VARCHAR) || '#' || " +
+      s"CAST($u AS VARCHAR)), 1, 12)) AS BIGINT) % $CmsW"
+  private[operators] def cmsBucketSpark(r: String, u: String): String =
+    s"CAST(conv(substr(md5(concat(CAST($r AS STRING), '#', " +
+      s"CAST($u AS STRING))), 1, 12), 16, 10) AS BIGINT) % $CmsW"
+
+  /** Mergeable COUNT-MIN sketch maintained at DAY grain — the frequency
+    * complement of [[distinctSketch]] (how many distinct?) and
+    * [[quantileSketch]] (how are values distributed?): how OFTEN does a
+    * key occur, answerable for any key from fixed-size state. Plain
+    * per-key counts are data-sized state; the CMS is [[CmsRows]]·[[CmsW]]
+    * integer cells per grain, point-queried as minᵣ cell[r, hᵣ(key)], and
+    * day partials sum-merge into the running total exactly (per-cell sum
+    * of counts ≡ count over the union) — a new day folds in with one
+    * 1024-cell add, no rescan of history. Estimates never undershoot
+    * (every cell ≥ the key's true count); the per-probe `overcount`
+    * column exposes realized collision error, and the exact per-user
+    * counts ride along as the gate's fidelity reference.
+    *
+    * vs [[graft.operators.TextAnalysis]]'s Misra–Gries heavy hitters: MG
+    * answers "which keys are frequent" but forgets everything below the
+    * threshold and does not point-query; the CMS answers "how frequent is
+    * THIS key" for every key, mergeable at any grain — the two are the
+    * standard complementary pair of frequency sketches.
+    *
+    * What the gate pins: `day_registers` counts the per-day cell rows, so
+    * the output provably came from the DAY-partial merge path (the
+    * [[quantileSketch]] grain-observability convention); the oracle
+    * replays hash, geometry, merge, and point query cell for cell.
+    *
+    * Scale shape: the explode multiplies map-side rows ×[[CmsRows]], but
+    * the partial aggregate collapses them before the exchange — the wire
+    * carries ≤ |days|·1024 register rows, everything downstream is
+    * register-domain-sized. The probe top-10 uses TakeOrderedAndProject
+    * over the exact counts (the fidelity reference — the gate's luxury,
+    * not the sketch's cost; a production point-query never touches it).
+    */
+  val cmsSketch: Q = Q("sketch_cms",
+    s"""WITH e AS (SELECT user_id,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day
+      |  FROM events),
+      |rr AS (SELECT unnest(range($CmsRows)) AS r),
+      |cells AS (SELECT day, rr.r AS r,
+      |    ${cmsBucketSqlDuck("rr.r", "user_id")} AS bucket
+      |  FROM e, rr),
+      |daily AS (SELECT day, r, bucket, count(*) AS c
+      |  FROM cells GROUP BY 1, 2, 3),
+      |merged AS (SELECT r, bucket, CAST(sum(c) AS BIGINT) AS c
+      |  FROM daily GROUP BY 1, 2),
+      |exact AS (SELECT user_id, count(*) AS cnt FROM e GROUP BY 1),
+      |probes AS (SELECT user_id, cnt FROM exact
+      |  ORDER BY cnt DESC, user_id LIMIT 10),
+      |pc AS (SELECT p.user_id, p.cnt, rr.r AS r,
+      |    ${cmsBucketSqlDuck("rr.r", "p.user_id")} AS bucket
+      |  FROM probes p, rr),
+      |est AS (SELECT pc.user_id, pc.cnt,
+      |    min(coalesce(m.c, 0)) AS est
+      |  FROM pc LEFT JOIN merged m ON m.r = pc.r AND m.bucket = pc.bucket
+      |  GROUP BY 1, 2),
+      |dr AS (SELECT CAST(count(*) AS BIGINT) AS day_registers,
+      |    CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM daily),
+      |oc AS (SELECT CAST(count(*) AS BIGINT) AS occupied FROM merged)
+      |SELECT CAST(row_number() OVER (ORDER BY e.cnt DESC, e.user_id) AS BIGINT) AS rank,
+      |  CAST(e.user_id AS BIGINT) AS user_id, CAST(e.cnt AS BIGINT) AS exact_cnt,
+      |  CAST(e.est AS BIGINT) AS est_cnt,
+      |  CAST(e.est - e.cnt AS BIGINT) AS overcount,
+      |  day_registers, n_days, occupied
+      |FROM est e, dr, oc ORDER BY rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // persisted: the (user, day) projection feeds the register partials
+    // AND the exact fidelity counts — one corpus scan
+    val e = graft.Scratch.track(Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day")))
+    val cells = e
+      .select(col("user_id"), col("day"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucketSpark("r", "user_id")))
+    val daily = cells.groupBy(col("day"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val merged = daily.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    // top-10 probes via TakeOrderedAndProject — no data-sized window
+    val probes = exact.orderBy(col("cnt").desc, col("user_id")).limit(10)
+    val pc = probes
+      .select(col("user_id"), col("cnt"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucketSpark("r", "user_id")))
+    val est = pc.join(broadcast(merged), Seq("r", "bucket"), "left")
+      .groupBy(col("user_id"), col("cnt"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val dr = daily.agg(count(lit(1)).as("day_registers"),
+      countDistinct(col("day")).as("n_days"))
+    val oc = merged.agg(count(lit(1)).as("occupied"))
+    // 10-row frame: the unpartitioned rank window is probe-bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("user_id"))
+    est.crossJoin(broadcast(dr)).crossJoin(broadcast(oc))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("user_id").cast("long").as("user_id"),
+        col("cnt").as("exact_cnt"), col("est").as("est_cnt"),
+        (col("est") - col("cnt")).as("overcount"),
+        col("day_registers"), col("n_days"), col("occupied"))
+      .orderBy(col("rank"))
+  }
+
   /** Temporal holdout split — the leakage rule [[splitSafe]]'s
     * cluster-based assignment cannot express: per user, the FIRST 80% of
     * events (event-time order) train and the LAST 20% evaluate, so
@@ -757,6 +875,96 @@ object Sampling {
         when(col("rn") * 5 <= col("n") * 4, "train").otherwise("eval")
           .as("split"))
       .orderBy(col("event_id"))
+  }
+
+  /** Token-budget MIXTURE PLANNING across corpus domains — the allocation
+    * step every pretraining data recipe runs before sampling: given a
+    * token budget (here half the corpus, so the plan is non-trivial at
+    * every SF), how many tokens may each (lang, source) domain contribute?
+    * Uniform shares waste budget on domains smaller than their share;
+    * WATER-FILLING spends the surplus: find the max integer level L with
+    * Σ_d min(supply_d, L) ≤ B — small domains are taken whole, large ones
+    * cap at L (max-min fair allocation). [[temperature]] reweights
+    * per-domain sampling RATES; this plans absolute token QUOTAS under a
+    * hard budget — the two compose into a data recipe.
+    *
+    * The closed form replayed by both engines: sort domains by supply
+    * ascending; for each prefix of fully-funded domains, the candidate
+    * level is (B − prefix) ∕∕ (#remaining); a candidate is real iff it
+    * covers the last fully-funded domain's supply, and the max real
+    * candidate is exactly L (every real candidate is feasible, and L is
+    * its own segment's candidate). Pure integer floor divisions on
+    * non-negative operands, so `//` and `div` agree; `leftover < #capped
+    * domains` is the floor residue, reported honestly rather than
+    * micro-distributed.
+    *
+    * Scale shape: supply is one corpus scan with map-side partial sums
+    * collapsing to the DOMAIN-sized frame (|langs|·|sources| — a
+    * schema-bounded domain, not data-sized); every window after runs on
+    * that frame; the level and the leftover are 1-row broadcast
+    * aggregates. At 100 TB only the first scan touches data.
+    */
+  val mixturePlan: Q = Q("sample_mixture_plan",
+    """WITH sup AS (SELECT lang, source,
+      |    CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS supply
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(supply) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS m FROM sup),
+      |rk AS (SELECT s.lang, s.source, s.supply, t.total // 2 AS budget, t.m,
+      |    row_number() OVER w AS rn,
+      |    sum(s.supply) OVER w AS pref,
+      |    coalesce(lag(s.supply) OVER w, 0) AS prevs
+      |  FROM sup s, tot t
+      |  WINDOW w AS (ORDER BY s.supply, s.lang, s.source)),
+      |cand AS (SELECT *, CASE WHEN budget >= pref - supply
+      |      THEN (budget - (pref - supply)) // (m - rn + 1) END AS cand
+      |  FROM rk),
+      |lvl AS (SELECT CAST(max(cand) AS BIGINT) AS level FROM cand
+      |  WHERE cand IS NOT NULL AND cand >= prevs),
+      |al AS (SELECT c.lang, c.source, c.supply, c.budget, l.level,
+      |    least(c.supply, l.level) AS alloc, c.supply > l.level AS capped
+      |  FROM cand c, lvl l),
+      |lf AS (SELECT CAST(sum(alloc) AS BIGINT) AS atot FROM al)
+      |SELECT a.lang, a.source, CAST(a.supply AS BIGINT) AS supply,
+      |  CAST(a.alloc AS BIGINT) AS alloc, a.capped,
+      |  CAST(a.alloc * 1000000 // a.budget AS BIGINT) AS share_ppm,
+      |  CAST(a.level AS BIGINT) AS level, CAST(a.budget AS BIGINT) AS budget,
+      |  CAST(a.budget - f.atot AS BIGINT) AS leftover
+      |FROM al a, lf f ORDER BY a.lang, a.source""".stripMargin) { (s, dir) =>
+    // one corpus scan → domain-sized supply frame (map-side partials)
+    val sup = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("t"))
+      .groupBy(col("lang"), col("source")).agg(sum(col("t")).as("supply"))
+    val supP = graft.Scratch.track(sup)
+    val tot = supP.agg(sum(col("supply")).as("total"),
+      count(lit(1)).as("m"))
+    // domain-sized window: |langs|·|sources| rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("supply"), col("lang"), col("source"))
+    val cand = supP.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pref", sum(col("supply")).over(w))
+      .withColumn("prevs", coalesce(lag(col("supply"), 1).over(w), lit(0L)))
+      .withColumn("cand", when(col("budget") >= col("pref") - col("supply"),
+        expr("(budget - (pref - supply)) div (m - rn + 1)")))
+    val candP = graft.Scratch.track(cand)
+    val lvl = candP
+      .filter(col("cand").isNotNull && col("cand") >= col("prevs"))
+      .agg(max(col("cand")).as("level"))
+    val al = graft.Scratch.track(candP.crossJoin(broadcast(lvl))
+      .withColumn("alloc", least(col("supply"), col("level")))
+      .withColumn("capped", col("supply") > col("level")))
+    val lf = al.agg(sum(col("alloc")).as("atot"))
+    al.crossJoin(broadcast(lf))
+      .select(col("lang"), col("source"), col("supply"), col("alloc"),
+        col("capped"),
+        expr("alloc * 1000000 div budget").as("share_ppm"),
+        col("level"), col("budget"),
+        (col("budget") - col("atot")).as("leftover"))
+      .orderBy(col("lang"), col("source"))
   }
 
   /** Draws per positive-free slot for [[negatives]]: 8 probes per user
@@ -834,5 +1042,6 @@ object Sampling {
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
-      distinctSketch, quantileSketch, timeSplit, negatives)
+      distinctSketch, quantileSketch, cmsSketch, timeSplit, negatives,
+      mixturePlan)
 }

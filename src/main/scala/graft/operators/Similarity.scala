@@ -157,6 +157,131 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Shortlist width for [[annSq8]]: the quantized scan keeps this many
+    * candidates per probe for exact rescoring. 50 comfortably covers the
+    * true top-10 under ≤0.2% per-dim quantization error (recall floor
+    * asserted in DedupSimilaritySpec).
+    */
+  private val SqShort = 50
+
+  /** DuckDB replay of [[annSq8]]: per-dim min/max over the quantized
+    * corpus, the 0..255 code via floor division, reconstruction at ×255
+    * scale (so it stays integer), quantized scoring, top-[[SqShort]]
+    * shortlist, exact-int cosine rescore.
+    */
+  private val annSq8Oracle: String = {
+    import graft.functions.LshPlanes.Dims
+    s"""WITH $quantizedSql,
+       |sdims AS (SELECT unnest(range($Dims)) AS dim),
+       |selems AS (SELECT vec_id, d.dim, qv[d.dim + 1] AS x FROM nz, sdims d),
+       |sst AS (SELECT dim, CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+       |  FROM selems GROUP BY dim),
+       |srec AS (SELECT e.vec_id, e.dim,
+       |    CASE WHEN s.hi = s.lo THEN s.lo * 255
+       |         ELSE s.lo * 255 + (((e.x - s.lo) * 255) // (s.hi - s.lo)) * (s.hi - s.lo)
+       |    END AS r8
+       |  FROM selems e JOIN sst s USING (dim)),
+       |ssc AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    CAST(sum(qe.x * r.r8) AS BIGINT) AS sq_score
+       |  FROM nz q JOIN selems qe ON qe.vec_id = q.vec_id
+       |  JOIN srec r ON r.dim = qe.dim AND r.vec_id != q.vec_id
+       |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+       |sshort AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sq_score DESC, neighbor_id) AS srn
+       |    FROM ssc) WHERE srn <= $SqShort),
+       |sresc AS (SELECT h.query_id, h.neighbor_id,
+       |    ${cosSql("q.qv", "q.nrm", "t.qv", "t.nrm")} AS cos_sim
+       |  FROM sshort h JOIN nz q ON q.vec_id = h.query_id
+       |  JOIN nz t ON t.vec_id = h.neighbor_id),
+       |sr AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM sresc)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+       |FROM sr WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Scalar-quantized (SQ8) vector search — the FAISS `SQ8` production
+    * shape and the simplest memory-compression rung on the ANN ladder
+    * (below [[annPq]]'s codebooks): each dimension is affinely mapped to
+    * an int8 code 0..255 against per-dim min/max learned from the corpus,
+    * shrinking vector storage 4× (byte vs float) while the scan stays a
+    * plain codegen dot product. Queries score ASYMMETRICALLY (full-precision
+    * query × dequantized corpus code — the SDC-vs-ADC lesson, applied to
+    * scalars), keep the top-[[SqShort]] shortlist, and rescore it with the
+    * exact integer cosine, so the output ranking only differs from
+    * [[knnBrute]] if quantization pushed a true neighbor below rank 50.
+    *
+    * Everything stays exact integer: codes via floor division of
+    * (x−lo)·255 by (hi−lo), dequantization at ×255 scale (lo·255 +
+    * code·(hi−lo)) so no fraction ever forms, and both engines replay the
+    * identical arithmetic.
+    *
+    * Scale shape: the per-dim range is a Dims-row model (map-side min/max
+    * partials — the bounded-collect rule); coding and scoring are
+    * map-side over one corpus scan with the 5 probes broadcast; the exact
+    * rescore touches only 5·[[SqShort]] rows fetched by a broadcast
+    * semi-join. At 100 TB the win is the 4× scan-byte reduction — the
+    * same scan shape, a quarter of the I/O.
+    */
+  val annSq8: Q = Q("ann_sq8", annSq8Oracle) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Scratch.track(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+    // per-dim range: a Dims-row MODEL (bounded-collect rule) — min/max
+    // partials collapse map-side before the one tiny exchange
+    val dims = graft.functions.LshPlanes.Dims
+    val lo = new Array[Long](dims)
+    val hi = new Array[Long](dims)
+    base.select(posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().foreach { r =>
+        lo(r.getAs[Int]("dim")) = r.getAs[Long]("lo")
+        hi(r.getAs[Int]("dim")) = r.getAs[Long]("hi")
+      }
+    val loLit = typedLit(lo.toSeq)
+    val hiLit = typedLit(hi.toSeq)
+    def loAt(i: Column) = element_at(loLit, (i + lit(1)).cast("int"))
+    def hiAt(i: Column) = element_at(hiLit, (i + lit(1)).cast("int"))
+    // code: exact floor division via the pmod-subtraction idiom (numerator
+    // is non-negative, so `%` == pmod and the double division is exact)
+    val codes = base.withColumn("codes", transform(col("qv"), (x, i) => {
+      val l = loAt(i)
+      val h = hiAt(i)
+      val num = (x - l) * lit(255L)
+      when(h === l, lit(0L))
+        .otherwise(((num - (num % (h - l))) / (h - l)).cast("long"))
+    })).select(col("vec_id"), col("codes"))
+    // dequantize at ×255 scale — stays integer, feeds the quantized scan
+    val rec = codes.withColumn("r8", transform(col("codes"),
+      (c, i) => loAt(i) * lit(255L) + c * (hiAt(i) - loAt(i))))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val sq = rec.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("q_qv"), col("r8")).as("sq_score"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_score").desc, col("neighbor_id"))
+    val short = sq.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= SqShort)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rescore: 5·SqShort rows fetch their full vectors back
+    val resc = base.join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv").as("t_qv"),
+        col("nrm").as("t_nrm"))
+      .join(broadcast(probes), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_qv"), col("q_nrm"), col("t_qv"), col("t_nrm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    resc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** LSH layout (constants in [[graft.functions.LshPlanes]]): 16 independent
     * tables × 6-bit signatures (64 buckets each). One table alone has poor
     * recall (a true neighbor must match all bits at once); OR-amplification
@@ -721,15 +846,17 @@ object Similarity {
        |ivf AS (SELECT query_id, neighbor_id FROM ($annIvfOracle)),
        |pq AS (SELECT query_id, neighbor_id FROM ($annPqOracle)),
        |ivfpq AS (SELECT query_id, neighbor_id FROM ($annIvfPqOracle)),
+       |sq8 AS (SELECT query_id, neighbor_id FROM ($annSq8Oracle)),
        |approx AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
        |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id FROM pq
-       |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ivfpq),
+       |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ivfpq
+       |  UNION ALL SELECT 'sq8' AS method, query_id, neighbor_id FROM sq8),
        |recall AS (SELECT m.method, b.query_id,
        |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
        |      / count(*) AS recall
        |  FROM brute b
-       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS method) m
+       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq', 'sq8']) AS method) m
        |  LEFT JOIN approx a ON a.method = m.method
        |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
        |  GROUP BY m.method, b.query_id)
@@ -939,8 +1066,9 @@ object Similarity {
       .unionByName(tagged("ivf", annIvf.run(s, dir)))
       .unionByName(tagged("pq", annPq.run(s, dir)))
       .unionByName(tagged("ivfpq", annIvfPq.run(s, dir)))
+      .unionByName(tagged("sq8", annSq8.run(s, dir)))
       .withColumn("hit", lit(1))
-    brute.crossJoin(Seq("lsh", "ivf", "pq", "ivfpq").toDF("method"))
+    brute.crossJoin(Seq("lsh", "ivf", "pq", "ivfpq", "sq8").toDF("method"))
       .join(approx, Seq("method", "query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
       .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
@@ -1375,7 +1503,7 @@ object Similarity {
   }
 
   val all: Seq[Q] =
-    Seq(knnBrute, annFiltered, annLsh, annIvf, kmeansTrain, annRecall,
+    Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
       annIncrIndex, sampleProto)
 }

@@ -43,6 +43,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 25, s"IVF recall ${hits}/50 below floor")
   }
 
+  test("ann_sq8: quantized shortlist rescore recovers the exact top-10") {
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.annSq8.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(sq8.length == 50) // 5 probes × top-10
+    sq8.foreach { case (q, n) => assert(q != n) }
+    // 255-level scalar codes keep per-dim reconstruction error below
+    // range/255 (~0.4%), so the exact rescore of the 50-wide shortlist
+    // recovers essentially the whole exact top-10; floor at 0.9 so a
+    // coding or shortlist regression surfaces without corpus-noise flakes
+    val hits = sq8.count(brute.contains)
+    assert(hits >= 45, s"SQ8 recall ${hits}/50 below 0.9 floor")
+  }
+
   test("minhash LSH surfaces planted near-duplicates as candidate pairs") {
     // exact copies AND a lightly-edited copy (one appended word): high
     // shingle overlap → identical minhashes in ≥1 band → candidate pair

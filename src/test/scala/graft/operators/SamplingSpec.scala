@@ -350,4 +350,58 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("sketch_cms: estimates never undershoot and the day merge is exact") {
+    val out = Sampling.cmsSketch.run(spark, dir).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      // the CMS guarantee: every cell ≥ the key's true count
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"user ${r.getAs[Long]("user_id")} undershoots")
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"))
+    }
+    val occ = out.head.getAs[Long]("occupied")
+    val dayRegs = out.head.getAs[Long]("day_registers")
+    assert(occ <= Sampling.CmsRows.toLong * Sampling.CmsW,
+      "register domain exceeded")
+    assert(dayRegs >= occ, "day grain lost")
+  }
+
+  test("sketch_cms: day-partial merge reproduces the direct registers") {
+    // fold(day partials) must equal the single-pass registers cell for
+    // cell — the algebraic identity that makes the sketch mergeable
+    val dn = 86400L * 1000000000L
+    val e = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", expr(s"(ts - pmod(ts, ${dn}L)) div ${dn}L").as("day"))
+      .select($"user_id", $"day",
+        explode(expr(s"sequence(0, ${Sampling.CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(Sampling.cmsBucketSpark("r", "user_id")))
+    val viaDays = e.groupBy($"day", $"r", $"bucket").agg(count(lit(1)).as("c"))
+      .groupBy($"r", $"bucket").agg(sum($"c").as("c"))
+      .as[(Int, Long, Long)].collect().map { case (r, b, c) => (r, b) -> c }.toMap
+    val direct = e.groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect().map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(viaDays === direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("sample_mixture_plan: the level is the exact water-filling optimum") {
+    val out = Sampling.mixturePlan.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val supplies = out.map(_.getAs[Long]("supply"))
+    val budget = out.head.getAs[Long]("budget")
+    val level = out.head.getAs[Long]("level")
+    def spent(l: Long): Long = supplies.map(math.min(_, l)).sum
+    // L is feasible and maximal: one more token per capped domain busts it
+    assert(spent(level) <= budget, "level infeasible")
+    assert(spent(level + 1) > budget, "level not maximal")
+    out.foreach { r =>
+      assert(r.getAs[Long]("alloc") ===
+        math.min(r.getAs[Long]("supply"), level))
+      assert(r.getAs[Boolean]("capped") === (r.getAs[Long]("supply") > level))
+    }
+    assert(out.head.getAs[Long]("leftover") === budget - spent(level))
+    // small domains are taken whole; at least one large domain caps
+    assert(out.exists(_.getAs[Boolean]("capped")), "nothing capped at B=total/2")
+  }
 }
