@@ -239,5 +239,64 @@ object DataQuality {
       .orderBy(col("nationkey"), col("segment"), col("bal_band"))
   }
 
-  val all: Seq[Q] = Seq(audit, drift, kanon)
+  /** l for [[ldiversity]]: every QI group must see at least this many
+    * distinct sensitive values before the release ships. */
+  private val LDiv = 3
+
+  /** L-DIVERSITY audit — the release gate [[kanon]] cannot express: a
+    * group can be k-anonymous (≥5 members) yet leak its sensitive
+    * attribute outright when every member SHARES one value (the
+    * homogeneity attack k-anonymity famously misses). The released table
+    * here is orders enriched with the customer quasi-identifiers
+    * ([[kanon]]'s nation × market segment × $1000 balance band), the
+    * sensitive attribute is the order priority; each QI group reports its
+    * distinct-sensitive count (distinct l-diversity, l=[[LDiv]]) plus the
+    * most-common value's share in ppm — the observable the stricter
+    * recursive (c,l) variants threshold on.
+    *
+    * Scale shape: one orders scan, one customer scan, one keyed join on
+    * custkey (both sides data-sized — nothing broadcasts), then a
+    * two-level aggregate: the first GROUP BY (QI, priority) collapses
+    * map-side to the QI-domain × |priorities| frame, so the distinct
+    * count, the group total and the max share all ride the SECOND
+    * aggregate over that bounded frame — the corpus is never re-scanned
+    * per statistic and no data-sized distinct reaches the wire.
+    */
+  val ldiversity: Q = Q("dq_ldiversity",
+    s"""WITH rel AS (SELECT c.c_nationkey, c.c_mktsegment,
+      |    (CAST(round(c.c_acctbal * 100) AS BIGINT)
+      |      - ((CAST(round(c.c_acctbal * 100) AS BIGINT) % 100000 + 100000) % 100000)) // 100000 AS bal_band,
+      |    o.o_orderpriority AS sens
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |pc AS (SELECT c_nationkey, c_mktsegment, bal_band, sens,
+      |    count(*) AS c
+      |  FROM rel GROUP BY 1, 2, 3, 4)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  c_mktsegment AS segment, CAST(bal_band AS BIGINT) AS bal_band,
+      |  CAST(sum(c) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_sensitive,
+      |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+      |  count(*) >= $LDiv AS l_diverse
+      |FROM pc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val qi = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        expr("""(CAST(round(c_acctbal * 100) AS BIGINT)
+          | - pmod(CAST(round(c_acctbal * 100) AS BIGINT), 100000L))
+          | div 100000L""".stripMargin).as("bal_band"))
+    val pc = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      .join(qi, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nationkey"), col("segment"), col("bal_band"), col("sens"))
+      .agg(count(lit(1)).as("c"))
+    pc.groupBy(col("nationkey"), col("segment"), col("bal_band"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).cast("long").as("n_sensitive"),
+        expr("max(c) * 1000000 div sum(c)").as("top_share_ppm"),
+        (count(lit(1)) >= LDiv).as("l_diverse"))
+      .orderBy(col("nationkey"), col("segment"), col("bal_band"))
+  }
+
+  val all: Seq[Q] = Seq(audit, drift, kanon, ldiversity)
 }

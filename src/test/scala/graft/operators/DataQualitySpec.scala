@@ -66,6 +66,37 @@ class DataQualitySpec extends SparkSpec {
       "testdata's (l_orderkey, l_linenumber) is non-unique — the dup " +
         "check must be nonzero or the audit is vacuous")
   }
+  test("dq_ldiversity matches a scalar replay and discriminates groups") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val qi = tbl("customer")
+      .select($"c_custkey", $"c_nationkey".cast("long"), $"c_mktsegment",
+        $"c_acctbal".cast("double"))
+      .as[(Long, Long, String, Double)].collect()
+      .map { case (k, nat, seg, bal) =>
+        k -> (nat, seg, Math.floorDiv(math.round(bal * 100), 100000L))
+      }.toMap
+    val rel = tbl("orders").select($"o_custkey", $"o_orderpriority")
+      .as[(Long, String)].collect()
+      .map { case (c, p) => (qi(c), p) }
+    val expected = rel.groupBy(_._1).map { case (g, rows) =>
+      val byS = rows.groupBy(_._2).map(_._2.size.toLong)
+      g -> (rows.size.toLong, byS.size.toLong,
+        byS.max * 1000000L / rows.size)
+    }
+    val got = DataQuality.ldiversity.run(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (nat, seg, band, n, nd, share, ldiv) =>
+      val (en, end, eshare) = expected((nat, seg, band))
+      assert((n, nd, share) === (en, end, eshare), s"group ($nat,$seg,$band)")
+      assert(ldiv === (nd >= 3L))
+    }
+    // the audit must discriminate: this corpus has both diverse and
+    // homogeneous QI groups, or the gate is echoing a constant
+    assert(got.exists(_._7) && got.exists(!_._7),
+      "expected a mix of l-diverse and non-diverse groups")
+  }
+
   test("dq_drift shares sum to ~1e6 ppm per side and counts cover the table") {
     val got = DataQuality.drift.run(spark, dir)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
