@@ -107,5 +107,54 @@ object Layout {
     }
   }
 
-  val all: Seq[Q] = Seq(zorderStats)
+  private val DayNanos = 86400L * 1000000000L
+
+  /** Compaction planning — the OPTIMIZE half of the small-files problem
+    * [[graft.sources.Ingest]]'s spec-gated compactor executes: treat each
+    * (event_type, day) partition of `events` as one written file, estimate
+    * its serialized size from exact per-row arithmetic (32 fixed bytes +
+    * the two variable-width columns), and assign partitions to target-size
+    * compaction bins by the standard cumulative-bytes división: within a
+    * type, days pack in order and `bin = cum_bytes_before div 16 KiB`.
+    * In-order packing (not best-fit) is deliberate: it preserves day
+    * locality inside each output file, so time-range predicates still
+    * prune after compaction — the property a size-sorted packer destroys.
+    *
+    * Scale shape: the only data-sized work is one scan collapsing
+    * map-side to the (type × day) partition-stats frame; the planning
+    * window walks that frame partitioned by type with a day-domain-bounded
+    * frame — at 100 TB the plan costs |partitions|, never rows. This is
+    * exactly the metadata-only economics of a real table format's
+    * OPTIMIZE planner: it reads file statistics, not files.
+    */
+  val compactPlan: Q = Q("compact_plan",
+    s"""WITH p AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day,
+      |    count(*) AS n_rows,
+      |    CAST(sum(32 + length(event_type) + length(props)) AS BIGINT) AS est_bytes
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n_rows, est_bytes,
+      |    coalesce(sum(est_bytes) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM p)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      |  CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+      |  CAST(cb // 16384 AS BIGINT) AS bin
+      |FROM w ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val p = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"),
+        (lit(32L) + length(col("event_type")) + length(col("props"))).as("rb"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("rb")).as("est_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    p.withColumn("cb", coalesce(sum(col("est_bytes")).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("n_rows"), col("est_bytes"),
+        expr("cb div 16384").as("bin"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val all: Seq[Q] = Seq(zorderStats, compactPlan)
 }

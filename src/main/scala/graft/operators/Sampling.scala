@@ -1039,9 +1039,50 @@ object Sampling {
       .orderBy(col("cust"), col("rank"))
   }
 
+  /** Training-shard export numbering — the distributed zipWithIndex: every
+    * document gets a DENSE global row id in doc_id order, then
+    * `shard = rowid div 256`, `pos = rowid mod 256` — the (file, offset)
+    * layout a fixed-size training-shard writer needs, computed with NO
+    * unpartitioned window over the corpus. The [[Analytics.ordersPareto]]
+    * two-level idiom generalized to pure enumeration: doc_ids quantize
+    * into 256-wide bands, one tiny window cumulates the per-band COUNTS
+    * (a frame of |id-span|/256 rows, not documents), and a
+    * band-partitioned row_number adds the intra-band offset; the band
+    * frame rides a broadcast join back onto the data. The idiom NESTS:
+    * when the id span outgrows one task's band frame, band-of-bands gives
+    * a ×256 reduction per level — two levels cover 2⁵³ ids. Versus RDD
+    * zipWithIndex: stays in Catalyst (codegen, AQE, no lineage break) and
+    * is deterministic in doc_id order, not partition-layout order.
+    */
+  val exportShards: Q = Q("export_shards",
+    """WITH r AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY doc_id) - 1 AS rowid FROM documents)
+      |SELECT doc_id, CAST(rowid AS BIGINT) AS rowid,
+      |  CAST(rowid // 256 AS BIGINT) AS shard,
+      |  CAST(rowid % 256 AS BIGINT) AS pos
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("band", expr("doc_id div 256"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // |bands|-sized frame: counts, never documents, cross this window
+    val off = d.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(bw), lit(0L)))
+      .select(col("band"), col("boff"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("doc_id"))
+    d.withColumn("ir", row_number().over(iw).cast("long"))
+      .join(broadcast(off), Seq("band"))
+      .withColumn("rowid", col("boff") + col("ir") - lit(1L))
+      .select(col("doc_id"), col("rowid"),
+        expr("rowid div 256").as("shard"), expr("rowid % 256").as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
       distinctSketch, quantileSketch, cmsSketch, timeSplit, negatives,
-      mixturePlan)
+      mixturePlan, exportShards)
 }

@@ -1502,8 +1502,96 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical and dense
+    * rankers the engine already ships: [[TextAnalysis.bm25Rank]]'s
+    * BM25 top-10 (query = each `doc_id < 5` document's first-6-token
+    * bag, self excluded BEFORE ranking) fused with [[knnBrute]]'s exact
+    * cosine top-10 over the aligned `vec_id` embedding, via
+    * RRF(d) = Σ_lists 1/(60 + rank_list(d)) — the standard k=60 form.
+    * Scores are integer-scaled (⌊10⁹/(60+r)⌋ per list, summed) so both
+    * engines agree bit-exactly with no float division; absent-from-list
+    * contributes 0, and the source ranks ride along (0 = not retrieved
+    * by that ranker) so the fusion is auditable per row.
+    *
+    * Scale shape: each branch is the already-audited candidate-sized
+    * pipeline (BM25 probes postings through a ≤30-row broadcast term
+    * list; dense broadcasts 5 probe vectors over one corpus scan); the
+    * fusion itself joins two ≤50-row frames — a driver-free afterthought
+    * at any corpus size. This is the RAG-serving shape: lexical recall
+    * catches exact-term matches dense misses, dense catches paraphrase,
+    * RRF needs no score calibration between the two.
+    */
+  val retrievalRrf: Q = Q("retrieval_rrf",
+    s"""WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+      |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |lens AS (SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |st AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS tot_len
+      |  FROM documents),
+      |qt AS (SELECT DISTINCT query_id, w FROM (
+      |    SELECT doc_id AS query_id, unnest(t[1:6]) AS w
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents WHERE doc_id < 5))),
+      |sc AS (SELECT q.query_id, tf.doc_id, ${TextAnalysis.bm25ScoreSql} AS score_micro
+      |  FROM tf JOIN qt q USING (w) JOIN dfr USING (w)
+      |  JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN st
+      |  WHERE tf.doc_id != q.query_id),
+      |agg AS (SELECT query_id, doc_id,
+      |    CAST(sum(score_micro) AS BIGINT) AS bm25_micro
+      |  FROM sc GROUP BY 1, 2),
+      |br AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id) AS rn
+      |  FROM agg),
+      |bmt AS (SELECT query_id, doc_id, rn FROM br WHERE rn <= 10),
+      |$quantizedSql,
+      |p AS (SELECT q.vec_id AS query_id, t.vec_id AS doc_id,
+      |    ${cosSql("q.qv", "q.nrm", "t.qv", "t.nrm")} AS cos_sim
+      |  FROM nz q JOIN nz t ON q.vec_id < 5 AND t.vec_id != q.vec_id),
+      |dr AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rn
+      |  FROM p),
+      |dnt AS (SELECT query_id, doc_id, rn FROM dr WHERE rn <= 10),
+      |u AS (SELECT coalesce(b.query_id, d.query_id) AS query_id,
+      |    coalesce(b.doc_id, d.doc_id) AS doc_id, b.rn AS rb, d.rn AS rd
+      |  FROM bmt b FULL JOIN dnt d
+      |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+      |f AS (SELECT query_id, doc_id,
+      |    coalesce(1000000000 // (60 + rb), 0)
+      |      + coalesce(1000000000 // (60 + rd), 0) AS rrf_scaled,
+      |    coalesce(rb, 0) AS bm25_rn, coalesce(rd, 0) AS cos_rn FROM u),
+      |r AS (SELECT f.*,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rn
+      |  FROM f)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled, CAST(bm25_rn AS BIGINT) AS bm25_rn,
+      |  CAST(cos_rn AS BIGINT) AS cos_rn, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+    val bm = TextAnalysis
+      .bm25Rank(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")), excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rb"))
+    val dn = knnBrute.run(s, dir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("rd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000000L div (60 + rb)"), lit(0L))
+          + coalesce(expr("1000000000L div (60 + rd)"), lit(0L))).as("rrf_scaled"),
+        coalesce(col("rb"), lit(0L)).as("bm25_rn"),
+        coalesce(col("rd"), lit(0L)).as("cos_rn"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
-      annIncrIndex, sampleProto)
+      annIncrIndex, sampleProto, retrievalRrf)
 }

@@ -1352,7 +1352,7 @@ object TextAnalysis {
     * operation tree, and the final round-to-micro makes the per-doc SUM
     * an integer — summation-order-free, so the gate hashes exactly.
     */
-  private val bm25ScoreSql: String =
+  private[operators] val bm25ScoreSql: String =
     "CAST(round((((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
       " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75" +
       " * (CAST(len AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))" +
@@ -1401,8 +1401,13 @@ object TextAnalysis {
   }
 
   /** The BM25 pipeline over any (doc_id, text) frame — factored out so
-    * the planted-fixture spec drives constructed corpora. */
-  private[operators] def bm25Rank(docsDf: DataFrame): DataFrame = {
+    * the planted-fixture spec drives constructed corpora and
+    * [[Similarity.retrievalRrf]] reuses the lexical half.
+    * `excludeSelf` drops the query's own document BEFORE ranking (the
+    * pre-filter discipline [[Similarity.annFiltered]] documents — a
+    * post-ranking drop would shift every rank below the hole). */
+  private[operators] def bm25Rank(
+      docsDf: DataFrame, excludeSelf: Boolean = false): DataFrame = {
     val words = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     // persisted: df AND the candidate probe both consume the postings —
@@ -1424,10 +1429,12 @@ object TextAnalysis {
     val w10 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
-    tf.join(broadcast(qdf), Seq("w"))
+    val scored = tf.join(broadcast(qdf), Seq("w"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("score_micro", expr(bm25ScoreSql))
+    (if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
+     else scored)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_micro")).as("bm25_micro"))
       .withColumn("rn", row_number().over(w10).cast("long"))

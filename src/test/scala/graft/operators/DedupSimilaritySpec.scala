@@ -592,4 +592,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     graft.Scratch.release(spark)
   }
+
+  test("retrieval_rrf: scalar fusion replay of the two source rankers") {
+    import org.apache.spark.sql.functions._
+    // collect both source rankings, fuse them scalar-side, and demand the
+    // engine's fused list bit-matches — an oracle-independent replay of
+    // RRF itself, with the source rankers trusted to their own specs
+    val bm = TextAnalysis.bm25Rank(
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), excludeSelf = true)
+      .select($"query_id", $"doc_id", $"rn").as[(Long, Long, Long)]
+      .collect().map { case (q, d, r) => (q, d) -> r }.toMap
+    val dn = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rn").as[(Long, Long, Long)]
+      .collect().map { case (q, d, r) => (q, d) -> r }.toMap
+    val expect = (bm.keySet ++ dn.keySet).groupBy(_._1).toSeq.flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { k =>
+          val (rb, rd) = (bm.getOrElse(k, 0L), dn.getOrElse(k, 0L))
+          val s = (if (rb > 0) 1000000000L / (60 + rb) else 0L) +
+            (if (rd > 0) 1000000000L / (60 + rd) else 0L)
+          (q, k._2, s, rb, rd)
+        }.sortBy { case (_, d, s, _, _) => (-s, d) }
+          .zipWithIndex.take(10)
+          .map { case ((_, d, s, rb, rd), i) => (q, d, s, rb, rd, i + 1L) }
+    }.sortBy(r => (r._1, r._6))
+
+    val got = Similarity.retrievalRrf.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the fusion is genuinely hybrid on this corpus: some fused row must
+    // come from each side alone and at least one from both
+    assert(got.exists(r => r._4 > 0 && r._5 == 0), "lexical-only row")
+    assert(got.exists(r => r._4 == 0 && r._5 > 0), "dense-only row")
+    assert(got.forall(r => r._4 > 0 || r._5 > 0), "no phantom rows")
+    assert(got.forall(r => r._2 != r._1), "self excluded from both lists")
+    graft.Scratch.release(spark)
+  }
 }

@@ -59,4 +59,40 @@ class LayoutSpec extends SparkSpec {
       assert(sSpan <= sBound, s"bucket $zb s-span $sSpan ppm (bound $sBound)")
     }
   }
+
+  test("compact_plan matches a scalar packing replay and packs bins full") {
+    val dayNanos = 86400L * 1000000000L
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts", $"props").as[(String, Long, String)]
+      .collect()
+    // scalar replay: per-partition stats, in-day-order cumulative binning
+    val parts = rows
+      .groupBy { case (t, ts, _) => (t, Math.floorDiv(ts, dayNanos)) }
+      .toSeq.map { case ((t, d), rs) =>
+        (t, d, rs.size.toLong,
+          rs.map { case (ty, _, pr) => 32L + ty.length + pr.length }.sum)
+      }
+    val expect = parts.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val inOrder = ps.sortBy(_._2)
+      val cum = inOrder.scanLeft(0L)(_ + _._4)
+      inOrder.zip(cum).map { case ((t, d, n, b), cb) => (t, d, n, b, cb / 16384L) }
+    }.sortBy(p => (p._1, p._2))
+
+    val got = Layout.compactPlan.run(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+
+    // packing invariant: if a later bin exists for a type, everything in
+    // bins ≤ k sums to at least (k+1)·16 KiB — bins close only when full
+    got.groupBy(_._1).foreach { case (t, ps) =>
+      val bins = ps.map(_._5).distinct.sorted
+      assert(ps.sortBy(_._2).map(_._5).toSeq ===
+        ps.map(_._5).toSeq.sorted, s"$t: bins non-decreasing in day order")
+      bins.dropRight(1).foreach { k =>
+        val through = ps.filter(_._5 <= k).map(_._4).sum
+        assert(through >= (k + 1) * 16384L,
+          s"$t: bins <= $k hold $through bytes, expected >= ${(k + 1) * 16384L}")
+      }
+    }
+  }
 }

@@ -404,4 +404,28 @@ class SamplingSpec extends SparkSpec {
     // small domains are taken whole; at least one large domain caps
     assert(out.exists(_.getAs[Boolean]("capped")), "nothing capped at B=total/2")
   }
+
+  test("export_shards: dense enumeration replay, no corpus-wide window") {
+    import spark.implicits._
+    val q = Sampling.exportShards.run(spark, dir)
+    // scale gate (the orders_pareto discipline): any window SORTED on
+    // doc_id must be band-partitioned — only the |bands|-sized count
+    // frame may cross an unpartitioned window
+    q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .filter(l => "doc_id#\\d+L? ASC".r.findFirstIn(l).isDefined)
+      .foreach { l =>
+        assert(l.contains("band"), s"unpartitioned window over doc_id:\n$l")
+      }
+    val got = q.as[(Long, Long, Long, Long)].collect().toSeq
+    val expect = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect().sorted.zipWithIndex
+      .map { case (d, i) => (d, i.toLong, i / 256L, i % 256L) }.toSeq
+    assert(got === expect)
+    // dense: rowids are exactly 0..n-1; shards fill to 256 before opening
+    assert(got.map(_._2) === got.indices.map(_.toLong))
+    got.groupBy(_._3).toSeq.sortBy(_._1).dropRight(1).foreach {
+      case (sh, rs) => assert(rs.size === 256, s"shard $sh not full")
+    }
+  }
 }
