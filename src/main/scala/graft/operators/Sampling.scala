@@ -740,6 +740,14 @@ object Sampling {
     s"CAST(conv(substr(md5(concat(CAST($r AS STRING), '#', " +
       s"CAST($u AS STRING))), 1, 12), 16, 10) AS BIGINT) % $CmsW"
 
+  /** Explodes each row into its [[CmsRows]] (r, bucket) CMS cells for
+    * `user_id` — the ONE rendering of the sketch geometry shared by the
+    * batch gate and [[graft.streaming.EventsStream.cmsStream]], so the
+    * two cannot drift. */
+  private[graft] def withCmsCells(df: DataFrame): DataFrame =
+    df.withColumn("r", explode(expr(s"sequence(0, ${CmsRows - 1})")))
+      .withColumn("bucket", expr(cmsBucketSpark("r", "user_id")))
+
   /** Mergeable COUNT-MIN sketch maintained at DAY grain — the frequency
     * complement of [[distinctSketch]] (how many distinct?) and
     * [[quantileSketch]] (how are values distributed?): how OFTEN does a
@@ -808,10 +816,7 @@ object Sampling {
     val e = graft.Scratch.track(Tables.load(s, dir, "events")
       .select(col("user_id"),
         expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day")))
-    val cells = e
-      .select(col("user_id"), col("day"),
-        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
-      .withColumn("bucket", expr(cmsBucketSpark("r", "user_id")))
+    val cells = withCmsCells(e.select(col("user_id"), col("day")))
     val daily = cells.groupBy(col("day"), col("r"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     val merged = daily.groupBy(col("r"), col("bucket"))
@@ -819,10 +824,7 @@ object Sampling {
     val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
     // top-10 probes via TakeOrderedAndProject — no data-sized window
     val probes = exact.orderBy(col("cnt").desc, col("user_id")).limit(10)
-    val pc = probes
-      .select(col("user_id"), col("cnt"),
-        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
-      .withColumn("bucket", expr(cmsBucketSpark("r", "user_id")))
+    val pc = withCmsCells(probes.select(col("user_id"), col("cnt")))
     val est = pc.join(broadcast(merged), Seq("r", "bucket"), "left")
       .groupBy(col("user_id"), col("cnt"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))

@@ -232,6 +232,31 @@ object EventsStream {
       .groupBy(col("event_type"), col("day"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming maintenance of the batch `sketch_cms` day-grain COUNT-MIN
+    * registers — the frequency complement of [[sketchStream]] (distinct)
+    * and [[quantStream]] (percentiles), completing the sketch-triple's
+    * online half: arriving events fold into the (day, r, bucket) → count
+    * cell table via a plain streaming count aggregation over the cells
+    * [[graft.operators.Sampling.withCmsCells]] explodes — the SHARED
+    * geometry rendering, so stream and batch cannot drift. State is
+    * bounded by construction at |days in horizon| × 4 × 256 integer
+    * cells; a point query for ANY key is minᵣ cell[r, hᵣ(key)] over the
+    * day-summed registers, no corpus rescan, never undershooting.
+    *
+    * Sink contract: counts are not re-apply-idempotent (the
+    * [[quantStream]] argument) — emit via keyed REPLACEMENT of cell rows
+    * (Update/Complete into [[UpsertSink]] on (day, r, bucket)); the
+    * aggregation state holds true totals so replays overwrite with the
+    * same value.
+    */
+  def cmsStream(events: DataFrame): DataFrame =
+    graft.operators.Sampling.withCmsCells(
+        events.select(col("user_id"), col("ts")))
+      .withColumn("day", expr(
+        s"(unix_micros(ts) - pmod(unix_micros(ts), ${DayMicros}L)) div ${DayMicros}L"))
+      .groupBy(col("day"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   case class RateVerdict(user_id: Long, ts_us: Long, n_window: Long,
       limited: Boolean)
 

@@ -242,6 +242,45 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.size <= 2 * 512, "register table must stay domain-bounded")
   }
 
+  test("cmsStream registers match the batch CMS partials and never undershoot") {
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      EventsStream.Event(ts(0), 1L, "click", 1.0),
+      EventsStream.Event(ts(1), 2L, "view", 2.0),
+      EventsStream.Event(ts(2), 1L, "click", 3.0), // user 1 again → same cells
+      EventsStream.Event(ts(3), 3L, "view", 4.0),
+      EventsStream.Event(ts(4), 1L, "error", 5.0))
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.cmsStream(input.toDF())
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    val streamed = try {
+      input.addData(events(0), events(1), events(2))
+      query.processAllAvailable()
+      input.addData(events(3), events(4)) // folds into existing cells
+      query.processAllAvailable()
+      spark.table("cms_out").as[(Long, Int, Long, Long)].collect().toSet
+    } finally query.stop()
+    // batch twin over the same static rows — identical shared geometry
+    val batch = EventsStream.cmsStream(events.toDF())
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(streamed === batch, "stream≡batch register parity")
+    // every event lands in exactly CmsRows cells: total mass = 4·n
+    assert(batch.toSeq.map(_._4).sum === 4L * events.size)
+    assert(batch.size <= 4 * 256 * 2, "register table must stay domain-bounded")
+    // point query over the day-summed registers never undershoots
+    val merged = batch.groupBy(t => (t._2, t._3))
+      .map { case (k, cs) => k -> cs.map(_._4).sum }
+    val cells = graft.operators.Sampling
+      .withCmsCells(events.map(_.user_id).distinct.toDF("user_id"))
+      .as[(Long, Int, Long)].collect()
+    val trueCnt = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+    cells.groupBy(_._1).foreach { case (u, cs) =>
+      val est = cs.map { case (_, r, b) => merged.getOrElse((r, b), 0L) }.min
+      assert(est >= trueCnt(u), s"user $u estimated $est < true ${trueCnt(u)}")
+    }
+  }
+
   test("dedupStream drops duplicate (user, type) events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
