@@ -298,5 +298,97 @@ object DataQuality {
       .orderBy(col("nationkey"), col("segment"), col("bal_band"))
   }
 
-  val all: Seq[Q] = Seq(audit, drift, kanon, ldiversity)
+  /** t for [[tcloseness]], in ppm of total-variation distance: a QI
+    * group's sensitive distribution may sit at most this far from the
+    * corpus-wide one. 0.2 is the Li et al. paper's running example. */
+  private val TClosePpm = 200000L
+
+  /** T-CLOSENESS audit — the third rung of the release ladder after
+    * [[kanon]] (groups big enough) and [[ldiversity]] (values varied
+    * enough): a group can pass both yet still leak by SKEW — 10 members,
+    * 3 distinct priorities, but 8-of-10 'URGENT' against a uniform corpus
+    * tells an attacker plenty (the skewness attack l-diversity misses).
+    * Per QI group this reports the total-variation distance between the
+    * group's sensitive distribution and the global one, for categorical
+    * ground distance: TVD = ½ Σ_v |q(v) − p(v)|, computed over per-value
+    * shares quantized to ppm (one floor per share, then exact integer
+    * sums — both engines replay the identical quantization; the ±|V|-ppm
+    * quantization error is far below any meaningful t). Values ABSENT
+    * from a group contribute their full global share WITHOUT generating
+    * absent rows: Σ_absent p = Σ_all p − Σ_present p, with Σ_all p a
+    * 1-row broadcast constant.
+    *
+    * Scale shape: [[ldiversity]]'s exactly — one keyed join, first
+    * GROUP BY collapses map-side to the QI × |priorities| frame; the
+    * global distribution is a |priorities|-row broadcast model and every
+    * statistic after rides the bounded domain frame.
+    */
+  val tcloseness: Q = Q("dq_tcloseness",
+    s"""WITH rel AS (SELECT c.c_nationkey, c.c_mktsegment,
+      |    (CAST(round(c.c_acctbal * 100) AS BIGINT)
+      |      - ((CAST(round(c.c_acctbal * 100) AS BIGINT) % 100000 + 100000) % 100000)) // 100000 AS bal_band,
+      |    o.o_orderpriority AS sens
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |pc AS (SELECT c_nationkey, c_mktsegment, bal_band, sens,
+      |    count(*) AS c
+      |  FROM rel GROUP BY 1, 2, 3, 4),
+      |gt AS (SELECT c_nationkey, c_mktsegment, bal_band,
+      |    CAST(sum(c) AS BIGINT) AS n
+      |  FROM pc GROUP BY 1, 2, 3),
+      |gl AS (SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM pc GROUP BY 1),
+      |tt AS (SELECT CAST(sum(g) AS BIGINT) AS t FROM gl),
+      |pp AS (SELECT sens, g * 1000000 // t AS p_ppm FROM gl, tt),
+      |sp AS (SELECT CAST(sum(p_ppm) AS BIGINT) AS sum_p FROM pp),
+      |j AS (SELECT pc.c_nationkey, pc.c_mktsegment, pc.bal_band,
+      |    abs(pc.c * 1000000 // gt.n - pp.p_ppm) AS d, pp.p_ppm
+      |  FROM pc
+      |  JOIN gt ON gt.c_nationkey = pc.c_nationkey
+      |    AND gt.c_mktsegment = pc.c_mktsegment AND gt.bal_band = pc.bal_band
+      |  JOIN pp ON pp.sens = pc.sens),
+      |ag AS (SELECT c_nationkey, c_mktsegment, bal_band,
+      |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(p_ppm) AS BIGINT) AS spres
+      |  FROM j GROUP BY 1, 2, 3)
+      |SELECT CAST(ag.c_nationkey AS BIGINT) AS nationkey,
+      |  ag.c_mktsegment AS segment, CAST(ag.bal_band AS BIGINT) AS bal_band,
+      |  gt.n,
+      |  CAST((ag.sd + sp.sum_p - ag.spres) // 2 AS BIGINT) AS tvd_ppm,
+      |  (ag.sd + sp.sum_p - ag.spres) // 2 <= $TClosePpm AS t_close
+      |FROM ag JOIN gt ON gt.c_nationkey = ag.c_nationkey
+      |  AND gt.c_mktsegment = ag.c_mktsegment AND gt.bal_band = ag.bal_band
+      |CROSS JOIN sp
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val qi = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        expr("""(CAST(round(c_acctbal * 100) AS BIGINT)
+          | - pmod(CAST(round(c_acctbal * 100) AS BIGINT), 100000L))
+          | div 100000L""".stripMargin).as("bal_band"))
+    val pc = graft.Scratch.track(t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      .join(qi, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nationkey"), col("segment"), col("bal_band"), col("sens"))
+      .agg(count(lit(1)).as("c")))
+    val gt = pc.groupBy(col("nationkey"), col("segment"), col("bal_band"))
+      .agg(sum(col("c")).as("n"))
+    val gl = pc.groupBy(col("sens")).agg(sum(col("c")).as("g"))
+    val tt = gl.agg(sum(col("g")).as("t"))
+    val pp = gl.crossJoin(broadcast(tt))
+      .select(col("sens"), expr("g * 1000000 div t").as("p_ppm"))
+    val sp = pp.agg(sum(col("p_ppm")).as("sum_p"))
+    val j = pc.join(gt, Seq("nationkey", "segment", "bal_band"))
+      .join(broadcast(pp), Seq("sens"))
+      .select(col("nationkey"), col("segment"), col("bal_band"),
+        abs(expr("c * 1000000 div n") - col("p_ppm")).as("d"), col("p_ppm"))
+    j.groupBy(col("nationkey"), col("segment"), col("bal_band"))
+      .agg(sum(col("d")).as("sd"), sum(col("p_ppm")).as("spres"))
+      .join(gt, Seq("nationkey", "segment", "bal_band"))
+      .crossJoin(broadcast(sp))
+      .select(col("nationkey"), col("segment"), col("bal_band"), col("n"),
+        expr("(sd + sum_p - spres) div 2").as("tvd_ppm"),
+        (expr("(sd + sum_p - spres) div 2") <= TClosePpm).as("t_close"))
+      .orderBy(col("nationkey"), col("segment"), col("bal_band"))
+  }
+
+  val all: Seq[Q] = Seq(audit, drift, kanon, ldiversity, tcloseness)
 }

@@ -97,6 +97,46 @@ class DataQualitySpec extends SparkSpec {
       "expected a mix of l-diverse and non-diverse groups")
   }
 
+  test("dq_tcloseness matches a scalar TVD replay and discriminates groups") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val qi = tbl("customer")
+      .select($"c_custkey", $"c_nationkey".cast("long"), $"c_mktsegment",
+        $"c_acctbal".cast("double"))
+      .as[(Long, Long, String, Double)].collect()
+      .map { case (k, nat, seg, bal) =>
+        k -> (nat, seg, Math.floorDiv(math.round(bal * 100), 100000L))
+      }.toMap
+    val rel = tbl("orders").select($"o_custkey", $"o_orderpriority")
+      .as[(Long, String)].collect()
+      .map { case (c, p) => (qi(c), p) }
+    val total = rel.length.toLong
+    val pPpm: Map[String, Long] = rel.groupBy(_._2)
+      .map { case (v, rs) => v -> rs.size.toLong * 1000000L / total }
+    val sumP = pPpm.values.sum
+    val expected = rel.groupBy(_._1).map { case (g, rows) =>
+      val n = rows.size.toLong
+      val qPpm = rows.groupBy(_._2).map { case (v, rs) =>
+        v -> rs.size.toLong * 1000000L / n
+      }
+      // present values: |q−p|; absent values: their full global share
+      val tvd = (qPpm.map { case (v, q) => math.abs(q - pPpm(v)) }.sum
+        + (sumP - qPpm.keys.map(pPpm).sum)) / 2
+      g -> (n, tvd)
+    }
+    val got = DataQuality.tcloseness.run(spark, dir)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (nat, seg, band, n, tvd, close) =>
+      val (en, etvd) = expected((nat, seg, band))
+      assert((n, tvd) === (en, etvd), s"group ($nat,$seg,$band)")
+      assert(close === (tvd <= 200000L))
+    }
+    // skew discrimination: both near-corpus and skewed groups must occur
+    assert(got.exists(_._6) && got.exists(!_._6),
+      "expected a mix of t-close and skewed groups")
+    graft.Scratch.release(spark)
+  }
+
   test("dq_drift shares sum to ~1e6 ppm per side and counts cover the table") {
     val got = DataQuality.drift.run(spark, dir)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
