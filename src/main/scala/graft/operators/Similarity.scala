@@ -1076,6 +1076,71 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
+  /** MRR diagnostic oracle — [[annRecallOracle]]'s nesting convention
+    * with each method keeping its rank column. */
+  private val annMrrOracle: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${knnBrute.oracle.get})),
+       |lsh AS (SELECT query_id, neighbor_id, rn FROM ($annLshOracle)),
+       |ivf AS (SELECT query_id, neighbor_id, rn FROM ($annIvfOracle)),
+       |pq AS (SELECT query_id, neighbor_id, rn FROM ($annPqOracle)),
+       |ivfpq AS (SELECT query_id, neighbor_id, rn FROM ($annIvfPqOracle)),
+       |sq8 AS (SELECT query_id, neighbor_id, rn FROM ($annSq8Oracle)),
+       |approx AS (SELECT 'lsh' AS method, query_id, neighbor_id, rn FROM lsh
+       |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id, rn FROM ivf
+       |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id, rn FROM pq
+       |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id, rn FROM ivfpq
+       |  UNION ALL SELECT 'sq8' AS method, query_id, neighbor_id, rn FROM sq8),
+       |fh AS (SELECT a.method, a.query_id, CAST(min(a.rn) AS BIGINT) AS first_hit
+       |  FROM approx a JOIN brute b
+       |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT m.method, q.query_id,
+       |  CAST(coalesce(fh.first_hit, 0) AS BIGINT) AS first_hit_rank,
+       |  CAST(CASE WHEN fh.first_hit IS NULL THEN 0
+       |       ELSE 1000000 // fh.first_hit END AS BIGINT) AS mrr_ppm
+       |FROM (SELECT DISTINCT query_id FROM brute) q
+       |CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq', 'sq8']) AS method) m
+       |LEFT JOIN fh ON fh.method = m.method AND fh.query_id = q.query_id
+       |ORDER BY m.method, q.query_id""".stripMargin
+
+  /** Rank-aware retrieval quality — the metric [[annRecall]]'s set
+    * overlap cannot see: recall@10 treats a relevant neighbor at rank 1
+    * and rank 10 identically, but a RAG consumer reads from the top, so
+    * deployments also tune on MRR — the reciprocal rank of the FIRST
+    * relevant result (relevant = the exact brute-force top-10). Reported
+    * per (method, query) as `first_hit_rank` (0 = the method surfaced no
+    * true neighbor at all) and `mrr_ppm = ⌊10⁶/first_hit⌋` — exact
+    * integers, so the gate hashes the metric itself, per the
+    * [[annRecallOracle]] every-input-replayable convention.
+    *
+    * Scale shape: each method's pipeline keeps its own audited shape; the
+    * metric join touches only 5 methods × 5 queries × ≤10 ranked rows.
+    */
+  val annMrr: Q = Q("ann_mrr", annMrrOracle) { (s, dir) =>
+    import s.implicits._
+    val brute = knnBrute.run(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    def tagged(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"), col("rn"),
+        lit(method).as("method"))
+    val approx = tagged("lsh", annLsh.run(s, dir))
+      .unionByName(tagged("ivf", annIvf.run(s, dir)))
+      .unionByName(tagged("pq", annPq.run(s, dir)))
+      .unionByName(tagged("ivfpq", annIvfPq.run(s, dir)))
+      .unionByName(tagged("sq8", annSq8.run(s, dir)))
+    val fh = approx
+      .join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("method"), col("query_id"))
+      .agg(min(col("rn")).as("first_hit"))
+    brute.select(col("query_id")).distinct()
+      .crossJoin(Seq("lsh", "ivf", "pq", "ivfpq", "sq8").toDF("method"))
+      .join(fh, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("first_hit"), lit(0L)).as("first_hit_rank"),
+        coalesce(expr("1000000 div first_hit"), lit(0L)).as("mrr_ppm"))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   private val classStatsOracle: String = {
     import graft.functions.LshPlanes.Dims
     s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
@@ -1593,5 +1658,5 @@ object Similarity {
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
-      annIncrIndex, sampleProto, retrievalRrf)
+      annIncrIndex, sampleProto, retrievalRrf, annMrr)
 }

@@ -593,6 +593,35 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("ann_mrr: scalar first-hit replay and full-recall implies rank 1") {
+    import org.apache.spark.sql.functions._
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val methods = Map(
+      "lsh" -> Similarity.annLsh, "ivf" -> Similarity.annIvf,
+      "pq" -> Similarity.annPq, "ivfpq" -> Similarity.annIvfPq,
+      "sq8" -> Similarity.annSq8)
+    val got = Similarity.annMrr.run(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (m, q, fh, mrr) => (m, q) -> (fh, mrr) }.toMap
+    assert(got.size === 25, "5 methods x 5 queries")
+    methods.foreach { case (name, op) =>
+      val ranked = op.run(spark, dir)
+        .select($"query_id", $"neighbor_id", $"rn")
+        .as[(Long, Long, Long)].collect()
+      ranked.groupBy(_._1).foreach { case (q, rows) =>
+        val hits = rows.filter(r => brute((q, r._2))).map(_._3)
+        val fh = if (hits.isEmpty) 0L else hits.min
+        val mrr = if (fh == 0L) 0L else 1000000L / fh
+        assert(got((name, q)) === ((fh, mrr)), s"$name query $q")
+        // a method that recovered ALL ten true neighbors into its own
+        // ten-slot list necessarily leads with one of them
+        if (hits.length == 10) assert(fh === 1L, s"$name query $q full recall")
+      }
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("retrieval_rrf: scalar fusion replay of the two source rankers") {
     import org.apache.spark.sql.functions._
     // collect both source rankings, fuse them scalar-side, and demand the
