@@ -733,7 +733,7 @@ object Sampling {
 
   /** The replayable row-salted CMS bucket hash, shared verbatim by both
     * engines: first 12 hex chars of md5(row '#' user) mod [[CmsW]]. */
-  private def cmsBucketSqlDuck(r: String, u: String): String =
+  private[operators] def cmsBucketSqlDuck(r: String, u: String): String =
     s"CAST(concat('0x', substr(md5(CAST($r AS VARCHAR) || '#' || " +
       s"CAST($u AS VARCHAR)), 1, 12)) AS BIGINT) % $CmsW"
   private[operators] def cmsBucketSpark(r: String, u: String): String =
@@ -1082,9 +1082,150 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Rows × buckets for [[joinSizeEst]]'s sketches: 5 rows so the AMS
+    * median is a single middle element, 256 buckets as 1 KB-per-relation
+    * planner state. */
+  private val JseR = 5
+  private val JseW = 256
+
+  /** Join-cardinality estimation from sketch inner products — the answer
+    * a cost-based planner wants BEFORE committing to a join strategy
+    * ("how big is this join / how skewed is this key"), from two
+    * kilobyte-sized sketches built in one scan each, here reported
+    * against exact truth so the estimators themselves are hash-gated.
+    * Both textbook estimators over the SAME hash (bucket = h mod
+    * [[JseW]], sign = bit [[JseW]] of h), two targets each:
+    *   - F₂ self-join size of orders on custkey (the skew moment that
+    *     prices a self-join and flags salting), and the many-to-many
+    *     join size events ⋈ orders on user = cust, Σ_k e(k)·o(k);
+    *   - COUNT-MIN upper bound: minᵣ Σ_b a[r,b]·b[r,b] over UNSIGNED
+    *     cells — never undershoots, but collisions only ADD, so with
+    *     |keys| ≫ buckets it inflates ~(Σa)(Σb)/W (measured 6–7× here:
+    *     the right sketch for "no more than", the wrong one for "about");
+    *   - AMS (count-sketch) estimate: the SIGNED cells' inner product
+    *     per row, MEDIAN across the 5 rows — unbiased because cross
+    *     terms carry random signs and cancel in expectation (measured
+    *     within ~10% at the same 1 KB). The pair in one row is the whole
+    *     design lesson: signed sketches buy accuracy, unsigned buy a
+    *     guarantee.
+    * AMS error is signed, and floor-division of negatives diverges
+    * between engines (`//` floors, `div` truncates) — so the gate
+    * carries |err| in ppm plus an `_over` boolean instead of dividing a
+    * signed numerator. Numeric bound: cell products stay int64-exact
+    * while a bucket's mass is < 3·10⁹ rows (√2⁶³); past that, lift the
+    * product column to DECIMAL(38,0) — the geometry never grows.
+    *
+    * Scale shape: each relation collapses map-side to its key-domain
+    * count frame, then to [[JseR]]·[[JseW]] cells; the exact references
+    * (gate fidelity, not the estimator's cost) are key-domain-sized
+    * aggregates and one key-domain join; every estimator window runs on
+    * a 5-row frame.
+    */
+  val joinSizeEst: Q = {
+    def hDuck(r: String, k: String): String =
+      s"CAST(concat('0x', substr(md5(CAST($r AS VARCHAR) || '#' || " +
+        s"CAST($k AS VARCHAR)), 1, 12)) AS BIGINT)"
+    Q("join_size_est",
+      s"""WITH ok AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |ek AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |rr AS (SELECT unnest(range($JseR)) AS r),
+        |oh AS (SELECT rr.r AS r, ok.c AS c, ${hDuck("rr.r", "ok.k")} AS h
+        |  FROM ok, rr),
+        |oc AS (SELECT r, h % $JseW AS b,
+        |    CAST(sum(CASE WHEN (h // $JseW) % 2 = 1 THEN c ELSE -c END) AS BIGINT) AS v,
+        |    CAST(sum(c) AS BIGINT) AS u
+        |  FROM oh GROUP BY 1, 2),
+        |eh AS (SELECT rr.r AS r, ek.c AS c, ${hDuck("rr.r", "ek.k")} AS h
+        |  FROM ek, rr),
+        |ec AS (SELECT r, h % $JseW AS b,
+        |    CAST(sum(CASE WHEN (h // $JseW) % 2 = 1 THEN c ELSE -c END) AS BIGINT) AS v,
+        |    CAST(sum(c) AS BIGINT) AS u
+        |  FROM eh GROUP BY 1, 2),
+        |f2x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM ok),
+        |f2r AS (SELECT r, CAST(sum(v * v) AS BIGINT) AS s,
+        |    CAST(sum(u * u) AS BIGINT) AS s2 FROM oc GROUP BY r),
+        |f2c AS (SELECT CAST(min(s2) AS BIGINT) AS f2_cms FROM f2r),
+        |f2a AS (SELECT CAST(s AS BIGINT) AS f2_ams FROM (
+        |  SELECT s, row_number() OVER (ORDER BY s, r) AS rn FROM f2r)
+        |  WHERE rn = ${JseR / 2 + 1}),
+        |jx AS (SELECT CAST(coalesce(sum(ok.c * ek.c), 0) AS BIGINT) AS exact_join
+        |  FROM ok JOIN ek ON ek.k = ok.k),
+        |jr AS (SELECT o.r AS r, CAST(sum(o.v * e.v) AS BIGINT) AS s,
+        |    CAST(sum(o.u * e.u) AS BIGINT) AS s2
+        |  FROM oc o JOIN ec e ON e.r = o.r AND e.b = o.b GROUP BY o.r),
+        |jc AS (SELECT CAST(min(s2) AS BIGINT) AS join_cms FROM jr),
+        |ja AS (SELECT CAST(s AS BIGINT) AS join_ams FROM (
+        |  SELECT s, row_number() OVER (ORDER BY s, r) AS rn FROM jr)
+        |  WHERE rn = ${JseR / 2 + 1})
+        |SELECT exact_f2, f2_cms,
+        |  (f2_cms - exact_f2) * 1000000 // exact_f2 AS f2_cms_over_ppm,
+        |  f2_ams, abs(f2_ams - exact_f2) * 1000000 // exact_f2 AS f2_ams_err_ppm,
+        |  f2_ams >= exact_f2 AS f2_ams_over,
+        |  exact_join, join_cms,
+        |  CASE WHEN exact_join = 0 THEN 0
+        |       ELSE (join_cms - exact_join) * 1000000 // exact_join END AS join_cms_over_ppm,
+        |  join_ams,
+        |  CASE WHEN exact_join = 0 THEN 0
+        |       ELSE abs(join_ams - exact_join) * 1000000 // exact_join END AS join_ams_err_ppm,
+        |  join_ams >= exact_join AS join_ams_over
+        |FROM f2x, f2c, f2a, jx, jc, ja""".stripMargin) { (s, dir) =>
+      val hSpark =
+        s"CAST(conv(substr(md5(concat(CAST(r AS STRING), '#', " +
+          s"CAST(k AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+      val ok = graft.Scratch.track(Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c")))
+      val ek = graft.Scratch.track(Tables.load(s, dir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c")))
+      def sketch(kc: DataFrame): DataFrame = kc
+        .withColumn("r", explode(expr(s"sequence(0, ${JseR - 1})")))
+        .withColumn("h", expr(hSpark))
+        .groupBy(col("r"), expr(s"h % $JseW").as("b"))
+        .agg(sum(expr(s"CASE WHEN (h div $JseW) % 2 = 1 THEN c ELSE -c END")).as("v"),
+          sum(col("c")).as("u"))
+      val oc = graft.Scratch.track(sketch(ok))
+      val ec = sketch(ek)
+      val mid = JseR / 2 + 1
+      val w5 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s"), col("r")) // 5-row frame: the estimator median
+      val f2x = ok.agg(sum(expr("c * c")).as("exact_f2"))
+      val f2r = oc.groupBy(col("r"))
+        .agg(sum(expr("v * v")).as("s"), sum(expr("u * u")).as("s2"))
+      val f2c = f2r.agg(min(col("s2")).as("f2_cms"))
+      val f2a = f2r.withColumn("rn", row_number().over(w5))
+        .filter(col("rn") === mid).select(col("s").as("f2_ams"))
+      val jx = ok.join(ek.withColumnRenamed("c", "c2"), Seq("k"))
+        .agg(coalesce(sum(expr("c * c2")), lit(0L)).as("exact_join"))
+      val jr = oc
+        .join(ec.withColumnRenamed("v", "v2").withColumnRenamed("u", "u2"),
+          Seq("r", "b"))
+        .groupBy(col("r"))
+        .agg(sum(expr("v * v2")).as("s"), sum(expr("u * u2")).as("s2"))
+      val jc = jr.agg(min(col("s2")).as("join_cms"))
+      val ja = jr.withColumn("rn", row_number().over(w5))
+        .filter(col("rn") === mid).select(col("s").as("join_ams"))
+      f2x.crossJoin(broadcast(f2c)).crossJoin(broadcast(f2a))
+        .crossJoin(broadcast(jx)).crossJoin(broadcast(jc))
+        .crossJoin(broadcast(ja))
+        .select(col("exact_f2"), col("f2_cms"),
+          expr("(f2_cms - exact_f2) * 1000000 div exact_f2").as("f2_cms_over_ppm"),
+          col("f2_ams"),
+          expr("abs(f2_ams - exact_f2) * 1000000 div exact_f2").as("f2_ams_err_ppm"),
+          (col("f2_ams") >= col("exact_f2")).as("f2_ams_over"),
+          col("exact_join"), col("join_cms"),
+          expr("""CASE WHEN exact_join = 0 THEN 0L
+            | ELSE (join_cms - exact_join) * 1000000 div exact_join END"""
+            .stripMargin).as("join_cms_over_ppm"),
+          col("join_ams"),
+          expr("""CASE WHEN exact_join = 0 THEN 0L
+            | ELSE abs(join_ams - exact_join) * 1000000 div exact_join END"""
+            .stripMargin).as("join_ams_err_ppm"),
+          (col("join_ams") >= col("exact_join")).as("join_ams_over"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
       distinctSketch, quantileSketch, cmsSketch, timeSplit, negatives,
-      mixturePlan, exportShards)
+      mixturePlan, exportShards, joinSizeEst)
 }

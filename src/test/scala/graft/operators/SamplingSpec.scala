@@ -405,6 +405,51 @@ class SamplingSpec extends SparkSpec {
     assert(out.exists(_.getAs[Boolean]("capped")), "nothing capped at B=total/2")
   }
 
+  test("join_size_est: scalar sketch replay; CMS bounds, AMS estimates") {
+    import spark.implicits._
+    def h48(r: Long, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r#$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def counts(df: org.apache.spark.sql.DataFrame, key: String): Map[Long, Long] =
+      df.groupBy(col(key).as("k")).count()
+        .as[(Long, Long)].collect().toMap
+    val ok = counts(graft.sources.Tables.load(spark, dir, "orders"), "o_custkey")
+    val ek = counts(graft.sources.Tables.load(spark, dir, "events"), "user_id")
+    // scalar sketches over the same hash: (r, b) -> (signed, unsigned)
+    def sketch(kc: Map[Long, Long]): Map[(Long, Long), (Long, Long)] =
+      (for { (k, c) <- kc.toSeq; r <- 0L until 5L } yield {
+        val h = h48(r, k)
+        val sgn = if (((h / 256) % 2) == 1) c else -c
+        (r, h % 256) -> (sgn, c)
+      }).groupBy(_._1).map { case (rb, cs) =>
+        rb -> (cs.map(_._2._1).sum, cs.map(_._2._2).sum)
+      }
+    val os = sketch(ok); val es = sketch(ek)
+    def rows[A](f: Long => A): Seq[A] = (0L until 5L).map(f)
+    val f2r = rows(r => os.collect { case ((`r`, _), (v, _)) => v * v }.sum)
+    val f2u = rows(r => os.collect { case ((`r`, _), (_, u)) => u * u }.sum)
+    val jr = rows(r => os.collect { case ((`r`, b), (v, _)) =>
+      v * es.getOrElse((r, b), (0L, 0L))._1 }.sum)
+    val ju = rows(r => os.collect { case ((`r`, b), (_, u)) =>
+      u * es.getOrElse((r, b), (0L, 0L))._2 }.sum)
+    val exactF2 = ok.values.map(c => c * c).sum
+    val exactJoin = ok.map { case (k, c) => c * ek.getOrElse(k, 0L) }.sum
+    val out = Sampling.joinSizeEst.run(spark, dir).collect().head
+    assert(out.getAs[Long]("exact_f2") === exactF2)
+    assert(out.getAs[Long]("exact_join") === exactJoin)
+    assert(out.getAs[Long]("f2_cms") === f2u.min)
+    assert(out.getAs[Long]("join_cms") === ju.min)
+    assert(out.getAs[Long]("f2_ams") === f2r.sorted.apply(2))
+    assert(out.getAs[Long]("join_ams") === jr.sorted.apply(2))
+    // the guarantees: unsigned CMS never undershoots either target
+    assert(f2u.min >= exactF2)
+    assert(ju.min >= exactJoin)
+    graft.Scratch.release(spark)
+  }
+
   test("export_shards: dense enumeration replay, no corpus-wide window") {
     import spark.implicits._
     val q = Sampling.exportShards.run(spark, dir)
