@@ -2061,6 +2061,62 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Equi-depth histogram of lineitem's `l_extendedprice` in cents — the
+    * CBO column statistic [[tableStats]]'s min/max cannot express:
+    * selectivity of a range predicate needs WHERE the mass sits, so
+    * ANALYZE-style planners keep ~equal-count buckets. 16 buckets; a
+    * distinct price value's bucket is `(cum_before · 16) div n` — the
+    * [[ordersPareto]] first-member rule, so ties stay together and the
+    * bucketing is deterministic with no value-level tiebreak sort. Each
+    * bucket reports its value range [lo, hi], its exact row count (the
+    * depth — equal up to the largest single-value mass, the classic
+    * equi-depth caveat), and its distinct-value count (the per-bucket
+    * NDV a planner divides by for equality selectivity).
+    *
+    * Scale shape: the cumulative runs TWO-LEVEL exactly as
+    * [[ordersPareto]] — prices quantize into $1000 bands, one window
+    * walks the band-total frame (bounded by the price span), a
+    * band-partitioned window adds intra-band offsets — so no
+    * unpartitioned window ever walks the distinct-value histogram, which
+    * grows with the corpus. One scan collapses map-side to that
+    * histogram; everything after is histogram- or bucket-domain-sized.
+    */
+  val colHistogram: Q = Q("col_histogram",
+    """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |h AS (SELECT c, count(*) AS k FROM v GROUP BY 1),
+      |n AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM h),
+      |w AS (SELECT c, k, sum(k) OVER (ORDER BY c) AS cum FROM h),
+      |g AS (SELECT (cum - k) * 16 // n AS bucket,
+      |    min(c) AS lo, max(c) AS hi, CAST(sum(k) AS BIGINT) AS cnt,
+      |    CAST(count(*) AS BIGINT) AS ndv
+      |  FROM w, n GROUP BY 1)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, lo, hi, cnt, ndv
+      |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val h = graft.Scratch.track(t(s, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("k"))
+      .withColumn("band", expr(s"c div ${ParetoBandCents}L")))
+    val bw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boff = h.groupBy(col("band")).agg(sum(col("k")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(bw), lit(0L)))
+      .select(col("band"), col("boff"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val n = h.agg(sum(col("k")).as("n"))
+    h.withColumn("ib", coalesce(sum(col("k")).over(iw), lit(0L)))
+      .join(broadcast(boff), Seq("band"))
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr("(boff + ib) * 16 div n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+        sum(col("k")).as("cnt"), count(lit(1)).as("ndv"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsSegmentWindow,
@@ -2072,5 +2128,5 @@ object Analytics {
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
     incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,
-    sessionBuiltin)
+    sessionBuiltin, colHistogram)
 }

@@ -765,6 +765,43 @@ class AnalyticsSpec extends SparkSpec {
       (5L, 2L, 1 * H / 1000),
       (8L, 1L, 1 * H / 1000)))
   }
+  test("col_histogram: scalar equi-depth replay, band-partitioned windows") {
+    import spark.implicits._
+    val q = Analytics.colHistogram.run(spark, dir)
+    // the orders_pareto discipline: any window SORTED on the cents value
+    // must be band-partitioned; only the band-total frame goes unpartitioned
+    q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .filter(l => "\\bc#\\d+L? ASC".r.findFirstIn(l).isDefined)
+      .foreach { l =>
+        assert(l.contains("band"), s"unpartitioned window over values:\n$l")
+      }
+    val cents = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_extendedprice").as[Double].collect()
+      .map(p => math.round(p * 100))
+    val n = cents.length.toLong
+    val hist = cents.groupBy(identity).toSeq
+      .map { case (c, cs) => (c, cs.length.toLong) }.sortBy(_._1)
+    val expect = hist.zip(hist.scanLeft(0L)(_ + _._2))
+      .map { case ((c, k), cb) => (cb * 16 / n, c, k) }
+      .groupBy(_._1).toSeq.map { case (b, vs) =>
+        (b, vs.map(_._2).min, vs.map(_._2).max,
+          vs.map(_._3).sum, vs.size.toLong)
+      }.sortBy(_._1)
+    val got = q.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // equi-depth up to the largest single-value mass; ranges are disjoint
+    val maxK = hist.map(_._2).max
+    got.foreach { case (b, _, _, cnt, _) =>
+      assert(cnt <= n / 16 + maxK, s"bucket $b over-deep: $cnt")
+    }
+    got.sliding(2).foreach {
+      case Seq((_, _, hi1, _, _), (_, lo2, _, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("orders_pareto deciles partition customers and concentrate top revenue") {
     import spark.implicits._
     val q = Analytics.ordersPareto.run(spark, dir)
