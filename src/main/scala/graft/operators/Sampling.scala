@@ -1223,9 +1223,64 @@ object Sampling {
     }
   }
 
+  /** Positional delete-vector read — the MERGE-ON-READ half of the
+    * warehouse delete story ([[snapshotMerge]]/[[cdcApply]] are
+    * copy-on-write): deletes live as a separate (shard, pos) list — the
+    * Iceberg positional-delete / Delta deletion-vector layout — and the
+    * read path applies them with an ANTI-JOIN on position, never
+    * rewriting data files. The position assignment is [[exportShards]]'s
+    * enumeration; the delete vector here is the deterministic sieve
+    * `(shard·256 + pos) mod 7 = 0` standing in for a real delete
+    * commit's file. Per shard the read reports total/deleted/live counts
+    * and the SUM of surviving doc_ids — the checksum that catches a
+    * wrong-row deletion, not just a wrong count.
+    *
+    * The point being demonstrated: the delete set joins as a FRAME, not
+    * a pushed filter — exactly why merge-on-read reads cost an extra
+    * (broadcastable, position-sorted) join until compaction folds the
+    * vector in, and why [[graft.operators.Layout.compactPlan]]-style
+    * maintenance exists. Scale shape: enumeration is the audited
+    * two-level [[exportShards]] plan (shared via Scratch — one pass
+    * feeds both the position list and the join); the delete vector is
+    * |deletes|-sized and keyed by (shard, pos); output is |shards| rows.
+    */
+  val dvRead: Q = Q("dv_read",
+    """WITH r AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY doc_id) - 1 AS rowid FROM documents),
+      |p AS (SELECT doc_id, rowid // 256 AS shard, rowid % 256 AS pos FROM r),
+      |dv AS (SELECT shard, pos FROM p WHERE (shard * 256 + pos) % 7 = 0),
+      |live AS (SELECT p.shard, p.doc_id FROM p
+      |  ANTI JOIN dv ON dv.shard = p.shard AND dv.pos = p.pos),
+      |tot AS (SELECT shard, count(*) AS n_total FROM p GROUP BY 1),
+      |la AS (SELECT shard, count(*) AS n_live,
+      |    CAST(sum(doc_id) AS BIGINT) AS live_id_sum FROM live GROUP BY 1)
+      |SELECT CAST(t.shard AS BIGINT) AS shard,
+      |  CAST(t.n_total AS BIGINT) AS n_total,
+      |  CAST(t.n_total - coalesce(la.n_live, 0) AS BIGINT) AS n_deleted,
+      |  CAST(coalesce(la.n_live, 0) AS BIGINT) AS n_live,
+      |  CAST(coalesce(la.live_id_sum, 0) AS BIGINT) AS live_id_sum
+      |FROM tot t LEFT JOIN la ON la.shard = t.shard
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val p = graft.Scratch.track(exportShards.run(s, dir)
+      .select(col("doc_id"), col("shard"), col("pos")))
+    val dv = p.filter(expr("(shard * 256 + pos) % 7 = 0"))
+      .select(col("shard"), col("pos"))
+    val live = p.join(dv, Seq("shard", "pos"), "left_anti")
+      .select(col("shard"), col("doc_id"))
+    val tot = p.groupBy(col("shard")).agg(count(lit(1)).as("n_total"))
+    val la = live.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_live"), sum(col("doc_id")).as("live_id_sum"))
+    tot.join(la, Seq("shard"), "left")
+      .select(col("shard"), col("n_total"),
+        (col("n_total") - coalesce(col("n_live"), lit(0L))).as("n_deleted"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("live_id_sum"), lit(0L)).as("live_id_sum"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[Q] =
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
       distinctSketch, quantileSketch, cmsSketch, timeSplit, negatives,
-      mixturePlan, exportShards, joinSizeEst)
+      mixturePlan, exportShards, joinSizeEst, dvRead)
 }

@@ -450,6 +450,28 @@ class SamplingSpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("dv_read: scalar sieve replay; the checksum pins WHICH rows died") {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect().sorted
+    val expect = ids.zipWithIndex.map { case (d, i) =>
+      (i / 256L, d, (i.toLong % 7) == 0) // shard*256+pos == global rowid
+    }.groupBy(_._1).toSeq.map { case (sh, rs) =>
+      val live = rs.filter(!_._3)
+      (sh, rs.size.toLong, (rs.size - live.size).toLong,
+        live.size.toLong, live.map(_._2).sum)
+    }.sortBy(_._1)
+    val got = Sampling.dvRead.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the sieve really fires in every shard and never empties one
+    got.foreach { case (sh, tot, del, live, _) =>
+      assert(del > 0 && live > 0, s"shard $sh: deleted=$del live=$live")
+      assert(del + live === tot)
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("export_shards: dense enumeration replay, no corpus-wide window") {
     import spark.implicits._
     val q = Sampling.exportShards.run(spark, dir)
