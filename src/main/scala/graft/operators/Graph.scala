@@ -825,6 +825,59 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Link prediction by common-neighbor Jaccard — the graph-ML readout
+    * after the family's analytics (triangles/k-core), structure
+    * (components) and communities (lpa): for every NON-edge pair at
+    * distance 2 in the co-purchase k-NN graph, score
+    * J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| and keep the top-100 — the
+    * "parts bought together with your parts" recommendation candidates.
+    * Exact integers throughout: the intersection is a wedge count, the
+    * union is d(a)+d(b)−cn, the score `cn·10⁶ div union` with (a,b)
+    * tie-break.
+    *
+    * Scale shape: the same bounded-wedge economics as [[trianglesBig]] —
+    * the shared degree-capped edge derivation bounds every adjacency
+    * list, so wedge volume is Σ_w d(w)² ≤ cap²·|V|, never all-pairs;
+    * existing edges drop via an anti-join on the canonical (u<v) key;
+    * degrees join as a |V|-sized frame; the only unbounded-looking
+    * ORDER BY is the final top-100, a TakeOrderedAndProject.
+    */
+  val jaccard: Q = Q("graph_jaccard",
+    s"""WITH $coPurchaseEdgesSql,
+       |adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT x, count(*) AS dg FROM adj GROUP BY x),
+       |wdg AS (SELECT s1.y AS a, s2.y AS b FROM adj s1
+       |  JOIN adj s2 ON s2.x = s1.x AND s1.y < s2.y),
+       |cn AS (SELECT a, b, count(*) AS cn FROM wdg GROUP BY 1, 2),
+       |cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
+       |  ANTI JOIN e ON e.u = cn.a AND e.v = cn.b),
+       |j AS (SELECT c.a, c.b, c.cn, da.dg + db.dg - c.cn AS un
+       |  FROM cand c JOIN deg da ON da.x = c.a JOIN deg db ON db.x = c.b)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST(cn AS BIGINT) AS cn, CAST(un AS BIGINT) AS un,
+       |  CAST(cn * 1000000 // un AS BIGINT) AS jac_ppm
+       |FROM j ORDER BY jac_ppm DESC, a, b LIMIT 100""".stripMargin) { (s, dir) =>
+    val e = graft.Scratch.track(coPurchaseEdges(s, dir))
+    val sym = graft.Scratch.track(
+      e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y"))))
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val cn = sym.as("s1")
+      .join(sym.as("s2"),
+        col("s2.x") === col("s1.x") && col("s1.y") < col("s2.y"))
+      .select(col("s1.y").as("a"), col("s2.y").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val cand = cn.join(e,
+      e("u") === cn("a") && e("v") === cn("b"), "left_anti")
+    cand
+      .join(deg.select(col("x").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") + col("db") - col("cn")).as("un"))
+      .withColumn("jac_ppm", expr("cn * 1000000 div un"))
+      .orderBy(col("jac_ppm").desc, col("a"), col("b")).limit(100)
+  }
+
   val all: Seq[Q] = Seq(pagerank, pagerankBig, triangles, trianglesBig,
-    kcore, components, bipartiteDegree, bfs, lpa)
+    kcore, components, bipartiteDegree, bfs, lpa, jaccard)
 }

@@ -419,4 +419,32 @@ class GraphSpec extends SparkSpec {
     assert(bhj.isEmpty,
       s"label-vector join must shuffle, not broadcast:\n$plan")
   }
+
+  test("graph_jaccard: scalar link-prediction replay over the shared edges") {
+    val edges = Graph.coPurchaseEdges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+    val expect = adj.values.flatMap { ns =>
+      val sorted = ns.toSeq.sorted
+      for { i <- sorted.indices; j <- i + 1 until sorted.size }
+        yield (sorted(i), sorted(j))
+    }.toSeq.groupBy(identity).map { case ((a, b), ws) =>
+      (a, b, ws.size.toLong)
+    }.filter { case (a, b, _) => !edges((a, b)) }
+      .map { case (a, b, cn) =>
+        val un = adj(a).size + adj(b).size - cn
+        (a, b, cn, un.toLong, cn * 1000000L / un)
+      }.toSeq
+      .sortBy { case (a, b, _, _, j) => (-j, a, b) }.take(100)
+    val got = Graph.jaccard.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // candidates are strictly NON-edges at distance 2, scores in (0, 10^6]
+    got.foreach { case (a, b, cn, un, j) =>
+      assert(!edges((a, b)), s"($a,$b) is an existing edge")
+      assert(cn >= 1 && un >= cn && j > 0 && j <= 1000000L)
+    }
+    graft.Scratch.release(spark)
+  }
 }
