@@ -2095,8 +2095,22 @@ object Analytics {
       |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
     val h = graft.Scratch.track(t(s, dir, "lineitem")
       .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
-      .groupBy(col("c")).agg(count(lit(1)).as("k"))
-      .withColumn("band", expr(s"c div ${ParetoBandCents}L")))
+      .groupBy(col("c")).agg(count(lit(1)).as("k")))
+    equiDepthBuckets(h)
+      .groupBy(col("bucket"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+        sum(col("k")).as("cnt"), count(lit(1)).as("ndv"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The two-level equi-depth bucket assignment over a (c, k[, …])
+    * distinct-value histogram — [[colHistogram]]'s core factored out so
+    * [[statsIncrMerge]] re-buckets a MERGED histogram through the same
+    * plan: band totals window (price-span-bounded frame) + band-
+    * partitioned intra-band offsets, `bucket = cum_before·16 div n`.
+    * Extra input columns ride through untouched. */
+  private def equiDepthBuckets(hIn: DataFrame): DataFrame = {
+    val h = hIn.withColumn("band", expr(s"c div ${ParetoBandCents}L"))
     val bw = org.apache.spark.sql.expressions.Window
       .orderBy(col("band"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2111,9 +2125,64 @@ object Analytics {
       .join(broadcast(boff), Seq("band"))
       .crossJoin(broadcast(n))
       .withColumn("bucket", expr("(boff + ib) * 16 div n"))
+  }
+
+  /** Incremental CBO-statistics maintenance — the fourth member of the
+    * incremental family ([[incrAgg]] aggregates, `dedup_incr_index` the
+    * MinHash index, `ann_incr_index` the IVF postings): a nightly ingest
+    * must refresh [[colHistogram]] without rescanning history, and the
+    * key fact is that equi-depth BOUNDARIES don't merge but
+    * distinct-value HISTOGRAMS do — so production stats maintenance
+    * merges value histograms (per-value count sums) and re-buckets,
+    * paying |histogram| not |corpus| for the refresh. Here the corpus
+    * splits at the max-orderkey midpoint (collected as a literal so BOTH
+    * half filters push into the parquet scan), each half builds its own
+    * histogram, the merge is a full-outer per-value count sum, and the
+    * re-bucket runs [[equiDepthBuckets]] — the SAME two-level plan the
+    * direct build uses. The oracle builds the histogram in ONE pass, so
+    * the hash gate proves rebucket(h(base) ⊎ h(δ)) ≡ direct(base ∪ δ)
+    * bucket for bucket; per-bucket n_base/n_delta make the merge grain
+    * observable (the `dedup_incr_index` convention).
+    */
+  val statsIncrMerge: Q = Q("stats_incr_merge",
+    """WITH mid AS (SELECT max(l_orderkey) // 2 AS m FROM lineitem),
+      |v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+      |    l_orderkey < m AS is_base
+      |  FROM lineitem, mid),
+      |h AS (SELECT c, count(*) AS k,
+      |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS kb
+      |  FROM v GROUP BY 1),
+      |n AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM h),
+      |w AS (SELECT c, k, kb, sum(k) OVER (ORDER BY c) AS cum FROM h),
+      |g AS (SELECT (cum - k) * 16 // n AS bucket,
+      |    min(c) AS lo, max(c) AS hi, CAST(sum(k) AS BIGINT) AS cnt,
+      |    CAST(count(*) AS BIGINT) AS ndv,
+      |    CAST(sum(kb) AS BIGINT) AS n_base,
+      |    CAST(sum(k - kb) AS BIGINT) AS n_delta
+      |  FROM w, n GROUP BY 1)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, lo, hi, cnt, ndv,
+      |  n_base, n_delta
+      |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    // midpoint as a literal: the bounded-collect rule (1 row), and the
+    // reason both half filters reach the parquet scan as pushed filters
+    val mid = t(s, dir, "lineitem")
+      .agg(expr("max(l_orderkey) div 2").as("m")).head.getLong(0)
+    def half(cond: Column, tag: String): DataFrame =
+      t(s, dir, "lineitem").filter(cond)
+        .select(expr(cents).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as(tag))
+    val h = graft.Scratch.track(
+      half(col("l_orderkey") < mid, "kb")
+        .join(half(col("l_orderkey") >= mid, "kd"), Seq("c"), "full_outer")
+        .select(col("c"), coalesce(col("kb"), lit(0L)).as("kb"),
+          coalesce(col("kd"), lit(0L)).as("kd"))
+        .withColumn("k", col("kb") + col("kd")))
+    equiDepthBuckets(h)
       .groupBy(col("bucket"))
       .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-        sum(col("k")).as("cnt"), count(lit(1)).as("ndv"))
+        sum(col("k")).as("cnt"), count(lit(1)).as("ndv"),
+        sum(col("kb")).as("n_base"), sum(col("kd")).as("n_delta"))
       .orderBy(col("bucket"))
   }
 
@@ -2128,5 +2197,5 @@ object Analytics {
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
     incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,
-    sessionBuiltin, colHistogram)
+    sessionBuiltin, colHistogram, statsIncrMerge)
 }

@@ -802,6 +802,29 @@ class AnalyticsSpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("stats_incr_merge: merge path equals direct build; filters push") {
+    import spark.implicits._
+    val q = Analytics.statsIncrMerge.run(spark, dir)
+    val got = q.as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val direct = Analytics.colHistogram.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the merged-histogram rebucket is bit-identical to the direct build
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) === direct)
+    // merge-grain observables: halves partition every bucket, both occur
+    got.foreach { case (b, _, _, cnt, _, nb, nd) =>
+      assert(nb + nd === cnt, s"bucket $b: $nb + $nd != $cnt")
+    }
+    assert(got.map(_._6).sum > 0 && got.map(_._7).sum > 0,
+      "both halves must contribute")
+    // both half filters reach the parquet scans as pushed filters
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*l_orderkey[^\\]]*\\]".r
+      .findAllIn(plan).toSeq
+    assert(pushed.size >= 2, s"expected both half filters pushed:\n$plan")
+    graft.Scratch.release(spark)
+  }
+
   test("orders_pareto deciles partition customers and concentrate top revenue") {
     import spark.implicits._
     val q = Analytics.ordersPareto.run(spark, dir)
