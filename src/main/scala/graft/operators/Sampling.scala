@@ -1085,8 +1085,25 @@ object Sampling {
   /** Rows × buckets for [[joinSizeEst]]'s sketches: 5 rows so the AMS
     * median is a single middle element, 256 buckets as 1 KB-per-relation
     * planner state. */
-  private val JseR = 5
-  private val JseW = 256
+  private[graft] val JseR = 5
+  private[graft] val JseW = 256
+
+  /** The row-salted 48-bit hash both [[joinSizeEst]] sketches derive
+    * their bucket AND sign from; columns `r` and `k` must be in scope. */
+  private val JseHashSpark: String =
+    s"CAST(conv(substr(md5(concat(CAST(r AS STRING), '#', " +
+      s"CAST(k AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+
+  /** Explodes each keyed row into its [[JseR]] (r, b, sgn) count-sketch
+    * cells — the ONE geometry rendering shared by the batch estimator and
+    * [[graft.streaming.EventsStream.jseStream]]'s online register
+    * maintenance, so the two cannot drift. */
+  private[graft] def withJseCells(df: DataFrame): DataFrame =
+    df.withColumn("r", explode(expr(s"sequence(0, ${JseR - 1})")))
+      .withColumn("h", expr(JseHashSpark))
+      .withColumn("b", expr(s"h % $JseW"))
+      .withColumn("sgn",
+        expr(s"CASE WHEN (h div $JseW) % 2 = 1 THEN 1L ELSE -1L END"))
 
   /** Join-cardinality estimation from sketch inner products — the answer
     * a cost-based planner wants BEFORE committing to a join strategy
@@ -1169,19 +1186,13 @@ object Sampling {
         |       ELSE abs(join_ams - exact_join) * 1000000 // exact_join END AS join_ams_err_ppm,
         |  join_ams >= exact_join AS join_ams_over
         |FROM f2x, f2c, f2a, jx, jc, ja""".stripMargin) { (s, dir) =>
-      val hSpark =
-        s"CAST(conv(substr(md5(concat(CAST(r AS STRING), '#', " +
-          s"CAST(k AS STRING))), 1, 12), 16, 10) AS BIGINT)"
       val ok = graft.Scratch.track(Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c")))
       val ek = graft.Scratch.track(Tables.load(s, dir, "events")
         .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c")))
-      def sketch(kc: DataFrame): DataFrame = kc
-        .withColumn("r", explode(expr(s"sequence(0, ${JseR - 1})")))
-        .withColumn("h", expr(hSpark))
-        .groupBy(col("r"), expr(s"h % $JseW").as("b"))
-        .agg(sum(expr(s"CASE WHEN (h div $JseW) % 2 = 1 THEN c ELSE -c END")).as("v"),
-          sum(col("c")).as("u"))
+      def sketch(kc: DataFrame): DataFrame = withJseCells(kc)
+        .groupBy(col("r"), col("b"))
+        .agg(sum(expr("c * sgn")).as("v"), sum(col("c")).as("u"))
       val oc = graft.Scratch.track(sketch(ok))
       val ec = sketch(ek)
       val mid = JseR / 2 + 1

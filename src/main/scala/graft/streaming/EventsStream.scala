@@ -257,6 +257,25 @@ object EventsStream {
       .groupBy(col("day"), col("r"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Online maintenance of the `join_size_est` count-sketch registers —
+    * sketch linearity is the whole trick: each arriving event adds ±1 to
+    * its [[graft.operators.Sampling.withJseCells]] cells (the SHARED
+    * geometry rendering), and because the sketch of per-key counts is
+    * the sum of per-event contributions, the streaming aggregation state
+    * IS the batch sketch of the running key-count table. A planner can
+    * then price "stream ⋈ static" joins online — register inner product
+    * against a static relation's sketch — without ever scanning the
+    * stream's history. State is 5 × 256 signed+unsigned integer cells,
+    * bounded by construction; counts are not re-apply-idempotent, so the
+    * emit path is keyed replacement on (r, b) (the [[quantStream]] sink
+    * contract).
+    */
+  def jseStream(events: DataFrame): DataFrame =
+    graft.operators.Sampling.withJseCells(
+        events.select(col("user_id").as("k")))
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("u"))
+
   case class RateVerdict(user_id: Long, ts_us: Long, n_window: Long,
       limited: Boolean)
 

@@ -281,6 +281,41 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("jseStream registers equal the batch sketch of running key counts") {
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      EventsStream.Event(ts(0), 1L, "click", 1.0),
+      EventsStream.Event(ts(1), 2L, "view", 2.0),
+      EventsStream.Event(ts(2), 1L, "click", 3.0),
+      EventsStream.Event(ts(3), 3L, "view", 4.0),
+      EventsStream.Event(ts(4), 1L, "error", 5.0))
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.jseStream(input.toDF())
+      .writeStream.format("memory").queryName("jse_out")
+      .outputMode(OutputMode.Complete).start()
+    val streamed = try {
+      input.addData(events(0), events(1), events(2))
+      query.processAllAvailable()
+      input.addData(events(3), events(4))
+      query.processAllAvailable()
+      spark.table("jse_out").as[(Int, Long, Long, Long)].collect().toSet
+    } finally query.stop()
+    // linearity: per-event ±1 folds equal the batch sketch of the key
+    // COUNTS — the property that makes the online registers usable as a
+    // drop-in side of the join_size_est inner product
+    val batchOfCounts = graft.operators.Sampling.withJseCells(
+        events.toDF().groupBy($"user_id".as("k")).count()
+          .withColumnRenamed("count", "c"))
+      .groupBy($"r", $"b")
+      .agg(org.apache.spark.sql.functions.sum($"c" * $"sgn").as("v"),
+        org.apache.spark.sql.functions.sum($"c").as("u"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(streamed === batchOfCounts, "stream ≡ sketch(key counts)")
+    // unsigned register mass = 5 cells per event; state domain bounded
+    assert(streamed.toSeq.map(_._4).sum === 5L * events.size)
+    assert(streamed.size <= 5 * 256)
+  }
+
   test("dedupStream drops duplicate (user, type) events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
