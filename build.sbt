@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked JVM inherit sbt's stdout directly. The default
+// outputStrategy pipes the child's stdout through sbt's logger, which
+// prefixes EVERY line with "[info] " and appends a final "[success]"
+// line — so the bench's machine-parseable last-line JSON trailer was
+// never bare JSON in 11 rounds of driver captures ("parsed": null).
+// With StdoutOutput the child writes unframed lines and the last stdout
+// line of `sbt "runMain graft.Bench"` is the bench's own summary.
+run / outputStrategy := Some(StdoutOutput)
+// ...and keep sbt itself from appending its "[success] Total time" line
+// AFTER the child exits, which would re-steal the last-stdout-line slot.
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

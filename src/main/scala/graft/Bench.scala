@@ -144,6 +144,21 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
         sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // bench_last.json is git-ignored and clobbered by ANY bench
+      // invocation (r11: a judge's focused re-run destroyed the driver's
+      // round record before anyone noticed — 11 rounds with no durable
+      // per-query history). So ALSO write an append-only timestamped
+      // sidecar under bench/ (committed): one file per invocation, never
+      // overwritten, tagged via GRAFT_BENCH_TAG when the caller wants a
+      // semantic name (e.g. "r12_sf0.1_quiet").
+      val tag = sys.env.getOrElse("GRAFT_BENCH_TAG",
+        new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+          .format(new java.util.Date()))
+      val benchDir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.write(
+        benchDir.resolve(s"bench_$tag.json"),
+        sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e")
     }
