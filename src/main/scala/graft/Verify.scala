@@ -41,6 +41,7 @@ object Verify {
     // end-of-session memo teardown (pair frames, component labels,
     // bucketed-table readiness) — see Dedup.releaseSession
     operators.Dedup.releaseSession(spark)
+    operators.Similarity.releaseSession(spark)
     sources.Ingest.releaseSession(spark)
     spark.stop()
   }
