@@ -1310,6 +1310,25 @@ object Similarity {
   private val SemTargetCell = 250
   private val SemTau = 0.4
 
+  /** Hard bound on the members any single within-cluster pair join group
+    * may hold — the semantic family's twin of the LSH band-join hot-bucket
+    * cap ([[Dedup]]'s `MaxBucket`, the r4 8 GB-OOM lesson). The measured-K
+    * formula TARGETS ~[[SemTargetCell]] members/cell, but k-means offers no
+    * guarantee: a boilerplate-dominated corpus collapses into one
+    * mega-cluster and the uncapped `cid` self-join concentrates a
+    * quadratic group on a single key — binding exactly when dedup is most
+    * needed. Unlike the LSH cap (drop the bucket: it carries no signal),
+    * an oversized CELL still carries the duplicates, so instead of
+    * dropping it is SUB-SPLIT deterministically: m = ⌈members/cap⌉
+    * sub-groups by `vec_id % m`, pairs form only within (cid, sub). Every
+    * join group is ≤ ~cap members; near-dups landing in different
+    * sub-groups are the recall price — the same banding trade the LSH
+    * family makes, degrading gracefully instead of OOMing. Cells at or
+    * under the cap get m = 1 → bit-identical to the uncapped semantics.
+    */
+  private val SemCellCap =
+    graft.functions.LshPlanes.envInt("GRAFT_SEM_CELL_CAP", 1000, 2, 10000000)
+
   /** DuckDB replay of the semantic-dedup pipeline: the same measured-K
     * formula, the same [[kmIterSql]] training chain off rank-seeded
     * centroids, the same zero-guarded assignment sim, and the same
@@ -1344,12 +1363,16 @@ object Similarity {
 
   private val semanticOracle: String = {
     s"""WITH $semanticAsgSql,
-       |av AS (SELECT a.vec_id, a.cid, a.csim, n.qv, n.nrm
-       |  FROM asg a JOIN nz n USING (vec_id)),
+       |cc AS (SELECT cid, (count(*) + $SemCellCap - 1) // $SemCellCap AS m
+       |  FROM asg GROUP BY cid),
+       |av AS (SELECT a.vec_id, a.cid, a.csim, n.qv, n.nrm,
+       |    a.vec_id % cc.m AS sub
+       |  FROM asg a JOIN nz n USING (vec_id) JOIN cc USING (cid)),
        |pr AS (SELECT v.vec_id,
        |    CASE WHEN u.csim < v.csim OR (u.csim = v.csim AND u.vec_id < v.vec_id)
        |         THEN 1 ELSE 0 END AS dom
-       |  FROM av v JOIN av u ON v.cid = u.cid AND v.vec_id != u.vec_id
+       |  FROM av v JOIN av u
+       |    ON v.cid = u.cid AND v.sub = u.sub AND v.vec_id != u.vec_id
        |  WHERE (CASE WHEN v.nrm = 0 OR u.nrm = 0 THEN 0.0
        |         ELSE ${cosSql("v.qv", "v.nrm", "u.qv", "u.nrm")} END) >= $SemTau),
        |vd AS (SELECT vec_id, count(*) AS n_near, max(dom) AS dommax
@@ -1409,9 +1432,22 @@ object Similarity {
     * the registered query and the planted-duplicate spec. */
   def semanticVerdict(s: SparkSession, baseDf: DataFrame): DataFrame = {
     val base = graft.Scratch.track(baseDf)
-    val assigned = graft.Scratch.track(semanticAssign(s, base))
+    // sub-split oversized cells (see [[SemCellCap]]): the cell-count frame
+    // is K-sized (broadcast), and sub = vec_id % ⌈members/cap⌉ bounds every
+    // (cid, sub) join group at ~cap members — m = 1 (sub = 0) for every
+    // cell at or under the cap, so the common case is bit-identical to the
+    // uncapped semantics and the gate checks the capped form at all SFs
+    val asg0 = graft.Scratch.track(semanticAssign(s, base))
+    val cellM = asg0
+      .groupBy(col("cid")).agg(count(lit(1)).as("members"))
+      .select(col("cid"),
+        expr(s"(members + ${SemCellCap - 1}) div $SemCellCap").as("m"))
+    val assigned = graft.Scratch.track(asg0
+      .join(broadcast(cellM), Seq("cid"))
+      .withColumn("sub", pmod(col("vec_id"), col("m"))))
     val pairs = assigned.as("v").join(assigned.as("u"),
-        col("v.cid") === col("u.cid") && col("v.vec_id") =!= col("u.vec_id"))
+        col("v.cid") === col("u.cid") && col("v.sub") === col("u.sub") &&
+          col("v.vec_id") =!= col("u.vec_id"))
       .filter(coalesce(
         when(col("v.nrm") === 0L || col("u.nrm") === 0L, lit(0.0))
           .otherwise(cosine(col("v.qv"), col("v.nrm"), col("u.qv"), col("u.nrm")))

@@ -532,6 +532,34 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("dedup_semantic: a planted mega-cluster is sub-split, pair volume stays bounded") {
+    // an all-near-identical corpus: every vector identical -> k-means
+    // collapses all 1200 docs into ONE cell, the degenerate skew the
+    // SemCellCap sub-split exists for (uncapped, the cid self-join would
+    // put all C(1200,2) pairs on a single key and every doc would see
+    // n_near = 1199)
+    val dims = graft.functions.LshPlanes.Dims
+    val qv: Seq[Long] = Seq.fill(dims)(100L)
+    val nrm = dims * 100L * 100L
+    val base = (0L until 1200L).map(i => (i, qv, nrm))
+      .toDF("vec_id", "qv", "nrm")
+    val out = Similarity.semanticVerdict(spark, base)
+      .select($"vec_id", $"cid", $"n_near", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length === 1200)
+    assert(out.map(_._2).distinct.length === 1, "fixture must form one cell")
+    // bounded pair volume: every doc's neighbor count is capped by its
+    // sub-group size (ceil(1200/1000) = 2 subs of ~600), never the cell
+    val maxNear = out.map(_._3).max
+    assert(maxNear < 1000, s"sub-split must bound n_near, saw $maxNear")
+    assert(maxNear > 0, "dedup must still be live inside the mega-cluster")
+    // identical vectors tie on csim -> exactly the min-vec_id anchor of
+    // each sub-group survives: m = 2 kept, 1198 dropped
+    val kept = out.filter(_._4).map(_._1).sorted
+    assert(kept.toSeq === Seq(0L, 1L), s"expected the two sub-group anchors, got ${kept.toSeq}")
+    graft.Scratch.release(spark)
+  }
+
   test("dedup_semantic: K is measured from the corpus and assignment is map-side") {
     // knob-free growth: cells stay ~250 at any corpus size
     assert(Similarity.semK(500) === 4)
