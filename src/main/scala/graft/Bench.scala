@@ -165,6 +165,7 @@ object Bench {
     // end-of-session memo teardown — see Dedup.releaseSession
     graft.operators.Dedup.releaseSession(spark)
     graft.operators.Similarity.releaseSession(spark)
+    graft.operators.Graph.releaseSession(spark)
     graft.sources.Ingest.releaseSession(spark)
     spark.stop()
   }

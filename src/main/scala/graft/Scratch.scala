@@ -33,8 +33,15 @@ object Scratch {
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for the next
     * [[release]] of its session. Returns the persisted frame.
+    *
+    * Already-persisted frames pass through UNTRACKED: a query handed a
+    * session-memoized frame (Dedup.minhashPairs, Graph.coPurchaseEdges)
+    * must not enroll it for per-query release — that would silently evict
+    * the memo's blocks after the first consumer and every later consumer
+    * would re-pay the build while the memo map still claimed it cached.
     */
   def track(df: DataFrame): DataFrame = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) return df
     val p = df.persist()
     val buf = tracked.getOrElseUpdate(p.sparkSession, ArrayBuffer.empty)
     buf.synchronized { buf += p }

@@ -42,6 +42,7 @@ object Verify {
     // bucketed-table readiness) — see Dedup.releaseSession
     operators.Dedup.releaseSession(spark)
     operators.Similarity.releaseSession(spark)
+    operators.Graph.releaseSession(spark)
     sources.Ingest.releaseSession(spark)
     spark.stop()
   }

