@@ -742,7 +742,15 @@ object Similarity {
     * exact integers — the composed index's OUTPUT is hash-gated end to
     * end, tie-breaks included.
     */
-  val annIvfPq: Q = Q("ann_ivfpq", annIvfPqOracle) { (s, dir) =>
+  /** Training + encode stage of the IVF×PQ pipeline, extracted so the
+    * index can be SERVED from more than one place: [[annIvfPq]] (rebuild
+    * per query — the hash gate of the training chain) and
+    * [[ivfPqIndexWrite]] (persist the trained model + postings as parquet
+    * tables, served by [[annIndexPersist]]). Returns (coarse centroids,
+    * PQ codebooks, encoded postings frame (vec_id, cid, codes)).
+    */
+  private[operators] def ivfPqTrainEncode(s: SparkSession, dir: String):
+      (Seq[Seq[Long]], Seq[Seq[Seq[Long]]], DataFrame) = {
     import s.implicits._
     graft.functions.IvfExpressions.register(s)
     graft.functions.PqExpressions.register(s)
@@ -802,10 +810,29 @@ object Similarity {
         }
       }
     }
-    val cbLit = typedLit(cb)
     val encoded = rsd
-      .withColumn("codes", call_function("pq_codes", col("rv"), cbLit))
+      .withColumn("codes", call_function("pq_codes", col("rv"), typedLit(cb)))
       .select(col("vec_id"), col("cid"), col("codes"))
+    (cents, cb, encoded)
+  }
+
+  /** Serve the IVF×PQ top-10 from a trained model (centroids + codebooks)
+    * and an encoded postings frame — the query-time half shared by
+    * [[annIvfPq]] (model just trained) and [[annIndexPersist]] (model and
+    * postings read back from parquet). Probes re-derive their residuals
+    * against the supplied centroids; candidates prune on cell id before
+    * ADC scoring, exactly the rebuild path's shape.
+    */
+  private[operators] def ivfPqServe(s: SparkSession, dir: String,
+      cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]],
+      encoded: DataFrame): DataFrame = {
+    graft.functions.IvfExpressions.register(s)
+    graft.functions.PqExpressions.register(s)
+    val centsLit = typedLit(cents)
+    val cbLit = typedLit(cb)
+    val withSims = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("sims", call_function("centroid_sims", col("qv"), centsLit))
     // per-(query, probed cell) ADC tables from the QUERY's residual in
     // that cell — 5×NProbe rows of M×K lookup tables, broadcast
     val probes = withSims.filter(col("vec_id") < 5)
@@ -827,6 +854,84 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  val annIvfPq: Q = Q("ann_ivfpq", annIvfPqOracle) { (s, dir) =>
+    val (cents, cb, encoded) = ivfPqTrainEncode(s, dir)
+    ivfPqServe(s, dir, cents, cb, encoded)
+  }
+
+  private val indexReady =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** One-time persisted IVF×PQ index per (session, dir) — the production
+    * ANN piece the rebuild path lacks: a real deployment trains its
+    * quantizers ONCE, writes the model + postings as tables, and every
+    * query session thereafter serves from storage. Three parquet tables
+    * under a collision-proof tmpdir tag (the [[graft.sources.Ingest.orcPartCopy]]
+    * fixture idiom — memoized, Bench builds it outside the timed window):
+    *   - `centroids`  (cid, dim, c)        — K×Dims flattened coarse model
+    *   - `codebooks`  (m, code, dim, c)    — M×K×sub flattened PQ model
+    *   - `postings`   (vec_id, cid, codes) — the encoded corpus
+    * Postings are written partitioned by the coarse cell id, the layout a
+    * served index wants: a probe touching NProbe cells reads NProbe
+    * directories and the cell-id prune becomes PARTITION PRUNING at the
+    * scan — no full-postings pass at any corpus size.
+    */
+  def ivfPqIndexWrite(s: SparkSession, dir: String): String = indexReady.synchronized {
+    indexReady.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
+        "_" + Integer.toHexString(System.identityHashCode(s))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_$tag"
+      val (cents, cb, encoded) = ivfPqTrainEncode(s, dir)
+      cents.zipWithIndex
+        .flatMap { case (cv, cid) => cv.zipWithIndex.map { case (c, d) =>
+          (cid.toLong, d.toLong, c) } }
+        .toDF("cid", "dim", "c")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/centroids")
+      cb.zipWithIndex
+        .flatMap { case (words, m) => words.zipWithIndex.flatMap { case (w, code) =>
+          w.zipWithIndex.map { case (c, d) => (m.toLong, code.toLong, d.toLong, c) } } }
+        .toDF("m", "code", "dim", "c")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/codebooks")
+      encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cid").parquet(s"$root/postings")
+      graft.Scratch.release(s)
+      root
+    })
+  }
+
+  /** Query-from-disk ≡ query-from-rebuild — [[annIvfPq]] served from the
+    * PERSISTED index ([[ivfPqIndexWrite]]) instead of retraining: the
+    * model tables collect back as plan literals (K×Dims and M×K×sub rows
+    * — model-sized, the bounded-collect rule) and the postings scan reads
+    * the cell-partitioned parquet, so the candidate prune is partition
+    * pruning. The oracle replays the full training chain in SQL
+    * ([[annIvfPqOracle]], identical to ann_ivfpq's) — the hash gate IS
+    * the proof that the stored index serves the same answer the rebuild
+    * does, at every SF.
+    */
+  val annIndexPersist: Q = Q("ann_index_persist", annIvfPqOracle) { (s, dir) =>
+    import s.implicits._
+    val root = ivfPqIndexWrite(s, dir)
+    val cents: Seq[Seq[Long]] = s.read.parquet(s"$root/centroids")
+      .select(col("cid"), col("dim"), col("c"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val cb: Seq[Seq[Seq[Long]]] = s.read.parquet(s"$root/codebooks")
+      .select(col("m"), col("code"), col("dim"), col("c"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._3).map(_._4).toSeq))
+    val postings = s.read.parquet(s"$root/postings")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
+    ivfPqServe(s, dir, cents, cb, postings)
   }
 
   /** Recall diagnostic: fraction of the exact brute-force top-10 that each
@@ -1080,13 +1185,33 @@ object Similarity {
       rankedMethodQ(method).run(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** End-of-session teardown for [[rankCache]] — the
-    * [[Dedup.releaseSession]] contract (mid-session the memo's whole
-    * point is to stay). */
-  def releaseSession(s: SparkSession): Unit =
+  /** End-of-session teardown for [[rankCache]] and the persisted-index
+    * fixture — the [[Dedup.releaseSession]] contract (mid-session the
+    * memo's whole point is to stay). The index dir is deleted with the
+    * session (the `Ingest.releaseSession` evict-fixtures rule: a dead
+    * memo key must not strand an index copy in /tmp per session; the
+    * session-identity tag makes each dir ours alone to remove). */
+  def releaseSession(s: SparkSession): Unit = {
     rankCache.keys.filter(_._1 eq s).foreach { k =>
       rankCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    indexReady.synchronized {
+      val (dead, live) = indexReady.partition { case ((sess, _), _) => sess eq s }
+      dead.values.foreach { root =>
+        val d = new java.io.File(root)
+        if (d.getName.startsWith("graft_annidx_")) deleteRecursively(d)
+      }
+      indexReady.clear()
+      indexReady ++= live
+      ()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   val annRecall: Q = Q("ann_recall", annRecallOracle) { (s, dir) =>
     import s.implicits._
@@ -1738,5 +1863,5 @@ object Similarity {
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
-      annIncrIndex, sampleProto, retrievalRrf, annMrr)
+      annIncrIndex, sampleProto, retrievalRrf, annMrr, annIndexPersist)
 }

@@ -577,6 +577,25 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("ann_index_persist: the stored index serves the rebuild's exact answer, partition-pruned") {
+    val served = Similarity.annIndexPersist.run(spark, dir)
+    val fromDisk = served
+      .select($"query_id", $"neighbor_id", $"adist", $"rn")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val rebuilt = Similarity.annIvfPq.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"adist", $"rn")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromDisk === rebuilt, "query-from-disk must equal query-from-rebuild")
+    assert(fromDisk.nonEmpty)
+    // the cell-id candidate prune must reach the postings SCAN as dynamic
+    // partition pruning — the stored layout's whole point: a probe reads
+    // its NProbe cell directories, never the full postings
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"postings scan must be partition-pruned on cid:\n$plan")
+    graft.Scratch.release(spark)
+  }
+
   test("ann_incr_index: delta-assign under the frozen quantizer equals the one-shot rebuild") {
     graft.functions.IvfExpressions.register(spark)
     val base = graft.sources.Tables.load(spark, dir, "embeddings")
