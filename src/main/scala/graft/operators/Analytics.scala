@@ -2165,9 +2165,14 @@ object Analytics {
       |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
     val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
     // midpoint as a literal: the bounded-collect rule (1 row), and the
-    // reason both half filters reach the parquet scan as pushed filters
-    val mid = t(s, dir, "lineitem")
-      .agg(expr("max(l_orderkey) div 2").as("m")).head.getLong(0)
+    // reason both half filters reach the parquet scan as pushed filters.
+    // max() over an EMPTY lineitem is null — read through the boxed type
+    // and fall back to 0 so the query degrades to an empty result (the
+    // colHistogram convention) instead of throwing in getLong
+    val mid = Option(t(s, dir, "lineitem")
+        .agg(expr("max(l_orderkey) div 2").as("m"))
+        .head.getAs[java.lang.Long]("m"))
+      .map(_.longValue).getOrElse(0L)
     def half(cond: Column, tag: String): DataFrame =
       t(s, dir, "lineitem").filter(cond)
         .select(expr(cents).as("c"))

@@ -1063,17 +1063,30 @@ object Sampling {
       |  CAST(rowid // 256 AS BIGINT) AS shard,
       |  CAST(rowid % 256 AS BIGINT) AS pos
       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).select(col("doc_id"))
       .withColumn("band", expr("doc_id div 256"))
-    val bw = org.apache.spark.sql.expressions.Window
-      .orderBy(col("band"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // |bands|-sized frame: counts, never documents, cross this window
-    val off = d.groupBy(col("band")).agg(count(lit(1)).as("bn"))
-      .withColumn("boff", coalesce(sum(col("bn")).over(bw), lit(0L)))
-      .select(col("band"), col("boff"))
-    val iw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band")).orderBy(col("doc_id"))
+    // TWO banding levels, as documented: per-band counts quantize AGAIN
+    // into 256-wide super-bands, so the only unpartitioned window
+    // cumulates the |span|/65536-row super-band totals — a SPARSE id
+    // space (snowflake-style 64-bit ids, ~one doc per band) no longer
+    // degenerates the cumulation to a corpus-sized single frame, which
+    // the one-level form silently did (ADVICE r11). Intra-super-band
+    // offsets run in ≤256-row partitioned windows.
+    val bn = d.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+      .withColumn("sband", expr("band div 256"))
+    val sw = Window.orderBy(col("sband"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soff = bn.groupBy(col("sband")).agg(sum(col("bn")).as("sbn"))
+      .withColumn("soff", coalesce(sum(col("sbn")).over(sw), lit(0L)))
+      .select(col("sband"), col("soff"))
+    val ibw = Window.partitionBy(col("sband")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bn
+      .withColumn("iboff", coalesce(sum(col("bn")).over(ibw), lit(0L)))
+      .join(broadcast(soff), Seq("sband"))
+      .select(col("band"), (col("soff") + col("iboff")).as("boff"))
+    val iw = Window.partitionBy(col("band")).orderBy(col("doc_id"))
     d.withColumn("ir", row_number().over(iw).cast("long"))
       .join(broadcast(off), Seq("band"))
       .withColumn("rowid", col("boff") + col("ir") - lit(1L))
@@ -1158,7 +1171,7 @@ object Sampling {
         |    CAST(sum(CASE WHEN (h // $JseW) % 2 = 1 THEN c ELSE -c END) AS BIGINT) AS v,
         |    CAST(sum(c) AS BIGINT) AS u
         |  FROM eh GROUP BY 1, 2),
-        |f2x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM ok),
+        |f2x AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS exact_f2 FROM ok),
         |f2r AS (SELECT r, CAST(sum(v * v) AS BIGINT) AS s,
         |    CAST(sum(u * u) AS BIGINT) AS s2 FROM oc GROUP BY r),
         |f2c AS (SELECT CAST(min(s2) AS BIGINT) AS f2_cms FROM f2r),
@@ -1175,8 +1188,11 @@ object Sampling {
         |  SELECT s, row_number() OVER (ORDER BY s, r) AS rn FROM jr)
         |  WHERE rn = ${JseR / 2 + 1})
         |SELECT exact_f2, f2_cms,
-        |  (f2_cms - exact_f2) * 1000000 // exact_f2 AS f2_cms_over_ppm,
-        |  f2_ams, abs(f2_ams - exact_f2) * 1000000 // exact_f2 AS f2_ams_err_ppm,
+        |  CASE WHEN exact_f2 = 0 THEN 0
+        |       ELSE (f2_cms - exact_f2) * 1000000 // exact_f2 END AS f2_cms_over_ppm,
+        |  f2_ams,
+        |  CASE WHEN exact_f2 = 0 THEN 0
+        |       ELSE abs(f2_ams - exact_f2) * 1000000 // exact_f2 END AS f2_ams_err_ppm,
         |  f2_ams >= exact_f2 AS f2_ams_over,
         |  exact_join, join_cms,
         |  CASE WHEN exact_join = 0 THEN 0
@@ -1198,7 +1214,7 @@ object Sampling {
       val mid = JseR / 2 + 1
       val w5 = org.apache.spark.sql.expressions.Window
         .orderBy(col("s"), col("r")) // 5-row frame: the estimator median
-      val f2x = ok.agg(sum(expr("c * c")).as("exact_f2"))
+      val f2x = ok.agg(coalesce(sum(expr("c * c")), lit(0L)).as("exact_f2"))
       val f2r = oc.groupBy(col("r"))
         .agg(sum(expr("v * v")).as("s"), sum(expr("u * u")).as("s2"))
       val f2c = f2r.agg(min(col("s2")).as("f2_cms"))
@@ -1218,9 +1234,16 @@ object Sampling {
         .crossJoin(broadcast(jx)).crossJoin(broadcast(jc))
         .crossJoin(broadcast(ja))
         .select(col("exact_f2"), col("f2_cms"),
-          expr("(f2_cms - exact_f2) * 1000000 div exact_f2").as("f2_cms_over_ppm"),
+          // empty-side guard (mirrored in the oracle): an empty orders
+          // table zeroes exact_f2 and the unguarded div diverges the
+          // engines (DuckDB errors, Spark ANSI-divs to null)
+          expr("""CASE WHEN exact_f2 = 0 THEN 0L
+            | ELSE (f2_cms - exact_f2) * 1000000 div exact_f2 END"""
+            .stripMargin).as("f2_cms_over_ppm"),
           col("f2_ams"),
-          expr("abs(f2_ams - exact_f2) * 1000000 div exact_f2").as("f2_ams_err_ppm"),
+          expr("""CASE WHEN exact_f2 = 0 THEN 0L
+            | ELSE abs(f2_ams - exact_f2) * 1000000 div exact_f2 END"""
+            .stripMargin).as("f2_ams_err_ppm"),
           (col("f2_ams") >= col("exact_f2")).as("f2_ams_over"),
           col("exact_join"), col("join_cms"),
           expr("""CASE WHEN exact_join = 0 THEN 0L

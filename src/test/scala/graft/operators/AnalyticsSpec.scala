@@ -770,12 +770,17 @@ class AnalyticsSpec extends SparkSpec {
     val q = Analytics.colHistogram.run(spark, dir)
     // the orders_pareto discipline: any window SORTED on the cents value
     // must be band-partitioned; only the band-total frame goes unpartitioned
-    q.queryExecution.executedPlan.toString.linesIterator
+    val centWindows = q.queryExecution.executedPlan.toString.linesIterator
       .filter(_.contains("windowspecdefinition("))
       .filter(l => "\\bc#\\d+L? ASC".r.findFirstIn(l).isDefined)
-      .foreach { l =>
-        assert(l.contains("band"), s"unpartitioned window over values:\n$l")
-      }
+      .toSeq
+    // name-matched filter: an aliasing refactor would empty the match set
+    // and pass the gate vacuously — demand the gated window is present
+    assert(centWindows.nonEmpty,
+      "plan gate matched no c-sorted window — regex went stale against the plan")
+    centWindows.foreach { l =>
+      assert(l.contains("band"), s"unpartitioned window over values:\n$l")
+    }
     val cents = graft.sources.Tables.load(spark, dir, "lineitem")
       .select($"l_extendedprice").as[Double].collect()
       .map(p => math.round(p * 100))

@@ -476,14 +476,20 @@ class SamplingSpec extends SparkSpec {
     import spark.implicits._
     val q = Sampling.exportShards.run(spark, dir)
     // scale gate (the orders_pareto discipline): any window SORTED on
-    // doc_id must be band-partitioned — only the |bands|-sized count
+    // doc_id must be band-partitioned — only the super-band-sized count
     // frame may cross an unpartitioned window
-    q.queryExecution.executedPlan.toString.linesIterator
+    val docIdWindows = q.queryExecution.executedPlan.toString.linesIterator
       .filter(_.contains("windowspecdefinition("))
       .filter(l => "doc_id#\\d+L? ASC".r.findFirstIn(l).isDefined)
-      .foreach { l =>
-        assert(l.contains("band"), s"unpartitioned window over doc_id:\n$l")
-      }
+      .toSeq
+    // the filter matches by source column NAME: if a refactor aliases
+    // doc_id before the window, an empty match set would pass the gate
+    // vacuously — demand the window we mean to gate is actually present
+    assert(docIdWindows.nonEmpty,
+      "plan gate matched no doc_id-sorted window — regex went stale against the plan")
+    docIdWindows.foreach { l =>
+      assert(l.contains("band"), s"unpartitioned window over doc_id:\n$l")
+    }
     val got = q.as[(Long, Long, Long, Long)].collect().toSeq
     val expect = graft.sources.Tables.load(spark, dir, "documents")
       .select($"doc_id").as[Long].collect().sorted.zipWithIndex
