@@ -74,6 +74,12 @@ object Bench {
       timedFixture("ann_index", selected.contains("ann_index_persist")) {
         graft.operators.Similarity.ivfPqIndexWrite(spark, sfDir); ()
       }
+    // the day-partitioned events layout is the same one-time amortized
+    // cost — the timed entry measures the dynamically-pruned join alone
+    val dppFixtureSecs: Double =
+      timedFixture("dpp", selected.contains("dpp_join")) {
+        graft.sources.Ingest.dppEventsCopy(spark, sfDir); ()
+      }
     // Each query is timed BEST-OF-2: two independent passes, report the
     // min. A single pass conflates the query's cost with whatever the
     // host happened to be doing in that window — rounds 5-8 each spent
@@ -133,7 +139,7 @@ object Bench {
     // can clip it), per-query detail lives in the bench_last.json sidecar
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
       results.size},"failed":${results.values.count(_ < 0)},"sf":$sf,"bucketed_fixture_s":${
-      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)}}""")
+      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)}}""")
     System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
@@ -146,7 +152,7 @@ object Bench {
       val sidecar =
         s"""{"total_s":$total,"n":${results.size},"failed":${
           results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2",""" +
-          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,""" +
           s""""queries":$qs,"passes":$raw}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),

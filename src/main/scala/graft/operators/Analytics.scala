@@ -38,6 +38,7 @@ object Analytics {
   // declared with the first constants, not near its first consumer:
   // object vals initialize in order, and a val-interpolated oracle string
   // reading a later-declared constant would silently bake in 0
+  private val HourNanos = 3600L * 1000000000L
   private val DayNanos = 86400L * 1000000000L
 
   /** A1 (wins, F:329-335): filter → groupBy → count → global sort. */
@@ -787,6 +788,67 @@ object Analytics {
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** GROUPING SETS — the general form [[rollupAgg]]/[[cubeAgg]] are sugar
+    * for: an explicit set list that is NEITHER a rollup hierarchy nor the
+    * full cube — (status, priority) detail, a priority-only slice, and the
+    * grand total, skipping the status-only slice a rollup would force.
+    * Spark expands the requested sets map-side exactly as it does for
+    * rollup/cube, so the shuffle still carries |groups| partial rows per
+    * set; GROUPING_ID disambiguates which keys are live in each output
+    * row. At 100 TB the win over running the three aggregations separately
+    * is one fact scan instead of three.
+    */
+  val groupingSetsAgg: Q = Q("grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY GROUPING SETS (
+      |  (o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        exactSum(col("o_totalprice")).as("total"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n"), col("total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** UNPIVOT (melt): the wide-to-long reshape — a per-flag aggregate with
+    * one column per metric becomes (flag, metric, value) rows, the shape a
+    * metrics store or plotting layer ingests. Spark's native `unpivot`
+    * expands columns to rows MAP-SIDE over the already-aggregated frame
+    * (|flags| × |metrics| rows total here), so the reshape itself never
+    * touches an exchange; the oracle spells the same thing as the
+    * classical UNION ALL. All melted values share one DOUBLE type — the
+    * unpivot contract — with sums kept exact via the decimal-partials
+    * idiom before the cast.
+    */
+  val unpivotLong: Q = Q("unpivot_long",
+    """WITH a AS (SELECT l_returnflag AS rf,
+      |    CAST(count(*) AS DOUBLE) AS n_rows,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT rf, 'n_rows' AS metric, n_rows AS value FROM a
+      |UNION ALL SELECT rf, 'sum_qty', sum_qty FROM a
+      |UNION ALL SELECT rf, 'sum_price', sum_price FROM a
+      |ORDER BY rf, metric""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).cast("double").as("n_rows"),
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("rf")),
+        Array(col("n_rows"), col("sum_qty"), col("sum_price")),
+        "metric", "value")
+      .orderBy(col("rf"), col("metric"))
+  }
+
   /** PIVOT: spread the status dimension into columns (fixed value list so
     * the schema is static — at scale a dynamic pivot needs a values pass
     * first; pinning the list keeps it one-pass). Oracle spells the same
@@ -1105,8 +1167,6 @@ object Analytics {
     * the raw-nanos pmod floor-division (sign-correct pre-1970), the same
     * idiom as [[eventsRetention]]'s weeks.
     */
-  private val HourNanos = 3600L * 1000000000L
-
   val eventsAnomaly: Q = Q("events_anomaly",
     s"""WITH h AS (SELECT event_type,
       |    (epoch_ns(ts) - ((epoch_ns(ts) % $HourNanos + $HourNanos) % $HourNanos)) // $HourNanos AS hour,
@@ -1471,6 +1531,66 @@ object Analytics {
       .join(hourly, Seq("event_type", "hour"), "left")
       .select(col("event_type"), col("hour"),
         coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Gap-fill with forward fill (LOCF) — the OTHER imputation
+    * [[eventsResample]]'s zero-fill isn't: a feature pipeline reading an
+    * hourly metric wants the LAST OBSERVED value carried across silent
+    * hours (sensor readings, prices, gauge metrics), not a zero. Engine
+    * portability dictates the formulation: instead of
+    * `last_value(x IGNORE NULLS)` (dialect-divergent), the carried
+    * SOURCE HOUR is a plain running `max(CASE WHEN observed THEN hour
+    * END)` over the per-type hour order — exact integers — and the value
+    * rides a join back to the observed frame on (type, src_hour). Leading
+    * gaps (no prior observation) stay NULL in both engines.
+    *
+    * Shape: the observed frame collapses map-side to (type × hour) rows;
+    * the dense grid is |types| × |hour-span| (broadcast sequence
+    * explode); the running-max window partitions by type; the value
+    * fetch joins grid-sized frames. Nothing after the first collapse is
+    * corpus-sized.
+    */
+  val eventsGapLocf: Q = Q("events_gap_locf",
+    s"""WITH d AS (SELECT event_type,
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $HourNanos + $HourNanos) % $HourNanos)) // $HourNanos AS hour,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM d),
+      |hours AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |g AS (SELECT t.event_type, h.hour, coalesce(d.n, 0) AS n
+      |  FROM types t CROSS JOIN hours h
+      |  LEFT JOIN d ON d.event_type = t.event_type AND d.hour = h.hour),
+      |f AS (SELECT event_type, hour, n,
+      |    max(CASE WHEN n > 0 THEN hour END) OVER (
+      |      PARTITION BY event_type ORDER BY hour) AS src_hour
+      |  FROM g)
+      |SELECT f.event_type, CAST(f.hour AS BIGINT) AS hour, f.n,
+      |  CAST(f.src_hour AS BIGINT) AS src_hour, d.avg_value AS filled
+      |FROM f LEFT JOIN d ON d.event_type = f.event_type AND d.hour = f.src_hour
+      |ORDER BY f.event_type, f.hour""".stripMargin) { (s, dir) =>
+    val obs = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"(ts - pmod(ts, ${HourNanos}L)) div ${HourNanos}L").as("hour"))
+      .agg(count(lit(1)).as("n"), exactAvg(col("value")).as("avg_value"))
+    val hours = obs.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val types = obs.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(hours))
+      .join(obs.select(col("event_type"), col("hour"), col("n")),
+        Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    grid
+      .withColumn("src_hour",
+        max(when(col("n") > 0, col("hour"))).over(w))
+      .join(obs.select(col("event_type"), col("hour").as("src_hour"),
+        col("avg_value").as("filled")), Seq("event_type", "src_hour"), "left")
+      .select(col("event_type"), col("hour"), col("n"), col("src_hour"),
+        col("filled"))
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -2195,9 +2315,11 @@ object Analytics {
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsSegmentWindow,
     eventsJson, sessionize,
-    eventsClickJoin, skewAgg, rollupAgg, cubeAgg, pivotAgg, pivotDynamic, windowFuncs,
+    eventsClickJoin, skewAgg, rollupAgg, cubeAgg, groupingSetsAgg,
+    unpivotLong, pivotAgg, pivotDynamic, windowFuncs,
     setOps, existsQ, tableStats, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsRolling, eventsResample,
+    eventsGapLocf,
     eventsSequences, eventsActiveUsers, eventsForecast,
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,

@@ -390,5 +390,80 @@ object DataQuality {
       .orderBy(col("nationkey"), col("segment"), col("bal_band"))
   }
 
-  val all: Seq[Q] = Seq(audit, drift, kanon, ldiversity, tcloseness)
+  /** Benford first-digit expectation, in exact ppm: log₁₀(1 + 1/d)
+    * pre-rendered as integer literals (they sum to exactly 10⁶), so
+    * neither engine ever evaluates a logarithm — the repo's no-float rule
+    * applied to the one audit whose textbook definition is a log.
+    */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Leading significant digit of positive bigint `c` as a CASE ladder —
+    * no log10, no string cast (both are dialect-divergent); 17 rungs
+    * cover the full int64 range. `intdiv` renders the dialect's integer
+    * division (Spark `div`, DuckDB `//` — positive operands only here,
+    * so truncation vs floor cannot diverge).
+    */
+  private def leadDigitSql(c: String, intdiv: String): String = {
+    val rungs = (17 to 1 by -1).map { k =>
+      val p = "1" + "0" * k
+      s"WHEN $c >= $p THEN ($c) $intdiv $p"
+    }.mkString(" ")
+    s"(CASE $rungs ELSE $c END)"
+  }
+
+  /** Benford's-law audit of order totals — the classic fabricated-data /
+    * corrupted-feed screen a financial DQ pipeline runs: naturally
+    * occurring multi-magnitude amounts put ~30.1% of leading digits at 1,
+    * and a feed whose digit histogram deviates hard from log₁₀(1+1/d) was
+    * generated, truncated, or double-counted. Digits come from exact
+    * integer cents via a CASE ladder (no log, no string cast), observed
+    * shares are exact ppm, and the report is |digit| rows: observed vs
+    * expected ppm and the absolute deviation, plus the corpus-level mean
+    * absolute deviation replayed on every row (the single number a gate
+    * thresholds on). Uniform synthetic prices WILL deviate — the audit
+    * reports it; the gate tests the measurement, not the data's virtue.
+    *
+    * Shape: one scan collapsing map-side to ≤ 9 digit groups; everything
+    * after is arithmetic on a 9-row frame against the broadcast literal
+    * expectation. Output is 9 rows at any corpus size.
+    */
+  val benford: Q = {
+    val expectCase = BenfordPpm
+      .map { case (d, p) => s"WHEN digit = $d THEN $p" }.mkString(" ")
+    Q("dq_benford",
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT ${leadDigitSql("cents", "//")} AS digit FROM c),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS tot FROM g),
+        |x AS (SELECT digit, n, n * 1000000 // tot AS obs_ppm,
+        |    CAST(CASE $expectCase END AS BIGINT) AS exp_ppm
+        |  FROM g CROSS JOIN t),
+        |m AS (SELECT sum(abs(obs_ppm - exp_ppm)) // count(*) AS mad_ppm FROM x)
+        |SELECT CAST(digit AS BIGINT) AS digit, n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+        |  exp_ppm, CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm,
+        |  CAST(mad_ppm AS BIGINT) AS mad_ppm
+        |FROM x CROSS JOIN m ORDER BY digit""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .select(expr(leadDigitSql("cents", "div")).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).as("tot"))
+      val x = g.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div tot").as("obs_ppm"),
+          expr(s"CAST(CASE $expectCase END AS BIGINT)").as("exp_ppm"))
+      val m = x.agg(expr("sum(abs(obs_ppm - exp_ppm)) div count(*)").as("mad_ppm"))
+      x.crossJoin(broadcast(m))
+        .select(col("digit").cast("long").as("digit"), col("n"),
+          col("obs_ppm"), col("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"), col("mad_ppm"))
+        .orderBy(col("digit"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(audit, drift, kanon, ldiversity, tcloseness, benford)
 }

@@ -771,6 +771,86 @@ object Graph {
     dist.orderBy(col("node"))
   }
 
+  /** Sources for [[closeness]]: a FIXED-size probe set (the 5 smallest
+    * node ids — deterministic at any corpus), because exact all-sources
+    * centrality is O(|V|·|E|) and no one runs it at scale; sampled-source
+    * centrality is the standard estimator (Eppstein–Wang) and its cost is
+    * |sources| BFS sweeps, each a frontier loop like [[bfs]].
+    */
+  private val ClosenessSources = 5
+
+  private val closenessOracle: String =
+    s"""WITH RECURSIVE raw AS (SELECT DISTINCT
+       |    CAST(o.o_custkey AS BIGINT) * 2 AS a,
+       |    CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM raw
+       |  UNION ALL SELECT b, a FROM raw),
+       |seeds AS (SELECT src AS s FROM (
+       |    SELECT DISTINCT src FROM edges ORDER BY src LIMIT $ClosenessSources)),
+       |reach(s, node, d) AS (
+       |  SELECT s, s, 0 FROM seeds
+       |  UNION
+       |  SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.d < $BfsMaxHops),
+       |m AS (SELECT s, node, min(d) AS d FROM reach GROUP BY 1, 2)
+       |SELECT s AS src, CAST(count(*) - 1 AS BIGINT) AS reached,
+       |  CAST(sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT) AS harmonic_ppm
+       |FROM m GROUP BY s ORDER BY src""".stripMargin
+
+  /** Harmonic centrality from [[ClosenessSources]] sampled sources — the
+    * sampled-BFS centrality estimate (Eppstein–Wang) a graph pipeline
+    * runs where exact closeness is O(|V|·|E|)-impossible: per source,
+    * one multi-source BFS sweep yields hop distances, and the centrality
+    * is Σ 1/d over reached nodes — harmonic, not classic closeness,
+    * because harmonic handles disconnected remainders without a
+    * convention (unreached nodes contribute 0, no ∞). 1/d is exact
+    * integer ppm (`1000000 div d` — d is a hop count ≤ [[BfsMaxHops]]),
+    * so both engines agree bit-exactly.
+    *
+    * Scale shape: ONE frontier loop carries all sources simultaneously,
+    * keyed (source, node) — the frontier join stays on the memoized
+    * src-partitioned edge frame ([[bipartiteEdges]]), per-round work is
+    * |frontier|·|sources|, and the visited set meets expansion in a
+    * keyed anti-join exactly like [[bfs]]. Early-stop ends the loop when
+    * every source's frontier empties.
+    */
+  val closeness: Q = Q("graph_closeness", closenessOracle) { (s, dir) =>
+    val edges = bipartiteEdges(s, dir)
+    val seeds = edges.select(col("src")).distinct()
+      .orderBy(col("src")).limit(ClosenessSources)
+      .select(col("src").as("s"))
+    var dist = seeds.select(col("s"), col("s").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var hop = 1L
+    var growing = true
+    while (hop <= BfsMaxHops && growing) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(frontier("s"), col("dst").as("node")).distinct()
+        .join(dist, Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      if (!(frontier eq dist)) Dedup.releaseCheckpoint(frontier)
+      if (next.isEmpty) {
+        growing = false
+        Dedup.releaseCheckpoint(next)
+      } else {
+        val grown = dist.unionByName(next).localCheckpoint()
+        Dedup.releaseCheckpoint(dist)
+        dist = grown
+        frontier = next
+      }
+      hop += 1
+    }
+    if (!(frontier eq dist)) Dedup.releaseCheckpoint(frontier)
+    dist.groupBy(col("s").as("src"))
+      .agg((count(lit(1)) - 1).as("reached"),
+        sum(when(col("dist") > 0, expr("1000000L div dist")).otherwise(lit(0L)))
+          .as("harmonic_ppm"))
+      .orderBy(col("src"))
+  }
+
   private val LpaIters = 4
 
   /** One DuckDB LPA round: count neighbor labels, keep the most frequent
@@ -907,5 +987,5 @@ object Graph {
   }
 
   val all: Seq[Q] = Seq(pagerank, pagerankBig, triangles, trianglesBig,
-    kcore, components, bipartiteDegree, bfs, lpa, jaccard)
+    kcore, components, bipartiteDegree, bfs, closeness, lpa, jaccard)
 }

@@ -1095,6 +1095,60 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum schedule — the ordered-training-data layout a curriculum
+    * run consumes: documents ranked by a difficulty proxy (length — the
+    * classic starting curriculum), cut into 10 difficulty deciles, and
+    * emitted in an INTERLEAVED schedule (`sched = step·10 + decile`) so
+    * consecutive training steps round-robin across difficulty levels
+    * while each decile's internal order stays stable — the anti-collapse
+    * mixing a pure easy→hard sort lacks. The global rank comes from the
+    * [[exportShards]] two-level banding (value bands over `n_chars`, then
+    * super-bands), NEVER a corpus-wide window: the only unpartitioned
+    * cumulation walks the |length-domain|/64/256-row super-band frame.
+    * Decile boundaries are exact integer arithmetic on the rank
+    * (`decile = r0·10 div N`, decile start `= ceil(decile·N/10)`), so
+    * both engines place every boundary document identically — no
+    * percentile float in sight.
+    */
+  val curriculum: Q = Q("sample_curriculum",
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r0 FROM documents),
+      |t AS (SELECT count(*) AS n FROM documents),
+      |d AS (SELECT doc_id, n_chars, r0, (r0 * 10) // n AS decile, n
+      |  FROM r CROSS JOIN t)
+      |SELECT doc_id, n_chars, CAST(decile AS BIGINT) AS decile,
+      |  CAST(r0 - (decile * n + 9) // 10 AS BIGINT) AS step,
+      |  CAST((r0 - (decile * n + 9) // 10) * 10 + decile AS BIGINT) AS sched
+      |FROM d ORDER BY sched""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("band", expr("n_chars div 64"))
+    val bn = d.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+      .withColumn("sband", expr("band div 256"))
+    val sw = Window.orderBy(col("sband"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soff = bn.groupBy(col("sband")).agg(sum(col("bn")).as("sbn"))
+      .withColumn("soff", coalesce(sum(col("sbn")).over(sw), lit(0L)))
+      .select(col("sband"), col("soff"))
+    val ibw = Window.partitionBy(col("sband")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bn
+      .withColumn("iboff", coalesce(sum(col("bn")).over(ibw), lit(0L)))
+      .join(broadcast(soff), Seq("sband"))
+      .select(col("band"), (col("soff") + col("iboff")).as("boff"))
+    val iw = Window.partitionBy(col("band")).orderBy(col("n_chars"), col("doc_id"))
+    val n = d.agg(count(lit(1)).as("n"))
+    d.withColumn("ir", row_number().over(iw).cast("long"))
+      .join(broadcast(off), Seq("band"))
+      .withColumn("r0", col("boff") + col("ir") - lit(1L))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(r0 * 10) div n"))
+      .withColumn("step", expr("r0 - (decile * n + 9) div 10"))
+      .select(col("doc_id"), col("n_chars"), col("decile"), col("step"),
+        expr("step * 10 + decile").as("sched"))
+      .orderBy(col("sched"))
+  }
+
   /** Rows × buckets for [[joinSizeEst]]'s sketches: 5 rows so the AMS
     * median is a single middle element, 256 buckets as 1 KB-per-relation
     * planner state. */
@@ -1138,10 +1192,13 @@ object Sampling {
     *     within ~10% at the same 1 KB). The pair in one row is the whole
     *     design lesson: signed sketches buy accuracy, unsigned buy a
     *     guarantee.
-    * AMS error is signed, and floor-division of negatives diverges
-    * between engines (`//` floors, `div` truncates) — so the gate
-    * carries |err| in ppm plus an `_over` boolean instead of dividing a
-    * signed numerator. Numeric bound: cell products stay int64-exact
+    * AMS error is signed; the gate carries |err| in ppm plus an `_over`
+    * boolean instead of dividing a signed numerator, keeping the result
+    * independent of any engine's signed-division convention (measured
+    * since: Spark `div` and DuckDB `//` both truncate — see
+    * [[Similarity.embedDrift]] — so signed division would in fact agree,
+    * but the unsigned form stays immune to replays in floor-division
+    * languages like Python). Numeric bound: cell products stay int64-exact
     * while a bucket's mass is < 3·10⁹ rows (√2⁶³); past that, lift the
     * product column to DECIMAL(38,0) — the geometry never grows.
     *
@@ -1316,5 +1373,5 @@ object Sampling {
     Seq(deterministic, stratified, stratifiedAgg, split, splitSafe, approx,
       temperature, pack, lengthBuckets, snapshotMerge, cdcApply,
       distinctSketch, quantileSketch, cmsSketch, timeSplit, negatives,
-      mixturePlan, exportShards, joinSizeEst, dvRead)
+      mixturePlan, exportShards, curriculum, joinSizeEst, dvRead)
 }

@@ -665,7 +665,7 @@ object Similarity {
     * literally (2 — `KmIters` is declared after this val; object init
     * order would bake 0); DedupSimilaritySpec asserts they agree.
     */
-  private val annIvfPqOracle: String = {
+  private val ivfPqScoredSql: String = {
     import graft.functions.LshPlanes.Dims
     val kmIters = (1 to 2)
       .map(i => kmIterSql(i, s"kc${i - 1}", s"kc$i")).mkString(",\n")
@@ -710,13 +710,45 @@ object Similarity {
        |  JOIN ka3 av ON av.vec_id = e.vec_id
        |  JOIN qdt q ON q.cell = av.cid AND q.m = e.m AND q.code = e.cid
        |  WHERE e.vec_id != q.query_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val annIvfPqOracle: String =
+    s"""$ivfPqScoredSql,
        |r AS (SELECT query_id, neighbor_id, adist,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
        |  FROM scored)
        |SELECT query_id, neighbor_id, adist, rn FROM r WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
-  }
+
+  /** Candidate width the refine stage rescores exactly: wide enough that
+    * the true top-10 survives ADC quantization error (recall floor
+    * asserted in DedupSimilaritySpec), narrow enough that the exact pass
+    * touches a constant 5×[[RefineShort]] rows at any corpus size.
+    */
+  private val RefineShort = 40
+
+  /** [[annRefine]]'s oracle: the full IVF×PQ training/scoring chain
+    * VERBATIM ([[ivfPqScoredSql]] — shared with [[annIvfPqOracle]], so the
+    * two replays cannot drift), then the refine final: top-[[RefineShort]]
+    * by ADC distance, exact-integer cosine rescore against the original
+    * quantized vectors, top-10 of the refined ranking.
+    */
+  private val annRefineOracle: String =
+    s"""$ivfPqScoredSql,
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS srn
+       |    FROM scored) WHERE srn <= $RefineShort),
+       |resc AS (SELECT h.query_id, h.neighbor_id,
+       |    ${cosSql("q.qv", "q.nrm", "t.qv", "t.nrm")} AS cos_sim
+       |  FROM short h JOIN nz q ON q.vec_id = h.query_id
+       |  JOIN nz t ON t.vec_id = h.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM resc)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+       |FROM rr WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   /** IVF×PQ — the production ANN composition: [[annIvf]]'s coarse
     * quantizer prunes the candidate space to NProbe cells, and [[annPq]]'s
@@ -825,7 +857,7 @@ object Similarity {
     */
   private[operators] def ivfPqServe(s: SparkSession, dir: String,
       cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]],
-      encoded: DataFrame): DataFrame = {
+      encoded: DataFrame, k: Int = 10): DataFrame = {
     graft.functions.IvfExpressions.register(s)
     graft.functions.PqExpressions.register(s)
     val centsLit = typedLit(cents)
@@ -852,13 +884,51 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function("pq_adc", col("codes"), col("dtabs")).as("adist"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+      .filter(col("rn") <= k)
       .orderBy(col("query_id"), col("rn"))
   }
 
   val annIvfPq: Q = Q("ann_ivfpq", annIvfPqOracle) { (s, dir) =>
     val (cents, cb, encoded) = ivfPqTrainEncode(s, dir)
     ivfPqServe(s, dir, cents, cb, encoded)
+  }
+
+  /** Two-stage retrieve-then-refine — the serving pattern every production
+    * ANN deployment ends at (FAISS `refine`, DiskANN's rerank, vector-DB
+    * "rescoring"): the compressed index ([[annIvfPq]]'s ADC scan) retrieves
+    * a [[RefineShort]]-wide shortlist cheaply, and only that shortlist's
+    * ORIGINAL vectors are fetched and scored exactly, repairing the
+    * quantization error in the final ranking at a constant extra cost.
+    * This is what turns an 8-byte-per-vector index into near-exact top-10:
+    * ADC orders the neighborhood roughly; the exact cosine re-orders the
+    * survivors. Output is ranked by TRUE similarity, directly comparable
+    * to [[knnBrute]]'s.
+    *
+    * Scale shape: stage 1 is [[ivfPqServe]] unchanged (cell-pruned,
+    * candidates never leave the probed cells); stage 2 joins the 5×40-row
+    * shortlist BROADCAST against one corpus scan — a map-side semi-join
+    * fetch, never a second full scoring pass. The exchanges the refine
+    * adds are over 200-row frames.
+    */
+  val annRefine: Q = Q("ann_refine", annRefineOracle) { (s, dir) =>
+    val (cents, cb, encoded) = ivfPqTrainEncode(s, dir)
+    val short = ivfPqServe(s, dir, cents, cb, encoded, k = RefineShort)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    base.join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
   }
 
   private val indexReady =
@@ -1860,8 +1930,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Embedding-distribution drift between two ingestion cohorts — the
+    * monitor an embedding pipeline runs before trusting a refreshed
+    * corpus (encoder version bump, upstream data shift): per label, the
+    * squared L2 distance between the two cohorts' centroids, in exact
+    * milli-quantized units. Cohorts are the even/odd vec_id halves (the
+    * deterministic stand-in for before/after batches). Means are exact
+    * integer divisions at ×1000 scale under the TRUNCATING semantics both
+    * engines natively share for signed operands (Spark `div` and DuckDB
+    * `//` both truncate toward zero — measured, incl. on the HUGEINT sums
+    * DuckDB promotes to; it is Python's `//` that floors, not DuckDB's).
+    * Sums of signed embedding coordinates do go negative, so the shared
+    * semantics — not a floor emulation on one side — is what keeps the
+    * gate exact. diff² ≤ (2·10⁷)² and 64 dims keep the drift far inside
+    * int64.
+    *
+    * Shape: one corpus explode collapsing map-side to |labels|×Dims×2
+    * partial sums; everything downstream is arithmetic on that
+    * model-sized frame. Output is |labels| rows at any corpus size — the
+    * constant-size drift dashboard.
+    */
+  val embedDrift: Q = {
+    import graft.functions.LshPlanes.Dims
+    Q("embed_drift",
+      s"""WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT label, vec_id % 2 AS half, d.dim, qv[d.dim + 1] AS x
+        |  FROM q, (SELECT unnest(range($Dims)) AS dim) d),
+        |g AS (SELECT label, dim,
+        |    sum(CASE WHEN half = 0 THEN x END) AS sa,
+        |    count(CASE WHEN half = 0 THEN 1 END) AS na,
+        |    sum(CASE WHEN half = 1 THEN x END) AS sb,
+        |    count(CASE WHEN half = 1 THEN 1 END) AS nb
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT label, na, nb,
+        |    (sa * 1000) // na AS ma, (sb * 1000) // nb AS mb
+        |  FROM g WHERE na > 0 AND nb > 0)
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS drift
+        |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+          posexplode(quantize(col("embedding"))).as(Seq("dim", "x")))
+      e.groupBy(col("label"), col("dim"))
+        .agg(sum(when(col("half") === 0, col("x"))).as("sa"),
+          count(when(col("half") === 0, lit(1))).as("na"),
+          sum(when(col("half") === 1, col("x"))).as("sb"),
+          count(when(col("half") === 1, lit(1))).as("nb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select(col("label"), col("na"), col("nb"),
+          expr("(sa * 1000) div na").as("ma"),
+          expr("(sb * 1000) div nb").as("mb"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("drift"))
+        .orderBy(col("label"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
-      annIncrIndex, sampleProto, retrievalRrf, annMrr, annIndexPersist)
+      annIncrIndex, sampleProto, retrievalRrf, annMrr, annIndexPersist,
+      annRefine, embedDrift)
 }

@@ -737,6 +737,86 @@ object TextAnalysis {
       .limit(CooccurTopK)
   }
 
+  /** χ² contingency inputs are per-(word, class) doc counts; the signed
+    * cross term a·d − b·c stays exact BIGINT at any corpus below ~3·10⁹
+    * docs, and the final statistic is one deterministic IEEE expression
+    * (multiplications and a division of exact integers — the cos_sim
+    * float rule, no accumulation order in sight).
+    */
+  private val Chi2Vocab = 50
+
+  /** χ² feature selection — the token↔class association ranking a quality
+    * classifier's feature pipeline runs before training: for each of the
+    * top-[[Chi2Vocab]] words and each document class (`source`), the 2×2
+    * contingency table (docs in/out of the class containing/missing the
+    * word) scores χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). High-χ² words
+    * separate a class from the rest; near-zero words are class-independent
+    * and carry no signal. χ² is chosen over mutual information
+    * DELIBERATELY: it needs no logarithm, so the whole statistic is exact
+    * integer cross terms and one IEEE double expression — bit-identical in
+    * both engines (the repo's no-float-accumulation rule).
+    *
+    * Shape: one corpus explode (per-doc `array_distinct` — no doc-level
+    * dedup exchange) filtered by the broadcast vocab, collapsing map-side
+    * to ≤ vocab·|classes| partial rows per partition; everything after is
+    * arithmetic over the ≤ vocab×|classes| grid with the three one-row /
+    * |classes|-row totals broadcast. Degenerate margins (a word in every
+    * doc, a single-class corpus) zero the denominator and are pinned to
+    * χ² = 0 in both engines rather than dividing by zero.
+    */
+  val chi2: Q = Q("text_chi2",
+    s"""WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wdf AS (SELECT w, count(*) AS df FROM w0 GROUP BY w),
+       |voc AS (SELECT w, df FROM wdf ORDER BY df DESC, w LIMIT $Chi2Vocab),
+       |ns AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |aw AS (SELECT w0.w, d.source, count(*) AS a
+       |  FROM w0 JOIN documents d USING (doc_id)
+       |  WHERE w0.w IN (SELECT w FROM voc) GROUP BY 1, 2),
+       |grid AS (SELECT v.w, v.df, s.source, s.n_src FROM voc v CROSS JOIN ns s),
+       |j AS (SELECT g.w, g.source, g.df, g.n_src,
+       |    coalesce(aw.a, 0) AS a, nd.n_docs AS n
+       |  FROM grid g LEFT JOIN aw ON aw.w = g.w AND aw.source = g.source
+       |  CROSS JOIN nd),
+       |x AS (SELECT w, source, a, df, n_src, n,
+       |    a * (n - n_src - df + a) - (n_src - a) * (df - a) AS ad_bc
+       |  FROM j)
+       |SELECT w, source, CAST(a AS BIGINT) AS a, df, CAST(n_src AS BIGINT) AS n_src,
+       |  CASE WHEN df = n OR n_src = n THEN 0.0
+       |       ELSE CAST(n AS DOUBLE) * CAST(ad_bc AS DOUBLE) * CAST(ad_bc AS DOUBLE)
+       |         / (CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE)
+       |            * CAST(n_src AS DOUBLE) * CAST(n - n_src AS DOUBLE))
+       |  END AS chi2
+       |FROM x ORDER BY source, chi2 DESC, w""".stripMargin) { (s, dir) =>
+    val d = graft.Scratch.track(docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("ws")))
+    val voc = graft.Scratch.track(d
+      .select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(Chi2Vocab))
+    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nd = d.agg(count(lit(1)).as("n"))
+    val aw = d.select(col("source"), explode(col("ws")).as("w"))
+      .join(broadcast(voc.select(col("w"))), Seq("w"))
+      .groupBy(col("w"), col("source")).agg(count(lit(1)).as("a"))
+    val grid = broadcast(voc).crossJoin(ns)
+    grid.join(aw, Seq("w", "source"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col("w"), col("source"), col("df"), col("n_src"),
+        coalesce(col("a"), lit(0L)).as("a"), col("n"))
+      .withColumn("ad_bc",
+        expr("a * (n - n_src - df + a) - (n_src - a) * (df - a)"))
+      .select(col("w"), col("source"), col("a"), col("df"), col("n_src"),
+        when(col("df") === col("n") || col("n_src") === col("n"), lit(0.0))
+          .otherwise(
+            col("n").cast("double") * col("ad_bc").cast("double") * col("ad_bc").cast("double")
+              / (col("df").cast("double") * (col("n") - col("df")).cast("double")
+                * col("n_src").cast("double") * (col("n") - col("n_src")).cast("double")))
+          .as("chi2"))
+      .orderBy(col("source"), col("chi2").desc, col("w"))
+  }
+
   private val HashDim = 64
 
   /** Hashing-trick featurization — the fixed-dimension bag-of-words
@@ -1446,7 +1526,7 @@ object TextAnalysis {
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
-      bpePairs, corpusReport, boilerplate, cooccur, featureHash,
+      bpePairs, corpusReport, boilerplate, cooccur, chi2, featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
       predictability, dedupSpans, bpeTrain, bpeEncode, bm25)
 }

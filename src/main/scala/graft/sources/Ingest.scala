@@ -272,6 +272,7 @@ object Ingest {
     evictFixtures(orcReady, "graft_orc_")
     evictFixtures(variantReady, "graft_variant_")
     evictFixtures(raceZoneReady, "graft_racezone_")
+    evictFixtures(dppReady, "graft_dpp_")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -507,8 +508,85 @@ object Ingest {
       .orderBy(col("year"))
   }
 
+  private val dppReady =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  private val DayNanos = 86400L * 1000000000L
+
+  /** One-time DAY-PARTITIONED copy of events per (session, dir) — the
+    * fixture for [[dppJoin]], memoized + tagged + evicted exactly like
+    * [[orcPartCopy]]. The partition key is the zero-padded epoch-day
+    * string (fixed width keeps the key a plain STRING in both the writer
+    * and the directory-name inference — no partition-column type
+    * inference ambiguity — while preserving lexicographic = numeric
+    * order). This is the layout the 100 TB event log actually ships in:
+    * date-partitioned directories, where a day predicate is a directory
+    * listing, not a scan.
+    */
+  def dppEventsCopy(s: SparkSession, dir: String): String = dppReady.synchronized {
+    dppReady.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions._
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
+        "_" + Integer.toHexString(System.identityHashCode(s))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$tag/events_by_day"
+      Tables.load(s, dir, "events")
+        .select(
+          format_string("%06d", expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L"))
+            .as("pd"),
+          col("event_type"), col("value"))
+        .write.mode(SaveMode.Overwrite).partitionBy("pd").parquet(out)
+      out
+    })
+  }
+
+  /** Dynamic partition pruning — the optimization that makes star-schema
+    * joins survive 100 TB: the fact side is the day-partitioned copy
+    * ([[dppEventsCopy]]), the dim side is a RUNTIME-derived day list
+    * (days whose purchase count is strictly above the daily mean — a
+    * predicate on an aggregate, so no static constraint propagation can
+    * precompute it), and Catalyst injects the dim's broadcast result as a
+    * `dynamicpruning` partition filter into the fact SCAN: only the
+    * selected days' directories are read, at any corpus size
+    * (plan-asserted in DppJoinSpec). The mean comparison is exact integer
+    * cross-multiplication (np·ndays > total), so both engines select the
+    * identical day set. The oracle replays the semantics on the original
+    * unpartitioned table — the hash gate proves the pruned scan answers
+    * exactly what the full scan would.
+    */
+  val dppJoin: graft.Q = graft.Q("dpp_join",
+    s"""WITH d AS (SELECT
+      |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNanos + $DayNanos) % $DayNanos)) // $DayNanos AS day,
+      |    event_type, value FROM events),
+      |pc AS (SELECT day, count(*) AS np FROM d WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT count(*) AS tot, count(DISTINCT day) AS nd FROM d
+      |  WHERE event_type = 'purchase'),
+      |sel AS (SELECT day FROM pc CROSS JOIN t WHERE np * nd > tot)
+      |SELECT CAST(d.day AS BIGINT) AS day, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM d JOIN sel USING (day)
+      |GROUP BY d.day ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val fact = s.read.parquet(dppEventsCopy(s, dir))
+    val purch = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(format_string("%06d",
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L")).as("pd"))
+    val pc = purch.groupBy(col("pd")).agg(count(lit(1)).as("np"))
+    val tot = purch.agg(count(lit(1)).as("tot"), countDistinct(col("pd")).as("nd"))
+    val dim = pc.crossJoin(broadcast(tot))
+      .filter(col("np") * col("nd") > col("tot"))
+      .select(col("pd"))
+    fact.join(broadcast(dim), Seq("pd"))
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("pd").cast("long").as("day"), col("n"), col("sum_value"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[graft.Q] =
-    Seq(bucketedJoin, orcRoundtrip, variantMixed, raceZoneAgg)
+    Seq(bucketedJoin, orcRoundtrip, variantMixed, raceZoneAgg, dppJoin)
 
   /** Schema-evolution read — a long-lived dataset's files span schema
     * versions (columns added over months of ingest); `mergeSchema` unions

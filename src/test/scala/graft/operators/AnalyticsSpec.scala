@@ -941,4 +941,85 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2)._3 === 8L && got(2)._4 === -8L)
     assert(got(3)._3 === 7L && got(3)._4 === 1L)
   }
+
+  test("events_gap_locf: scalar forward-fill replay; real gaps get carried values") {
+    import spark.implicits._
+    val HourNanos = 3600L * 1000000000L
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"ts", $"value")
+      .as[(String, Long, Double)].collect().toSeq
+    val obs = ev.groupBy(r => (r._1, Math.floorDiv(r._2, HourNanos))).map {
+      case ((ty, h), rs) =>
+        val sum = rs.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        // exactAvg semantics: decimal sum cast to DOUBLE, then double-divided
+        (ty, h) -> (rs.size.toLong, sum.toDouble / rs.size)
+    }
+    val hours = obs.keys.map(_._2)
+    val (lo, hi) = (hours.min, hours.max)
+    val types = ev.map(_._1).distinct.sorted
+    val expect = types.flatMap { ty =>
+      var src = Option.empty[Long]
+      (lo to hi).map { h =>
+        val o = obs.get((ty, h))
+        if (o.isDefined) src = Some(h)
+        (ty, h, o.map(_._1).getOrElse(0L), src,
+          src.flatMap(sh => obs.get((ty, sh)).map(_._2)))
+      }
+    }
+    val got = Analytics.eventsGapLocf.run(spark, dir)
+      .as[(String, Long, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got === expect)
+    // the fixture genuinely exercises the fill: some gap hour carries a
+    // non-null value from an EARLIER hour
+    assert(got.exists { case (_, h, n, src, f) =>
+      n == 0L && src.exists(_ < h) && f.isDefined
+    }, "no filled gap in the corpus — the LOCF path never ran")
+  }
+
+  test("grouping_sets: the explicit set list replays as three separate aggregates") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      .as[(String, String, Double)].collect().toSeq
+    def agg(rows: Seq[(String, String, Double)]): (Long, Double) =
+      (rows.size.toLong,
+        rows.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    val detail = orders.groupBy(r => (r._1, r._2)).toSeq.map { case ((st, pr), rs) =>
+      val (c, t) = agg(rs); (Option(st), Option(pr), 0L, c, t)
+    }
+    val byPrio = orders.groupBy(_._2).toSeq.map { case (pr, rs) =>
+      val (c, t) = agg(rs); (Option.empty[String], Option(pr), 2L, c, t)
+    }
+    val grand = { val (c, t) = agg(orders)
+      Seq((Option.empty[String], Option.empty[String], 3L, c, t)) }
+    val expect = (detail ++ byPrio ++ grand)
+      .sortBy { case (st, pr, gid, _, _) => (gid, st.getOrElse(""), pr.getOrElse("")) }
+    val got = Analytics.groupingSetsAgg.run(spark, dir)
+      .as[(Option[String], Option[String], Long, Long, Double)].collect().toSeq
+    assert(got === expect)
+    // exactly the three requested sets — no cube/rollup extras
+    assert(got.map(_._3).distinct.sorted === Seq(0L, 2L, 3L))
+  }
+
+  test("unpivot_long: the melt is exactly the wide aggregate, relabeled") {
+    import spark.implicits._
+    val wide = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[(String, Double, Double)].collect().toSeq
+      .groupBy(_._1).toSeq.map { case (rf, rs) =>
+        def s(f: ((String, Double, Double)) => Double): Double =
+          rs.map(r => BigDecimal(f(r)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble
+        (rf, rs.size.toDouble, s(_._2), s(_._3))
+      }
+    val expect = wide.flatMap { case (rf, n, q, p) =>
+      Seq((rf, "n_rows", n), (rf, "sum_price", p), (rf, "sum_qty", q))
+    }.sortBy(r => (r._1, r._2))
+    val got = Analytics.unpivotLong.run(spark, dir)
+      .as[(String, String, Double)].collect().toSeq
+    assert(got === expect)
+    // long shape: |flags| × 3 metrics, one row each
+    assert(got.size === wide.size * 3)
+  }
 }

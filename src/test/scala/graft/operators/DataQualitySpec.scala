@@ -152,4 +152,28 @@ class DataQualitySpec extends SparkSpec {
       assert(r._6 === math.abs(r._4 - r._5), s"delta must be |share diff|: $r")
     }
   }
+
+  test("dq_benford: scalar digit replay, expectation sums to exactly 10^6") {
+    val prices = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_totalprice").as[Double].collect().filter(_ > 0)
+    def lead(c0: Long): Long = { var c = c0; while (c >= 10) c /= 10; c }
+    val digits = prices.map(p =>
+      lead(BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val counts = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = digits.length.toLong
+    val exp = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    assert(exp.values.sum === 1000000L, "Benford literals must sum to 10^6")
+    val rows = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+      val obs = n * 1000000L / tot
+      (d, n, obs, exp(d.toInt), math.abs(obs - exp(d.toInt)))
+    }
+    val mad = rows.map(_._5).sum / rows.size
+    val expect = rows.map { case (d, n, obs, e, dev) => (d, n, obs, e, dev, mad) }
+    val got = DataQuality.benford.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the audit covers every order with a positive total
+    assert(got.map(_._2).sum === tot)
+  }
 }

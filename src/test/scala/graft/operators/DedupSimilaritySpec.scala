@@ -622,6 +622,77 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"delta assignment must not shuffle:\n$plan")
   }
 
+  test("ann_refine: exact rescore of the ADC shortlist, recall dominates ivfpq") {
+    val refine = Similarity.annRefine.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cos_sim", $"rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(refine.length === 50) // 5 queries × top-10
+    refine.foreach { case (q, n, _, _) => assert(q != n) }
+    // the reported similarity is the EXACT quantized cosine, not ADC: every
+    // returned pair must bit-match the scalar replay from the raw vectors
+    val qv = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (qv(a), qv(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val (na, nb) = (va.map(x => x * x).sum, vb.map(x => x * x).sum)
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    refine.foreach { case (q, n, c, _) =>
+      assert(c === cos(q, n), s"($q,$n) not the exact cosine")
+    }
+    // per query the ranking is by exact similarity (desc, neighbor tiebreak)
+    refine.groupBy(_._1).foreach { case (q, rows) =>
+      val byRn = rows.sortBy(_._4).map(r => (r._3, r._2))
+      assert(byRn === byRn.sortBy { case (c, n) => (-c, n) }, s"query $q misordered")
+    }
+    // refinement cannot lose recall: ivfpq's top-10 is the head of the
+    // same 40-wide ADC shortlist refine rescored exactly, and any true
+    // top-10 member among the candidates outranks every non-member under
+    // the exact cosine — so refine's hits dominate (measured 41/50 vs
+    // ivfpq's ~23/50 at sf0.001); floor at 0.6 against corpus noise
+    val brute = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val refineHits = refine.count { case (q, n, _, _) => brute((q, n)) }
+    val ivfpqHits = Similarity.annIvfPq.run(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .count(brute.contains)
+    assert(refineHits >= ivfpqHits,
+      s"refine $refineHits/50 lost recall vs ivfpq $ivfpqHits/50")
+    assert(refineHits >= 30, s"refine recall $refineHits/50 below 0.6 floor")
+    graft.Scratch.release(spark)
+  }
+
+  test("embed_drift: scalar centroid replay with truncating-division means") {
+    val rows = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", Similarity.quantize($"embedding").as("qv"))
+      .as[(Long, Int, Seq[Long])].collect().toSeq
+    val dims = rows.head._3.size
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (lbl, vs) =>
+      val (a, b) = vs.partition(v => Math.floorMod(v._1, 2L) == 0L)
+      if (a.isEmpty || b.isEmpty) None
+      else {
+        // Scala / = truncating integer division, the semantics Spark `div`
+        // and DuckDB `//` share on signed operands
+        val drift = (0 until dims).map { d =>
+          val ma = a.map(_._3(d)).sum * 1000 / a.size
+          val mb = b.map(_._3(d)).sum * 1000 / b.size
+          (ma - mb) * (ma - mb)
+        }.sum
+        Some((lbl, a.size.toLong, b.size.toLong, drift))
+      }
+    }.sortBy(_._1)
+    val got = Similarity.embedDrift.run(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // both cohorts populated for every reported label, drift non-negative
+    got.foreach { case (l, na, nb, dr) =>
+      assert(na > 0 && nb > 0 && dr >= 0, s"label $l")
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("sample_prune_proto: each cluster prunes exactly its most-prototypical quarter") {
     val out = Similarity.sampleProto.run(spark, dir)
       .select($"vec_id", $"cid", $"rn", $"n_c", $"kept")

@@ -447,4 +447,43 @@ class GraphSpec extends SparkSpec {
     }
     graft.Scratch.release(spark)
   }
+
+  test("graph_closeness matches a scalar multi-source BFS replay") {
+    def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val ordCust = tbl("orders").select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    tbl("lineitem").select($"l_orderkey", $"l_suppkey").as[(Long, Long)]
+      .collect().foreach { case (ok, sk) =>
+        ordCust.get(ok).foreach { ck =>
+          val (a, b) = (ck * 2, sk * 2 + 1)
+          adj(a) = adj(a) + b
+          adj(b) = adj(b) + a
+        }
+      }
+    val sources = adj.keys.toSeq.sorted.take(5)
+    val expect = sources.map { s0 =>
+      // plain BFS, hop-capped at 8 like the operator
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      var hop = 1L
+      while (hop <= 8 && frontier.nonEmpty) {
+        val next = frontier.flatMap(adj) -- dist.keySet
+        dist = dist ++ next.map(_ -> hop)
+        frontier = next
+        hop += 1
+      }
+      val harmonic = dist.values.filter(_ > 0).map(1000000L / _).sum
+      (s0, (dist.size - 1).toLong, harmonic)
+    }.sortBy(_._1)
+    val got = Graph.closeness.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the probe set reaches the giant component: every source sees >1 node
+    got.foreach { case (s0, reached, h) =>
+      assert(reached > 0 && h > 0, s"source $s0 reached nothing")
+    }
+    graft.Scratch.release(spark)
+  }
 }

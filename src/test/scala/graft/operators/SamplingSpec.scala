@@ -501,4 +501,40 @@ class SamplingSpec extends SparkSpec {
       case (sh, rs) => assert(rs.size === 256, s"shard $sh not full")
     }
   }
+
+  test("sample_curriculum: exact decile schedule, no corpus-wide window") {
+    import spark.implicits._
+    val q = Sampling.curriculum.run(spark, dir)
+    // scale gate: the only windows sorted on the difficulty key must be
+    // band-partitioned (the export_shards discipline)
+    val lenWindows = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .filter(l => "n_chars#\\d+L? ASC".r.findFirstIn(l).isDefined)
+      .toSeq
+    assert(lenWindows.nonEmpty,
+      "plan gate matched no n_chars-sorted window — regex went stale")
+    lenWindows.foreach { l =>
+      assert(l.contains("band"), s"unpartitioned window over n_chars:\n$l")
+    }
+    val got = q.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toSeq
+    val n = docs.size.toLong
+    val expect = docs.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((d, nc), i) =>
+        val r0 = i.toLong
+        val dec = r0 * 10 / n
+        val step = r0 - (dec * n + 9) / 10
+        (d, nc, dec, step, step * 10 + dec)
+      }.sortBy(_._5)
+    assert(got === expect)
+    // schedule positions are globally unique (a total training order) and
+    // the deciles are balanced to within one document
+    assert(got.map(_._5).distinct.size === got.size)
+    val sizes = got.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $sizes")
+    // consecutive schedule steps round-robin the difficulty levels: the
+    // first 10 scheduled docs cover all 10 deciles
+    assert(got.sortBy(_._5).take(10).map(_._3).toSet.size === 10)
+  }
 }

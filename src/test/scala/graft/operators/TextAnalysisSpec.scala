@@ -595,4 +595,40 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("text_chi2: exact contingency replay, zero-pinned degenerate margins") {
+    import spark.implicits._
+    val dir001 = sf("sf0.001")
+    val docs = graft.sources.Tables.load(spark, dir001, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().toSeq
+    val perDoc = docs.map { case (d, src, txt) =>
+      (d, src, txt.split(" ", -1).distinct.toSeq)
+    }
+    val df = perDoc.flatMap(_._3).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val voc = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(50)
+    val nSrc = docs.groupBy(_._2).map { case (s0, ds) => s0 -> ds.size.toLong }
+    val n = docs.size.toLong
+    val aCount = perDoc.flatMap { case (_, src, ws) =>
+      ws.filter(w => voc.exists(_._1 == w)).map(w => (w, src))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val expect = (for ((w, dfw) <- voc; (src, ns) <- nSrc.toSeq) yield {
+      val a = aCount.getOrElse((w, src), 0L)
+      val adBc = a * (n - ns - dfw + a) - (ns - a) * (dfw - a)
+      val chi2 =
+        if (dfw == n || ns == n) 0.0
+        else n.toDouble * adBc.toDouble * adBc.toDouble /
+          (dfw.toDouble * (n - dfw).toDouble * ns.toDouble * (n - ns).toDouble)
+      (w, src, a, dfw, ns, chi2)
+    }).sortBy { case (w, src, _, _, _, c) => (src, -c, w) }
+    val got = TextAnalysis.chi2.run(spark, dir001)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expect)
+    // the statistic is a χ²: non-negative and finite everywhere
+    got.foreach { case (w, src, a, dfw, ns, c) =>
+      assert(c >= 0.0 && !c.isNaN && !c.isInfinite, s"($w,$src)")
+      assert(a <= dfw && a <= ns, s"($w,$src): a=$a df=$dfw n_src=$ns")
+    }
+  }
 }
