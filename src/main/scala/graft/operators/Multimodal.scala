@@ -369,7 +369,77 @@ object Multimodal {
       .orderBy(col("media_type"), col("phash"))
   }
 
+  /** Content-based media similarity — the multimodal↔ANN composition a
+    * media lake serves ("find assets like this one"): the extractor's
+    * 8-dim feature vectors ([[extractFeatures]] — swap the stub for a CNN
+    * / audio embedder, nothing downstream changes), quantized to exact
+    * integers the [[graft.operators.Similarity]] way, scored by exact
+    * cosine WITHIN the probe's modality (pre-filtering, the ann_filtered
+    * lesson: a video's neighbors are videos), top-5 per probe. Zero-norm
+    * vectors (empty payloads) are excluded in both engines before any
+    * division. The oracle replays decode→features→quantize→cosine end to
+    * end off [[mediaFeatureCtesSql]], so the full multimodal pipeline —
+    * not just its arithmetic tail — sits under the hash gate.
+    *
+    * Shape: one feature pass (mapPartitions batch, the real-extractor
+    * shape), 5 probe rows broadcast, per-probe top-5 over each probe's
+    * modality stripe. At scale the modality predicate becomes partition
+    * pruning under a type-partitioned layout and the brute scan swaps for
+    * the [[graft.operators.Similarity.annIvfPq]] index path — plumbing,
+    * not semantics.
+    */
+  val mediaSim: Q = {
+    val fs = featureNames
+    def q(col: String, alias: String) =
+      s"CAST(round(CAST($col AS DOUBLE) * 10000) AS BIGINT) AS $alias"
+    val nrm = fs.map(f => s"q$f * q$f").mkString(" + ")
+    val dot = fs.map(f => s"a.q$f * b.q$f").mkString(" + ")
+    Q("media_sim",
+      s"""WITH $mediaFeatureCtesSql,
+        |qz AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    ${fs.map(f => q(f, s"q$f")).mkString(", ")}
+        |  FROM fj),
+        |nq AS (SELECT doc_id, media_type, ${fs.map(f => s"q$f").mkString(", ")},
+        |    ($nrm) AS nrm FROM qz WHERE ($nrm) > 0),
+        |p AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |    CAST(($dot) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim
+        |  FROM nq a JOIN nq b ON a.doc_id < 5 AND b.doc_id != a.doc_id
+        |    AND b.media_type = a.media_type),
+        |r AS (SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Similarity.{cosine, dotQ}
+      val items = media(s, dir).select(col("doc_id"), col("payload")).as[MediaItem]
+      val feats = extractFeatures(items)
+        .select(col("doc_id"),
+          expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+            .as("media_type"),
+          transform(col("features"),
+            x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+        .withColumn("nrm", dotQ(col("qv"), col("qv")))
+        .filter(col("nrm") > 0)
+      val probes = feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("media_type").as("q_type"),
+          col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      feats.join(broadcast(probes),
+          col("doc_id") =!= col("query_id") && col("media_type") === col("q_type"))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          cosine(col("q_qv"), col("q_nrm"), col("qv"), col("nrm")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("query_id"), col("rn"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFrames, mediaFeaturesQ, mediaResize, mediaDedup,
-      mediaPhash)
+      mediaPhash, mediaSim)
 }

@@ -1913,7 +1913,10 @@ object Similarity {
       .bm25Rank(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text")), excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rn").as("rb"))
-    val dn = knnBrute.run(s, dir)
+    // the dense ranking comes from the SAME session memo ann_recall/ann_mrr
+    // read ([[rankedTopK]]) — the exact brute scan runs once per session,
+    // not once more per fusion readout
+    val dn = rankedTopK(s, dir, "brute")
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rn").as("rd"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1989,9 +1992,71 @@ object Similarity {
     }
   }
 
+  /** Per-dimension winsorization cutoffs — [[graft.operators.Analytics]]'s
+    * winsorize generalized to the embedding matrix, the clip a feature
+    * pipeline applies before scalar quantization so one outlier coordinate
+    * cannot stretch a dimension's [min, max] and waste the entire code
+    * range ([[annSq8]]'s geometry is exactly what this protects): exact
+    * 1st/99th-percentile cut points PER DIMENSION from per-dim value
+    * histograms, plus how many coordinates each cut would clip. Ranks use
+    * the established integer convention (`(n−1) div 100 + 1`); values are
+    * only COMPARED, never divided, so signed coordinates carry no
+    * division-semantics risk.
+    *
+    * Shape: one corpus explode collapses map-side to per-(dim, value)
+    * counts; every window is PARTITIONED BY dim (64 independent
+    * histogram walks, each |dim's value domain| rows — unlike the
+    * single-column winsorize there is no unpartitioned window at all);
+    * the 64-row bounds frame joins back broadcast. Output is Dims rows
+    * at any corpus size.
+    */
+  val embedWinsor: Q = {
+    import graft.functions.LshPlanes.Dims
+    Q("embed_winsor",
+      s"""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT d.dim, qv[d.dim + 1] AS x
+        |  FROM q, (SELECT unnest(range($Dims)) AS dim) d),
+        |h AS (SELECT dim, x, count(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT dim, x, c,
+        |    sum(c) OVER (PARTITION BY dim ORDER BY x) AS cum,
+        |    sum(c) OVER (PARTITION BY dim) AS n FROM h),
+        |b AS (SELECT dim, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum >= (n - 1) // 100 + 1 THEN x END) AS lo_cut,
+        |    min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN x END) AS hi_cut
+        |  FROM cum GROUP BY dim)
+        |SELECT CAST(b.dim AS BIGINT) AS dim, b.n, b.lo_cut, b.hi_cut,
+        |  CAST(coalesce(sum(CASE WHEN h.x < b.lo_cut THEN h.c END), 0) AS BIGINT) AS clip_lo,
+        |  CAST(coalesce(sum(CASE WHEN h.x > b.hi_cut THEN h.c END), 0) AS BIGINT) AS clip_hi
+        |FROM b JOIN h USING (dim)
+        |GROUP BY b.dim, b.n, b.lo_cut, b.hi_cut ORDER BY dim""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.load(s, dir, "embeddings")
+        .select(posexplode(quantize(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("dim"), col("x")).agg(count(lit(1)).as("c"))
+      val cum = h
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("dim")).orderBy(col("x"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("dim"))))
+      val b = cum.groupBy(col("dim"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n - 1) div 100 + 1"), col("x"))).as("lo_cut"),
+          min(when(col("cum") >= expr("((n - 1) * 99) div 100 + 1"), col("x"))).as("hi_cut"))
+      h.join(broadcast(b), Seq("dim"))
+        .groupBy(col("dim"), col("n"), col("lo_cut"), col("hi_cut"))
+        .agg(
+          coalesce(sum(when(col("x") < col("lo_cut"), col("c"))), lit(0L)).as("clip_lo"),
+          coalesce(sum(when(col("x") > col("hi_cut"), col("c"))), lit(0L)).as("clip_hi"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          col("lo_cut"), col("hi_cut"), col("clip_lo"), col("clip_hi"))
+        .orderBy(col("dim"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
       annIncrIndex, sampleProto, retrievalRrf, annMrr, annIndexPersist,
-      annRefine, embedDrift)
+      annRefine, embedDrift, embedWinsor)
 }

@@ -82,27 +82,68 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
   }
 
+  /** SQL renderings of [[langidOn]]'s scoring and argmax — one definition
+    * consumed by BOTH the [[langid]] oracle and the [[langConfusion]]
+    * oracle, so the two replays of the decision function cannot drift.
+    */
+  private val langScoresSql: String = LangMarkers.map { case (l, ms) =>
+    s"(${ms.map(occSql).mkString(" + ")}) AS score_$l"
+  }.mkString(",\n      ")
+
+  private val langArgmaxSql: String = LangMarkers.map(_._1).reverse
+    .foldLeft("'en'") { case (acc, l) =>
+      val others = LangMarkers.map(_._1).filter(_ != l)
+        .map(o => s"score_$l > score_$o").mkString(" AND ")
+      s"CASE WHEN $others THEN '$l' ELSE $acc END"
+    }
+
   /** Language ID by stopword-marker scoring (n-gram heuristic) over the
     * corpus. Pure integer arithmetic → the DuckDB oracle replays the
     * identical decision function.
     */
-  val langid: Q = Q("text_langid", {
-    val scores = LangMarkers.map { case (l, ms) =>
-      s"(${ms.map(occSql).mkString(" + ")}) AS score_$l"
-    }.mkString(",\n      ")
-    val argmax = LangMarkers.map(_._1).reverse
-      .foldLeft("'en'") { case (acc, l) =>
-        val others = LangMarkers.map(_._1).filter(_ != l)
-          .map(o => s"score_$l > score_$o").mkString(" AND ")
-        s"CASE WHEN $others THEN '$l' ELSE $acc END"
-      }
+  val langid: Q = Q("text_langid",
     s"""WITH s AS (SELECT doc_id, lang,
-      |      $scores
+      |      $langScoresSql
       |  FROM documents)
       |SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
-      |  $argmax AS pred_lang
+      |  $langArgmaxSql AS pred_lang
       |FROM s ORDER BY doc_id""".stripMargin
-  }) { (s, dir) => langidOn(docs(s, dir)) }
+  ) { (s, dir) => langidOn(docs(s, dir)) }
+
+  /** Classifier-evaluation confusion matrix — the readout a pipeline runs
+    * before trusting a model-derived column ([[langid]]'s prediction vs
+    * the declared label): per (declared, predicted) cell the count and
+    * its exact-ppm share of the declared class's row, plus the diagonal
+    * flag, so per-class recall is the `correct = true` row and every
+    * misclassification path is visible. The decision function is the
+    * SHARED [[langScoresSql]]/[[langArgmaxSql]] rendering — evaluating a
+    * different model than the one deployed is the classic eval bug, and
+    * the shared fragments make it structurally impossible here.
+    *
+    * Shape: one scan through [[langidOn]]'s map-side scoring, collapsing
+    * to ≤ |langs|² cells; class totals join broadcast. Output is at most
+    * |langs|² rows at any corpus size.
+    */
+  val langConfusion: Q = Q("text_confusion",
+    s"""WITH s AS (SELECT doc_id, lang,
+      |      $langScoresSql
+      |  FROM documents),
+      |p AS (SELECT lang, $langArgmaxSql AS pred_lang FROM s),
+      |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+      |t AS (SELECT lang, sum(n) AS tn FROM g GROUP BY lang)
+      |SELECT g.lang, g.pred_lang, g.n,
+      |  CAST(g.n * 1000000 // t.tn AS BIGINT) AS share_ppm,
+      |  g.lang = g.pred_lang AS correct
+      |FROM g JOIN t USING (lang) ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    val g = langidOn(docs(s, dir))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val t = g.groupBy(col("lang")).agg(sum(col("n")).as("tn"))
+    g.join(broadcast(t), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 1000000 div tn").as("share_ppm"),
+        (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercased text —
     * the canonical-form hash used for fuzzy-exact dedup of reformatted copies.
@@ -1526,7 +1567,8 @@ object TextAnalysis {
   val all: Seq[Q] =
     Seq(stats, langid, fingerprint, wordfreq, keywords, tfidf, tokens,
       qualityFilter, scrub, chunks, decontam, decontamBloom, repetition,
-      bpePairs, corpusReport, boilerplate, cooccur, chi2, featureHash,
+      bpePairs, corpusReport, boilerplate, cooccur, chi2, langConfusion,
+      featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
       predictability, dedupSpans, bpeTrain, bpeEncode, bm25)
 }

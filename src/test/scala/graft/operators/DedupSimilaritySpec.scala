@@ -693,6 +693,29 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("embed_winsor: scalar per-dim order-statistics replay") {
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(Similarity.quantize($"embedding")).as[Seq[Long]].collect().toSeq
+    val dims = vecs.head.size
+    val n = vecs.size.toLong
+    val expect = (0 until dims).map { d =>
+      val xs = vecs.map(_(d)).sorted
+      val lo = xs(((n - 1) / 100 + 1).toInt - 1)
+      val hi = xs((((n - 1) * 99) / 100 + 1).toInt - 1)
+      (d.toLong, n, lo, hi,
+        xs.count(_ < lo).toLong, xs.count(_ > hi).toLong)
+    }
+    val got = Similarity.embedWinsor.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // clip counts honor the percentile contract: at most 1% below, 1% above
+    got.foreach { case (d, nn, lo, hi, cl, ch) =>
+      assert(lo <= hi, s"dim $d: lo > hi")
+      assert(cl <= nn / 100 && ch <= nn / 100, s"dim $d clips too much: $cl/$ch")
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("sample_prune_proto: each cluster prunes exactly its most-prototypical quarter") {
     val out = Similarity.sampleProto.run(spark, dir)
       .select($"vec_id", $"cid", $"rn", $"n_c", $"kept")

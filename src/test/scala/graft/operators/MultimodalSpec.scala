@@ -125,4 +125,39 @@ class MultimodalSpec extends SparkSpec {
     assert(bucket.exists(_._4 === 0L),
       s"doc 0 bucket (image, $expect) missing or wrong canonical: $bucket")
   }
+
+  test("media_sim: scalar cosine replay, neighbors stay in the probe's modality") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    def modality(id: Long) = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val qv = docs.map { case (id, text) =>
+      val f = Multimodal.decodeStub(text.getBytes("UTF-8"))
+      id -> f.map(x =>
+        BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toMap
+    def nrm(v: Array[Long]) = v.map(x => x * x).sum
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (qv(a), qv(b))
+      va.zip(vb).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(nrm(va).toDouble) * math.sqrt(nrm(vb).toDouble))
+    }
+    val live = docs.map(_._1).filter(id => nrm(qv(id)) > 0)
+    val expect = live.filter(_ < 5).sorted.flatMap { q =>
+      live.filter(n => n != q && modality(n) == modality(q))
+        .map(n => (cos(q, n), n)).sortBy { case (c, n) => (-c, n) }
+        .take(5).zipWithIndex
+        .map { case ((c, n), i) => (q, n, c, i + 1L) }
+    }
+    val got = Multimodal.mediaSim.run(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got === expect)
+    got.foreach { case (q, n, c, _) =>
+      assert(modality(q) === modality(n), s"cross-modality pair ($q,$n)")
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cos out of range: $c")
+    }
+  }
 }

@@ -596,6 +596,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("text_confusion: cells replay the shared decision function exactly") {
+    import spark.implicits._
+    val dir001 = sf("sf0.001")
+    val preds = TextAnalysis.langidOn(
+      graft.sources.Tables.load(spark, dir001, "documents"))
+      .select($"lang", $"pred_lang").as[(String, String)].collect().toSeq
+    val cells = preds.groupBy(identity).map { case ((l, p), xs) => (l, p, xs.size.toLong) }
+    val totals = preds.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+    val expect = cells.toSeq.map { case (l, p, n) =>
+      (l, p, n, n * 1000000L / totals(l), l == p)
+    }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.langConfusion.run(spark, dir001)
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got === expect)
+    // per declared class the cell shares account for the whole class
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s > 1000000L - rows.size && s <= 1000000L, s"class $l shares: $s")
+      assert(rows.map(_._3).sum === totals(l))
+    }
+  }
+
   test("text_chi2: exact contingency replay, zero-pinned degenerate margins") {
     import spark.implicits._
     val dir001 = sf("sf0.001")
