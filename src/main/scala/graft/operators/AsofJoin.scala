@@ -24,12 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  val asof: Q = Q("asof_join",
+  /** One oracle for BOTH as-of formulations (composed window and native
+    * exec): DuckDB's own ASOF LEFT JOIN — a third independent
+    * implementation of the semantics gating the other two.
+    */
+  private val asofOracle: String =
     """SELECT e.event_id, e.user_id,
       |  strftime(o.o_orderdate, '%Y-%m-%d') AS matched_odate
       |FROM events e ASOF LEFT JOIN orders o
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      |ORDER BY e.event_id""".stripMargin
+
+  val asof: Q = Q("asof_join", asofOracle) { (s, dir) =>
     // common clock: microseconds since epoch (events carry int64 nanos —
     // floor-divide via pmod so pre-1970 values round toward -inf)
     val orders = Tables.load(s, dir, "orders").select(
@@ -60,6 +66,33 @@ object AsofJoin {
       .withColumn("matched_odate",
         last(when(col("is_order") === 1, col("odate")), ignoreNulls = true).over(w))
       .filter(col("is_order") === 0)
+      .select(col("event_id"), col("key").as("user_id"), col("matched_odate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The SAME as-of semantics through the engine's native whole-operator
+    * extension ([[graft.plans.AsofJoinNode]] → strategy → merge exec, the
+    * brief's option (c)) instead of the composed union+window: one
+    * declared key-clustered (key, time)-sorted requirement per side, one
+    * streaming merge pass per partition, constant state. Gated by the
+    * identical DuckDB ASOF JOIN oracle as [[asof]] — three independent
+    * implementations of one semantics must agree bit-for-bit at every SF.
+    * Plan shape (exchanges placed by EnsureRequirements, AsofJoinExec in
+    * the executed plan) is asserted in NativeAsofJoinSpec.
+    */
+  val asofNative: Q = Q("asof_native", asofOracle) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders").select(
+      col("o_custkey").as("okey"),
+      unix_micros(col("o_orderdate")).as("ot"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .filter(col("okey").isNotNull)
+    val events = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      col("user_id").as("key"),
+      Tables.nanosToMicros("ts").as("t"))
+      .filter(col("key").isNotNull)
+    graft.plans.AsofJoinNode
+      .asofJoin(events, "key", "t", orders, "okey", "ot", "odate", "matched_odate")
       .select(col("event_id"), col("key").as("user_id"), col("matched_odate"))
       .orderBy(col("event_id"))
   }
@@ -196,5 +229,5 @@ object AsofJoin {
       .orderBy(col("user_id"), col("version"))
   }
 
-  val all: Seq[Q] = Seq(asof, rangeJoin, bandJoin, scd2)
+  val all: Seq[Q] = Seq(asof, asofNative, rangeJoin, bandJoin, scd2)
 }
