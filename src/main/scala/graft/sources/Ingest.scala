@@ -273,6 +273,7 @@ object Ingest {
     evictFixtures(variantReady, "graft_variant_")
     evictFixtures(raceZoneReady, "graft_racezone_")
     evictFixtures(dppReady, "graft_dpp_")
+    evictFixtures(evoReady, "graft_evo_")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -585,8 +586,69 @@ object Ingest {
       .orderBy(col("day"))
   }
 
+  private val evoReady =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** One-time two-era parquet directory per (session, dir) — the fixture
+    * for [[schemaEvolutionQ]], memoized + tagged + evicted exactly like
+    * [[orcPartCopy]]. Era A (even partkeys) was written before the schema
+    * gained `p_brand`/`p_type`/`p_size`: its files carry only the three
+    * original columns. Era B (odd partkeys) carries the full schema. Both
+    * eras land in ONE directory (append), the exact on-disk shape months
+    * of ingest leave behind.
+    */
+  def evolvedPartCopy(s: SparkSession, dir: String): String = evoReady.synchronized {
+    evoReady.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.col
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
+        "_" + Integer.toHexString(System.identityHashCode(s))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$tag/part_evolved"
+      val p = Tables.load(s, dir, "part")
+      p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      p.filter(col("p_partkey") % 2 === 1)
+        .write.mode(SaveMode.Append).parquet(out)
+      out
+    })
+  }
+
+  /** Schema-evolution read under the hash gate — [[readEvolved]] was
+    * spec-only (SchemaEvolutionSpec); this registers it: the two-era
+    * directory ([[evolvedPartCopy]]) reads through `mergeSchema` + the
+    * declared-target conform (era-A rows surface the late columns as
+    * NULL, the declared defaults fill them), then a brand×type rollup
+    * whose 'UNKNOWN'/'N/A' rows ARE the pre-evolution era. The oracle
+    * replays the era split off the original table, so a default applied
+    * to the wrong era, a dropped column, or a mis-cast all break the
+    * hash. The footer merge is metadata-only; the aggregate is the usual
+    * two-phase decimal-exact rollup.
+    */
+  val schemaEvolutionQ: graft.Q = graft.Q("schema_evolution",
+    """WITH v AS (SELECT
+      |    CASE WHEN p_partkey % 2 = 1 THEN p_brand ELSE 'UNKNOWN' END AS brand,
+      |    CASE WHEN p_partkey % 2 = 1 THEN p_type ELSE 'N/A' END AS ptype,
+      |    CASE WHEN p_partkey % 2 = 1 THEN p_size ELSE 0 END AS psize,
+      |    p_retailprice
+      |  FROM part)
+      |SELECT brand, ptype, count(*) AS n,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail,
+      |  CAST(sum(psize) AS BIGINT) AS size_sum
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val evolved = readEvolved(s, evolvedPartCopy(s, dir), Tables.part,
+      Map("p_brand" -> "UNKNOWN", "p_type" -> "N/A", "p_size" -> 0))
+    evolved.groupBy(col("p_brand").as("brand"), col("p_type").as("ptype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("retail"),
+        sum(col("p_size").cast("long")).as("size_sum"))
+      .orderBy(col("brand"), col("ptype"))
+  }
+
   val all: Seq[graft.Q] =
-    Seq(bucketedJoin, orcRoundtrip, variantMixed, raceZoneAgg, dppJoin)
+    Seq(bucketedJoin, orcRoundtrip, variantMixed, raceZoneAgg, dppJoin,
+      schemaEvolutionQ)
 
   /** Schema-evolution read — a long-lived dataset's files span schema
     * versions (columns added over months of ingest); `mergeSchema` unions

@@ -53,4 +53,22 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(formatted.matches("(?s).*ReadSchema: struct<id:bigint,v:double>.*"),
       s"unreferenced quality column must be pruned:\n$formatted")
   }
+
+  test("schema_evolution fixture: era-A files genuinely lack the late columns") {
+    val sfDir = sf("sf0.001")
+    val out = Ingest.evolvedPartCopy(spark, sfDir)
+    // read the raw directory with mergeSchema but WITHOUT the conform:
+    // pre-evolution (even-key) rows must surface the late columns as NULL
+    // — proving the fixture writes files missing the columns, not files
+    // carrying the defaults (which would make the gated query vacuous)
+    val raw = spark.read.option("mergeSchema", true).parquet(out)
+    import org.apache.spark.sql.functions.col
+    val eraA = raw.filter(col("p_partkey") % 2 === 0)
+    assert(eraA.count() > 0)
+    assert(eraA.filter(col("p_brand").isNotNull).count() === 0,
+      "era-A rows must have NO brand on disk")
+    val eraB = raw.filter(col("p_partkey") % 2 === 1)
+    assert(eraB.filter(col("p_brand").isNull).count() === 0,
+      "era-B rows must all carry their real brand")
+  }
 }
