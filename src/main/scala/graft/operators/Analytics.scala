@@ -2311,6 +2311,78 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Incremental maintenance of a JOIN view — the fifth and hardest member
+    * of the incremental family (incr_agg_merge: distributive agg;
+    * dedup_incr_index / ann_incr_index: index deltas; stats_incr_merge:
+    * histograms): a per-customer revenue view over orders ⋈ lineitem,
+    * maintained under INDEPENDENT deltas on both base relations. The
+    * textbook delta decomposition V(O_b∪O_δ, L_b∪L_δ) = V(O_b,L_b) ⊎
+    * V(O_b,L_δ) ⊎ V(O_δ,L_b) ⊎ V(O_δ,L_δ) runs as four REAL joins (the
+    * stored-view term recomputed here for the gate, the dedup_incr_index
+    * convention) whose partial aggregates merge by per-key sum — exact,
+    * because count/decimal-sum are distributive. The oracle computes the
+    * view in ONE pass over the full relations, so the hash gate IS
+    * merge(quadrants) ≡ direct(O ∪ δO, L ∪ δL); per-quadrant counts ride
+    * along as the merge grain. Splits are min/max-midpoint on DIFFERENT
+    * keys per relation (custkey vs orderkey) so every cross term is
+    * genuinely non-empty — a shared split key would silently zero two
+    * quadrants and prove nothing.
+    *
+    * Scale shape: at maintenance time only the delta-sized joins touch
+    * new data (O_b⋈L_δ streams the delta against the big relation's keyed
+    * layout); every quadrant is an ordinary keyed join with map-side
+    * partial aggregation, and the merge is |view-keys| rows. Midpoint
+    * collects are 1-row aggregates (bounded-collect rule; empty tables
+    * degrade to 0 and an empty view, not a crash).
+    */
+  val incrJoinMerge: Q = Q("incr_join_merge",
+    """WITH mc AS (SELECT (min(o_custkey) + max(o_custkey)) // 2 AS m FROM orders),
+      |ml AS (SELECT (min(l_orderkey) + max(l_orderkey)) // 2 AS m FROM lineitem),
+      |j AS (SELECT o.o_custkey AS c,
+      |    CASE WHEN o.o_custkey < mc.m THEN 0 ELSE 1 END AS od,
+      |    CASE WHEN l.l_orderkey < ml.m THEN 0 ELSE 1 END AS ld,
+      |    l.l_extendedprice AS p
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  CROSS JOIN mc CROSS JOIN ml)
+      |SELECT c AS custkey, count(*) AS n_items,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) FILTER (WHERE od = 0 AND ld = 0) AS n_bb,
+      |  count(*) FILTER (WHERE od = 0 AND ld = 1) AS n_bd,
+      |  count(*) FILTER (WHERE od = 1 AND ld = 0) AS n_db,
+      |  count(*) FILTER (WHERE od = 1 AND ld = 1) AS n_dd
+      |FROM j GROUP BY c ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    def mid(df: DataFrame, c: String): Long = {
+      val r = df.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+      val (lo, hi) = (Option(r.getAs[java.lang.Long]("lo")),
+        Option(r.getAs[java.lang.Long]("hi")))
+      // empty relation: the joins below are empty regardless — 0 is inert
+      (for (l <- lo; h <- hi) yield Math.floorDiv(l + h, 2L)).getOrElse(0L)
+    }
+    val mc = mid(orders, "o_custkey")
+    val ml = mid(li, "l_orderkey")
+    val quads = Seq(
+      ("bb", orders.filter(col("o_custkey") < mc), li.filter(col("l_orderkey") < ml)),
+      ("bd", orders.filter(col("o_custkey") < mc), li.filter(col("l_orderkey") >= ml)),
+      ("db", orders.filter(col("o_custkey") >= mc), li.filter(col("l_orderkey") < ml)),
+      ("dd", orders.filter(col("o_custkey") >= mc), li.filter(col("l_orderkey") >= ml)))
+    val partials = quads.map { case (tag, o, l) =>
+      o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("rev"))
+        .withColumn("tag", lit(tag))
+    }.reduce(_ unionByName _)
+    partials.groupBy(col("custkey"))
+      .agg(sum(col("n")).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"),
+        coalesce(sum(when(col("tag") === "bb", col("n"))), lit(0L)).as("n_bb"),
+        coalesce(sum(when(col("tag") === "bd", col("n"))), lit(0L)).as("n_bd"),
+        coalesce(sum(when(col("tag") === "db", col("n"))), lit(0L)).as("n_db"),
+        coalesce(sum(when(col("tag") === "dd", col("n"))), lit(0L)).as("n_dd"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Seq[Q] = Seq(wins, fastestlap, fastestlapAgg, filterDistinct,
     weather, combine, unionAllSlices, stats, top10, evopoints, leaderGap,
     pitstop, orderByHidden, racetime, eventsWindow, eventsSegmentWindow,
@@ -2324,5 +2396,5 @@ object Analytics {
     winsorize, lateSuppliers, groupMedian, eventsConcurrency,
     eventsTopPaths, smallOrders, abLift, rfm, eventsAttribution, basketPairs,
     incrAgg, eventsDedup, eventsLateness, eventsCep, ordersPareto,
-    sessionBuiltin, colHistogram, statsIncrMerge)
+    sessionBuiltin, colHistogram, statsIncrMerge, incrJoinMerge)
 }

@@ -2054,9 +2054,60 @@ object Similarity {
     }
   }
 
+  /** Contrastive-pair mining — the training-data op an embedding-model
+    * pipeline runs over its own index: per probe, the POSITIVE (nearest
+    * same-label neighbor — the pair pulled together) and the HARD
+    * NEGATIVE (nearest different-label neighbor — the most confusable
+    * impostor, the pair pushed apart; random negatives are easy and teach
+    * nothing). Mined from the exact top-10 ranking via the session memo
+    * ([[rankedTopK]] — a readout beside recall/MRR/RRF, not a fourth
+    * corpus scan), with ranks carried so the miner's output is auditable.
+    * A probe whose top-10 is single-label yields a NULL on the missing
+    * side in both engines rather than inventing a pair.
+    *
+    * Shape: memoized 50-row ranking + two |corpus|-slim label joins, a
+    * 50-row window, a 5-row output. At scale the ranking source swaps for
+    * the IVF-PQ index path — the mining logic is rank-source-agnostic.
+    */
+  val embedPairsMine: Q = Q("embed_pairs_mine",
+    s"""WITH b AS (SELECT query_id, neighbor_id, rn FROM (${knnBrute.oracle.get})),
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |j AS (SELECT b.query_id, b.neighbor_id, b.rn,
+       |    (nl.label = ql.label) AS same
+       |  FROM b JOIN lb ql ON ql.vec_id = b.query_id
+       |  JOIN lb nl ON nl.vec_id = b.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, rn, same,
+       |    row_number() OVER (PARTITION BY query_id, same ORDER BY rn) AS rr
+       |  FROM j)
+       |SELECT query_id,
+       |  max(CASE WHEN same AND rr = 1 THEN neighbor_id END) AS pos_id,
+       |  max(CASE WHEN same AND rr = 1 THEN rn END) AS pos_rn,
+       |  max(CASE WHEN NOT same AND rr = 1 THEN neighbor_id END) AS neg_id,
+       |  max(CASE WHEN NOT same AND rr = 1 THEN rn END) AS neg_rn
+       |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val lb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val j = rankedTopK(s, dir, "brute")
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+      .join(broadcast(lb.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+      .join(broadcast(lb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))), Seq("neighbor_id"))
+      .withColumn("same", col("nlabel") === col("qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("same")).orderBy(col("rn"))
+    j.withColumn("rr", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("same") && col("rr") === 1, col("neighbor_id"))).as("pos_id"),
+        max(when(col("same") && col("rr") === 1, col("rn"))).as("pos_rn"),
+        max(when(!col("same") && col("rr") === 1, col("neighbor_id"))).as("neg_id"),
+        max(when(!col("same") && col("rr") === 1, col("rn"))).as("neg_rn"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] =
     Seq(knnBrute, annFiltered, annSq8, annLsh, annIvf, kmeansTrain, annRecall,
       embedProject, classStats, annPq, annIvfPq, embedGram, dedupSemantic,
       annIncrIndex, sampleProto, retrievalRrf, annMrr, annIndexPersist,
-      annRefine, embedDrift, embedWinsor)
+      annRefine, embedDrift, embedWinsor, embedPairsMine)
 }

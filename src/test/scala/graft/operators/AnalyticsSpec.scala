@@ -942,6 +942,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(3)._3 === 7L && got(3)._4 === 1L)
   }
 
+  test("incr_join_merge: quadrant merge equals the one-pass view, cross terms non-empty") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toSeq
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice").as[(Long, Double)].collect().toSeq
+    val mc = (orders.map(_._2).min + orders.map(_._2).max) / 2
+    val ml = (li.map(_._1).min + li.map(_._1).max) / 2
+    val custOf = orders.toMap
+    val expect = li.flatMap { case (ok, p) => custOf.get(ok).map(c => (c, ok, p)) }
+      .groupBy(_._1).toSeq.map { case (c, rs) =>
+        def quad(f: ((Long, Long, Double)) => Boolean) = rs.count(f).toLong
+        (c, rs.size.toLong,
+          rs.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble,
+          quad(r => r._1 < mc && r._2 < ml), quad(r => r._1 < mc && r._2 >= ml),
+          quad(r => r._1 >= mc && r._2 < ml), quad(r => r._1 >= mc && r._2 >= ml))
+      }.sortBy(_._1)
+    val got = Analytics.incrJoinMerge.run(spark, dir)
+      .as[(Long, Long, Double, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the decomposition is total and the split is non-vacuous: every
+    // quadrant — including both CROSS terms — carries rows somewhere
+    got.foreach { case (c, n, _, bb, bd, db, dd) =>
+      assert(n === bb + bd + db + dd, s"custkey $c quadrants don't sum")
+    }
+    Seq[((Long, Long, Double, Long, Long, Long, Long)) => Long](
+      _._4, _._5, _._6, _._7).zip(Seq("bb", "bd", "db", "dd")).foreach {
+      case (f, tag) => assert(got.map(f).sum > 0, s"quadrant $tag is empty corpus-wide")
+    }
+  }
+
   test("events_gap_locf: scalar forward-fill replay; real gaps get carried values") {
     import spark.implicits._
     val HourNanos = 3600L * 1000000000L

@@ -716,6 +716,29 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("embed_pairs_mine: positives share the label, hard negatives are the nearest impostor") {
+    val labels = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val ranked = Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rn")
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = ranked.groupBy(_._1).toSeq.map { case (q, rows) =>
+      val (same, diff) = rows.sortBy(_._3).partition(r => labels(r._2) == labels(q))
+      (q,
+        same.headOption.map(_._2), same.headOption.map(_._3),
+        diff.headOption.map(_._2), diff.headOption.map(_._3))
+    }.sortBy(_._1)
+    val got = Similarity.embedPairsMine.run(spark, dir)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got === expect)
+    got.foreach { case (q, pos, _, neg, _) =>
+      pos.foreach(p => assert(labels(p) === labels(q), s"probe $q positive label"))
+      neg.foreach(n => assert(labels(n) !== labels(q), s"probe $q negative label"))
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("sample_prune_proto: each cluster prunes exactly its most-prototypical quarter") {
     val out = Similarity.sampleProto.run(spark, dir)
       .select($"vec_id", $"cid", $"rn", $"n_c", $"kept")
