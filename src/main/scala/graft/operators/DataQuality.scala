@@ -465,5 +465,82 @@ object DataQuality {
     }
   }
 
-  val all: Seq[Q] = Seq(audit, drift, kanon, ldiversity, tcloseness, benford)
+  /** Robust outlier screening via MAD (median absolute deviation) — the
+    * DQ rule mean/stddev z-scores cannot provide, because outliers
+    * corrupt the very mean and stddev that are supposed to flag them
+    * (one 10⁹ row drags the mean toward itself and inflates σ until
+    * nothing is an outlier); the median and MAD have a 50% breakdown
+    * point. Per event_type: the exact lower median of cent-quantized
+    * values, the exact lower median of absolute deviations from it, and
+    * how many rows sit beyond the standard 3×MAD fence, as count and
+    * exact ppm. Degenerate MAD = 0 (a majority-constant column) fences
+    * everything off the median — the conventional strict-> reading, same
+    * in both engines.
+    *
+    * Shape: [[Analytics]]'s group_median histogram discipline twice —
+    * per-(type, value) counts, cumulative windows PARTITIONED BY type
+    * over each type's value domain (never corpus rows), the same again
+    * over the deviation domain — plus one fence count; medians are
+    * integer-rank element picks (`(n+1) div 2`), no interpolation, no
+    * float.
+    */
+  val outlierMad: Q = Q("dq_outlier_mad",
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT event_type, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+      |cum AS (SELECT event_type, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+      |med AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+      |  FROM cum GROUP BY event_type),
+      |d AS (SELECT c.event_type, abs(c.v - m.med) AS dev
+      |  FROM c JOIN med m USING (event_type)),
+      |dh AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+      |dcum AS (SELECT event_type, dev, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM dh),
+      |mad AS (SELECT event_type,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+      |  FROM dcum GROUP BY event_type),
+      |f AS (SELECT d.event_type,
+      |    CAST(count(*) FILTER (WHERE d.dev > 3 * a.mad) AS BIGINT) AS n_outliers
+      |  FROM d JOIN mad a USING (event_type) GROUP BY 1)
+      |SELECT m.event_type, m.n, m.med AS med_cents, a.mad AS mad_cents,
+      |  f.n_outliers, CAST(f.n_outliers * 1000000 // m.n AS BIGINT) AS outlier_ppm
+      |FROM med m JOIN mad a USING (event_type) JOIN f USING (event_type)
+      |ORDER BY m.event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val h = df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      h.withColumn("cum", sum(col("cnt"))
+          .over(Window.partitionBy(col("event_type")).orderBy(col(valueCol))))
+        .withColumn("n", sum(col("cnt"))
+          .over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col(valueCol))).as(out))
+    }
+    val med = lowerMedian(c, "v", "med")
+    val d = graft.Scratch.track(c.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("med")).as("dev")))
+    val mad = lowerMedian(d, "dev", "mad").select(col("event_type"), col("mad"))
+    val f = d.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(coalesce(sum(when(col("dev") > lit(3) * col("mad"), 1L)), lit(0L))
+        .as("n_outliers"))
+    med.join(mad, Seq("event_type")).join(f, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"),
+        expr("n_outliers * 1000000 div n").as("outlier_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] =
+    Seq(audit, drift, kanon, ldiversity, tcloseness, benford, outlierMad)
 }

@@ -153,6 +153,33 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("dq_outlier_mad: scalar robust-statistics replay per type") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"value").as[(String, Option[Double])].collect()
+      .collect { case (t, Some(v)) =>
+        (t, BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.toSeq
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2) - 1)
+    val expect = ev.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val vs = rs.map(_._2)
+      val med = lowerMedian(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = lowerMedian(devs)
+      val nOut = devs.count(_ > 3 * mad).toLong
+      (t, vs.size.toLong, med, mad, nOut, nOut * 1000000L / vs.size)
+    }.sortBy(_._1)
+    val got = DataQuality.outlierMad.run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the fence is meaningful: MAD is nonzero for real-valued data and the
+    // outlier fraction stays a small minority
+    got.foreach { case (t, n, _, mad, nOut, ppm) =>
+      assert(mad >= 0 && nOut <= n / 2, s"type $t: $nOut of $n flagged")
+      assert(ppm === nOut * 1000000L / n)
+    }
+    graft.Scratch.release(spark)
+  }
+
   test("dq_benford: scalar digit replay, expectation sums to exactly 10^6") {
     val prices = graft.sources.Tables.load(spark, dir, "orders")
       .select($"o_totalprice").as[Double].collect().filter(_ > 0)
