@@ -64,16 +64,37 @@ object AsofJoinNode {
   def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: String, as: String): DataFrame = {
-    val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoin: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
-    val pay = attr(rp, payload)
-    val node = AsofJoinNode(lp, rp,
-      attr(lp, leftKey), attr(lp, leftTime),
-      attr(rp, rightKey), attr(rp, rightTime),
+    // The exec builds its key/time orderings from the LEFT types and applies
+    // them to right-side values — require the pairs to agree at construction
+    // rather than ClassCastException at runtime.
+    def sameType(what: String, a: Attribute, b: Attribute): Unit =
+      require(a.dataType == b.dataType,
+        s"asofJoin: $what types differ — left ${a.name}: ${a.dataType}, " +
+          s"right ${b.name}: ${b.dataType}")
+    // Self-joins (or shared lineage) would put duplicate exprIds across the
+    // two children; re-project the right side through fresh Aliases (new
+    // exprIds) so attribute binding stays unambiguous — the same dedup
+    // Dataset.join performs.
+    val lp0 = left.queryExecution.analyzed
+    val rp0 = {
+      val lIds = lp0.outputSet
+      if (right.queryExecution.analyzed.output.exists(lIds.contains)) {
+        import org.apache.spark.sql.functions.col
+        right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+          .queryExecution.analyzed
+      } else right.queryExecution.analyzed
+    }
+    val lKeyA = attr(lp0, leftKey); val rKeyA = attr(rp0, rightKey)
+    val lTimeA = attr(lp0, leftTime); val rTimeA = attr(rp0, rightTime)
+    sameType("key", lKeyA, rKeyA)
+    sameType("time", lTimeA, rTimeA)
+    val pay = attr(rp0, payload)
+    val node = AsofJoinNode(lp0, rp0,
+      lKeyA, lTimeA, rKeyA, rTimeA,
       pay, AttributeReference(as, pay.dataType, nullable = true)())
     org.apache.spark.sql.graft.GraftInternal.ofRows(left.sparkSession, node)
   }
@@ -154,11 +175,14 @@ case class AsofJoinExec(
           while (!rLive && ri.hasNext) {
             val r = ri.next()
             val k = rKey.eval(r)
-            // null right keys can never match (join semantics): skip
-            if (k != null) {
-              rK = k
-              rT = rTime.eval(r)
-              // COPY the payload: the iterator reuses its row buffer
+            val t = rTime.eval(r)
+            // null right keys/times can never match (join semantics): skip
+            if (k != null && t != null) {
+              // COPY everything buffered across advanceRight(): the
+              // UnsafeRow iterator reuses its backing memory, so an
+              // uncopied UTF8String key would be silently overwritten.
+              rK = InternalRow.copyValue(k)
+              rT = InternalRow.copyValue(t)
               rP = InternalRow.copyValue(rPay.eval(r))
               rLive = true
             }
@@ -173,8 +197,10 @@ case class AsofJoinExec(
           val l = li.next()
           val lK = lKey.eval(l)
           var out: Any = null
-          if (lK != null) {
-            val lT = lTime.eval(l)
+          val lT = if (lK != null) lTime.eval(l) else null
+          // a null left time never matches (SQL comparison semantics):
+          // skip the merge loop entirely and emit the unmatched row
+          if (lK != null && lT != null) {
             // consume right rows that can no longer matter to any FUTURE
             // left row (left is sorted: future keys >= lK, future times of
             // the same key >= lT)

@@ -568,7 +568,13 @@ object Ingest {
       |FROM d JOIN sel USING (day)
       |GROUP BY d.day ORDER BY day""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions._
-    val fact = s.read.parquet(dppEventsCopy(s, dir))
+    // Explicit schema PINS the partition column to STRING — without it,
+    // partition-column type inference may parse the zero-padded directory
+    // values as integers and the no-ambiguity claim above would rest on
+    // implicit casts (DppJoinSpec asserts the read-back dataType).
+    val fact = s.read
+      .schema("event_type STRING, value DOUBLE, pd STRING")
+      .parquet(dppEventsCopy(s, dir))
     val purch = Tables.load(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(format_string("%06d",

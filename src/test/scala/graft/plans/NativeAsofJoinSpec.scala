@@ -44,6 +44,49 @@ class NativeAsofJoinSpec extends SparkSpec {
     assert(nOut.toSeq === Seq((1L, None)))
   }
 
+  test("asof merge: STRING keys survive the right-side row-buffer reuse") {
+    // Regression: curKey/rK used to retain an uncopied UTF8String view of a
+    // reused UnsafeRow buffer — advancing the right iterator then silently
+    // rewrote the buffered key. Many rows per key + string keys exercise it.
+    val right = (0 until 50).flatMap { i =>
+      Seq((f"key$i%03d", 100L + i, s"early$i"), (f"key$i%03d", 200L + i, s"late$i"))
+    }.toDF("rk", "rt", "pay")
+    val left = (0 until 50).map(i => (i.toLong, f"key$i%03d", 1000L))
+      .toDF("id", "lk", "lt")
+    val out = AsofJoinNode
+      .asofJoin(left, "lk", "lt", right, "rk", "rt", "pay", "m")
+      .select($"id", $"m").as[(Long, Option[String])].collect().toMap
+    assert(out === (0 until 50).map(i => i.toLong -> Some(s"late$i")).toMap)
+  }
+
+  test("asof merge: null TIMES never match and never NPE") {
+    val right = Seq((Some(10L), Some(100L), "a"), (Some(10L), Option.empty[Long], "ghost"))
+      .toDF("rk", "rt", "pay")
+    val left = Seq(
+      (1L, Some(10L), Some(200L)),  // matches "a"; the null-rt row is skipped
+      (2L, Some(10L), Option.empty[Long]))  // null lt -> unmatched, no NPE
+      .toDF("id", "lk", "lt")
+    val out = AsofJoinNode
+      .asofJoin(left, "lk", "lt", right, "rk", "rt", "pay", "m")
+      .select($"id", $"m").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a"), 2L -> None))
+  }
+
+  test("asof construction: mismatched key/time types rejected; self-join re-aliased") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "lk", "lt")
+    val r = Seq((5, 5L, "p")).toDF("rk", "rt", "pay")  // rk is INT, lk STRING
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinNode.asofJoin(l, "lk", "lt", r, "rk", "rt", "pay", "m")
+    }
+    assert(e.getMessage.contains("types differ"))
+    // same frame on both sides: duplicate exprIds must be de-duplicated
+    val f = Seq((10L, 100L, "a"), (10L, 200L, "b")).toDF("k", "t", "pay")
+    val self = AsofJoinNode
+      .asofJoin(f, "k", "t", f, "k", "t", "pay", "m")
+      .select($"t", $"m").as[(Long, Option[String])].collect().toMap
+    assert(self === Map(100L -> Some("a"), 200L -> Some("b")))
+  }
+
   test("asof plan: AsofJoinExec with declared key exchanges and (key,time) sorts") {
     val dir = sf("sf0.001")
     val q = graft.operators.AsofJoin.asofNative.run(spark, dir)

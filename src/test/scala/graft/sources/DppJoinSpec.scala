@@ -28,6 +28,13 @@ class DppJoinSpec extends SparkSpec {
       s"partition filters are static:\n${partitionFilterLines.mkString("\n")}")
   }
 
+  test("dpp_join: the partition column reads back as STRING, not an inferred int") {
+    val fact = spark.read
+      .schema("event_type STRING, value DOUBLE, pd STRING")
+      .parquet(Ingest.dppEventsCopy(spark, dir))
+    assert(fact.schema("pd").dataType === org.apache.spark.sql.types.StringType)
+  }
+
   test("dpp_join: pruned result equals the unpartitioned replay, and prunes") {
     val ev = Tables.load(spark, dir, "events")
       .select(expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"),
