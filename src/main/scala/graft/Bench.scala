@@ -107,6 +107,13 @@ object Bench {
         "embed_pairs_mine").exists(selected.contains)) {
         graft.operators.Similarity.rankedTopKWrite(spark, sfDir); ()
       }
+    // the trained measured-K semantic model, same one-time contract — the
+    // timed entries measure assignment + pair verdict, not Lloyd rounds
+    val semModelFixtureSecs: Double =
+      timedFixture("sem_model", Seq("dedup_semantic", "sample_prune_proto")
+        .exists(selected.contains)) {
+        graft.operators.Similarity.semanticModelWrite(spark, sfDir); ()
+      }
     // the graph family's two shared edge sets, same one-time contract
     val graphEdgesFixtureSecs: Double =
       timedFixture("graph_edges", Seq("graph_triangles_big", "graph_lpa",
@@ -185,7 +192,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
       results.size},"failed":${results.values.count(_ < 0)},"sf":$sf,"total_p1_s":${
       fmt(totalP1)},"bucketed_fixture_s":${
-      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},$loadFields}""")
+      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},$loadFields}""")
     System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
@@ -198,7 +205,7 @@ object Bench {
       val sidecar =
         s"""{"total_s":$total,"n":${results.size},"failed":${
           results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2","total_p1_s":$totalP1,$loadFields,""" +
-          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,""" +
           s""""queries":$qs,"passes":$raw}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
