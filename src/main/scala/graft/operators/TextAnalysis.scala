@@ -1529,8 +1529,22 @@ object TextAnalysis {
     * post-ranking drop would shift every rank below the hole). */
   private[operators] def bm25Rank(
       docsDf: DataFrame, excludeSelf: Boolean = false): DataFrame = {
+    val qterms = docsDf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("w"))
+      .distinct()
+    // Bloom-prefilter the postings build on the query-term set: every
+    // non-query word the corpus tokenization emits was aggregated through
+    // the (doc_id, w) exchange only to be dropped by the qdf probe join —
+    // at ×100 that exchange IS the query's cost. The sketch (built in one
+    // pass over the ≤ |queries|·6-term frame, probed inside whole-stage
+    // codegen) passes every query term (one-sided error) plus an fpp
+    // sliver; the downstream inner joins against qdf/qterms remove the
+    // false positives, so tf AND df stay exact for every query term.
+    val qBloom = bloomBytes(qterms.select(col("w")))
     val words = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(call_function("might_contain_bloom", lit(qBloom), col("w")))
     // persisted: df AND the candidate probe both consume the postings —
     // without this the corpus tokenization explode runs twice
     val tf = graft.Scratch.track(
@@ -1540,10 +1554,6 @@ object TextAnalysis {
       size(split(col("text"), " ")).cast("long").as("len"))
     val stats = docsDf.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " "))).cast("long").as("tot_len"))
-    val qterms = docsDf.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(split(col("text"), " "), 1, 6)).as("w"))
-      .distinct()
     // query-restricted df: ≤ |queries|·6 rows after the broadcast join —
     // the model the postings probe broadcasts
     val qdf = df.join(broadcast(qterms), Seq("w"))
