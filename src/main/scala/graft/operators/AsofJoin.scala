@@ -129,6 +129,9 @@ object AsofJoin {
   private val BandSeconds = 600L
   private val BandMicros = BandSeconds * 1000000L
 
+  /** Exposed for SlidingCountSpec's native-vs-composed parity replay. */
+  def BandMicrosForSpec: Long = BandMicros
+
   /** Banded (bucketed) interval join — the scale path for a time-proximity
     * join with NO equi-key: for every event, count the other events within
     * ±10 minutes. Naively this is a pure inequality join, which Spark can
@@ -158,21 +161,15 @@ object AsofJoin {
        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), Tables.nanosToMicros("ts").as("t"))
-    // all timestamps here are positive (µs since epoch, 2024 corpus), so
-    // `div`'s truncation IS floor; a pre-1970 corpus would need the pmod
-    // floor-division trick used by events_window
-    val probes = ev.select(col("event_id"), col("t"),
-      explode(sequence(
-        expr(s"(t - ${BandMicros}L) div ${BandMicros}L"),
-        expr(s"(t + ${BandMicros}L) div ${BandMicros}L"))).as("band"))
-    val build = ev.select(col("event_id").as("b_id"), col("t").as("b_t"),
-      expr(s"t div ${BandMicros}L").as("band"))
-    val counts = probes.join(build, Seq("band"))
-      .filter(col("b_id") =!= col("event_id") &&
-        abs(col("b_t") - col("t")) <= BandMicros)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_near"))
-    ev.select(col("event_id")).join(counts, Seq("event_id"), "left")
-      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+    // the native whole-operator path ([[graft.plans.SlidingCountExec]]):
+    // ONE range exchange of un-amplified rows + a per-partition two-pointer
+    // sliding window + fringe-resolved cross-partition pairs — retiring the
+    // composed band rewrite's ×3 probe amplification and its residual
+    // filter over every band-mate. The composed form remains available for
+    // arbitrary joins via [[graft.plans.BandedIntervalJoin]], and
+    // NativeSlidingCountSpec asserts native ≡ composed on real data.
+    graft.plans.SlidingCountNode
+      .slidingCount(ev, "event_id", "t", BandMicros, "n_near")
       .orderBy(col("event_id"))
   }
 

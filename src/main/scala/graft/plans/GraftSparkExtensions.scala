@@ -91,6 +91,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => SargableYearFilter)
     e.injectOptimizerRule(_ => BandedIntervalJoin)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => SlidingCountStrategy)
     e.injectFunction(fn("race_time_seconds", xs => RaceTimeSeconds(xs.head)))
     e.injectFunction(fn("hyperplane_buckets", xs => HyperplaneBuckets(xs.head)))
     e.injectFunction(fn("centroid_sims", xs => CentroidSims(xs(0), xs(1))))
