@@ -173,6 +173,91 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Incremental maintenance of the proximity counts — the
+    * [[graft.operators.Dedup]] `dedup_incr_index` contract applied to the
+    * native sliding-count operator: an append-only event log should update
+    * its ±W neighbor counts by touching the APPENDED span and the W-wide
+    * seam, not by recounting history. The corpus splits at its time
+    * midpoint into base (history) and delta (the append); the merged
+    * verdict is
+    *
+    *   counts(base ∪ δ) = counts(base) ⊎ counts(δ) ⊎ cross-seam pairs,
+    *
+    * where the cross term only involves rows with time within W of the
+    * split (both half filters PUSH DOWN to the scans — seam volume is the
+    * row density of a 2W span, corpus-size-invariant), joined through the
+    * banded equi-key so no nested loop appears at any scale. The oracle
+    * replays the ONE-SHOT recompute over the full table — the hash gate
+    * proves merge ≡ rebuild, per event, at every SF.
+    *
+    * Scale shape: two native sliding counts (each ONE range exchange of
+    * its half, the [[graft.plans.SlidingCountExec]] audit), a seam join
+    * bounded by 2W of density, and a union-free merge (the halves are
+    * disjoint by construction, so the seam additions LEFT-join onto the
+    * concatenated half counts).
+    */
+  val proxIncr: Q = Q("prox_incr_merge",
+    s"""WITH near AS (
+       |  SELECT a.event_id AS id, count(*) AS n_near
+       |  FROM events a JOIN events b
+       |    ON b.ts BETWEEN a.ts - INTERVAL $BandSeconds SECOND
+       |                AND a.ts + INTERVAL $BandSeconds SECOND
+       |   AND b.event_id != a.event_id
+       |  GROUP BY a.event_id)
+       |SELECT e.event_id, coalesce(n.n_near, 0) AS n_near
+       |FROM events e LEFT JOIN near n ON n.id = e.event_id
+       |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    // The halves and the seam filter on the RAW int64 ts so the bounds
+    // reach the parquet scan as PushedFilters (row-group stats skipping)
+    // — filtering the normalized-micros EXPRESSION would evaluate at the
+    // scan but never push. t(r) = ⌊r·f/1000⌋ is monotone in r, so every
+    // micros threshold A maps to the exact raw threshold
+    // R(A) = ⌈1000·A/f⌉ with t ≥ A ⇔ r ≥ R(A) — no secondary filter
+    // needed. f is the per-directory footer-pinned unit factor.
+    val path = s"$dir/events.parquet"
+    val f = Tables.eventsTsNanosFactor(s, path)
+    val raw = s.read.schema(Tables.schemas("events")).parquet(path)
+      .select(col("event_id"), col("ts"))
+    val tExpr = expr(
+      s"((ts * ${f}L) - pmod(ts * ${f}L, 1000)) div 1000")
+    // 1-row bounded collect: the split point (the bounded-model rule —
+    // the same midpoint idiom as dedup_incr_index / ann_incr_index)
+    val mm = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    def tOf(r: Long): Long = Math.floorDiv(r * f, 1000L)
+    val mid = (tOf(mm.getLong(0)) + tOf(mm.getLong(1))) / 2
+    def rOf(a: Long): Long = -Math.floorDiv(-1000L * a, f) // ceil(1000a/f)
+    val (rMid, rLo, rHi) =
+      (rOf(mid), rOf(mid - BandMicros), rOf(mid + BandMicros))
+    def half(pred: org.apache.spark.sql.Column) =
+      raw.filter(pred).select(col("event_id"), tExpr.as("t"))
+    val cb = graft.plans.SlidingCountNode
+      .slidingCount(half(col("ts") < rMid), "event_id", "t", BandMicros, "n_half")
+    val cd = graft.plans.SlidingCountNode
+      .slidingCount(half(col("ts") >= rMid), "event_id", "t", BandMicros, "n_half")
+    // seam: base rows within W below the split × delta rows within W
+    // above it — both raw bounds push to the scans; the pair join keys
+    // on the delta row's band (≤2 probe bands per base row), so the seam
+    // work is density(2W)², never |base|·|δ|
+    val bb = half(col("ts") < rMid && col("ts") >= rLo)
+      .select(col("event_id").as("b_id"), col("t").as("b_t"),
+        explode(sequence(
+          expr(s"t div ${BandMicros}L"),
+          expr(s"(t + ${BandMicros}L) div ${BandMicros}L"))).as("band"))
+    val db = half(col("ts") >= rMid && col("ts") < rHi)
+      .select(col("event_id").as("d_id"), col("t").as("d_t"),
+        expr(s"t div ${BandMicros}L").as("band"))
+    val seam = bb.join(db, Seq("band"))
+      .filter(col("d_t") - col("b_t") <= BandMicros)
+    val seamAdd = seam.select(col("b_id").as("event_id"))
+      .unionByName(seam.select(col("d_id").as("event_id")))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_cross"))
+    cb.unionByName(cd)
+      .join(seamAdd, Seq("event_id"), "left")
+      .select(col("event_id"),
+        (col("n_half") + coalesce(col("n_cross"), lit(0L))).as("n_near"))
+      .orderBy(col("event_id"))
+  }
+
   /** SCD type-2 history build — run-length compression of a per-key state
     * stream into versioned validity intervals: for each user, consecutive
     * events with the SAME `event_type` collapse into one row carrying
@@ -226,5 +311,5 @@ object AsofJoin {
       .orderBy(col("user_id"), col("version"))
   }
 
-  val all: Seq[Q] = Seq(asof, asofNative, rangeJoin, bandJoin, scd2)
+  val all: Seq[Q] = Seq(asof, asofNative, rangeJoin, bandJoin, proxIncr, scd2)
 }

@@ -54,6 +54,20 @@ class SlidingCountSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("prox_incr_merge plan: two native execs, seam filters pushed to the scans") {
+    val dir = sf("sf0.001")
+    val q = graft.operators.AsofJoin.proxIncr.run(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("SlidingCount".r.findAllIn(plan).size >= 2,
+      s"both half counts must use the native exec:\n$plan")
+    // the seam's half filters must reach the parquet scans as pushed
+    // range predicates on ts — the corpus-size-invariance claim
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l =>
+      l.contains("GreaterThan") || l.contains("LessThan")), pushed.mkString("\n"))
+    graft.Scratch.release(spark)
+  }
+
   test("sliding count parity: native ≡ composed banded join on real events") {
     val dir = sf("sf0.001")
     val BandMicros = graft.operators.AsofJoin.BandMicrosForSpec
