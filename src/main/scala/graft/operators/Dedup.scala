@@ -648,32 +648,42 @@ object Dedup {
     // become "distinct word HASHES per doc" — identical in both engines
     // (the oracle distincts the same nibble-parsed value), deterministic,
     // and within 60-bit collision odds of the distinct-words form.
-    val words = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // ZERO-EXCHANGE signature build: a document's words all live in its
+    // own row, so "distinct word hashes per doc" never needed a shuffle —
+    // the old explode → distinct → groupBy shape pushed two corpus-wide
+    // exchanges of 500M slim rows at ×100 purely to re-group rows that
+    // were born grouped. The whole signature is now ONE map-side
+    // projection: split → hash → array_distinct → a SWAR-packed fold
+    // (aggregate HOF; lane l of pack g counts bit 4g+l in 16-bit lanes,
+    // overflow two orders beyond any real document's distinct-word
+    // count) → the sign test 2·c_j > n, exactly the ±1-sum semantics the
+    // DuckDB oracle replays. Only the band self-join shuffles — as it
+    // must. Measured honestly: local[32] ×100 is a WASH (~31 s either
+    // way — the query's cost is the ×100 clique-driven candidate
+    // distinct, not the signatures) but the two deleted exchanges each
+    // carried ~500M rows, which is the expensive resource on a real
+    // cluster where shuffle is network, not SSD.
+    val hsExpr =
+      "array_distinct(transform(split(text, ' '), " +
+        "w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)))"
+    val packZero = "named_struct(" +
+      (0 until SimhashBits / 4).map(g => s"'c$g', CAST(0 AS BIGINT)")
+        .mkString(", ") + ")"
+    val packMerge = "(acc, x) -> named_struct(" +
+      (0 until SimhashBits / 4).map { g =>
+        val lanes = (0 until 4)
+          .map(l => s"(((x >> ${4 * g + l}) & 1) << ${16 * l})")
+          .mkString(" + ")
+        s"'c$g', acc.c$g + $lanes"
+      }.mkString(", ") + ")"
+    val sums = docs(s, dir)
+      .select(col("doc_id"), expr(hsExpr).as("hs"))
       .select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-    // SWAR-packed bit counting: a naive per-bit layout is 60 aggregation
-    // buffer updates per word row and dominated the scale smoke (19.6 s at
-    // ×10). Packing 4 bit-counters per long in 16-bit lanes cuts that to
-    // 15 updates per row (~4× less buffer traffic) at identical output:
-    // lane l of pack g accumulates c_j = Σ bit j (j = 4g+l), and the sign
-    // test s_j > 0 ⇔ 2·c_j > n_words recovers exactly the ±1-sum
-    // semantics the DuckDB oracle replays. Lanes hold counts ≤ 65535 —
-    // documents with more DISTINCT words than that would overflow, two
-    // orders beyond any real document (and this corpus' ~100).
-    val packs = (0 until SimhashBits / 4).map { g =>
-      (0 until 4).map { l =>
-        shiftleft(shiftright(col("h"), 4 * g + l).bitwiseAND(lit(1L)), 16 * l)
-      }.reduce(_ + _)
-    }
-    val packed = words.select(col("doc_id") +:
-      packs.zipWithIndex.map { case (p, g) => p.as(s"p$g") }: _*)
-    val aggs = (0 until SimhashBits / 4).map(g => sum(col(s"p$g")).as(s"c$g")) :+
-      count(lit(1)).as("nw")
-    val sums = packed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        expr(s"aggregate(hs, $packZero, $packMerge)").as("cs"),
+        size(col("hs")).cast("long").as("nw"))
     val simhashCol = (0 until SimhashBits).map { j =>
-      val c = shiftright(col(s"c${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+      val c = shiftright(col(s"cs.c${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(lit(0xFFFFL))
       when(c * 2 > col("nw"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = sums.select(col("doc_id"), simhashCol.as("simhash"))
