@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // public in the companion-object sense: Catalyst's generated Encoders
+  // instantiate these reflectively (the SparkSpec gotcha)
+  case class SemCellMember(cid: Long, sub: Long, vec_id: Long,
+      csim: Double, qv: Array[Long], nrm: Long)
+  case class SemVerdictRow(vec_id: Long, n_near: Long, dommax: Long)
+
   private val Scale = 10000
 
   /** Shared DuckDB CTEs: quantized vectors + exact integer squared norms —
@@ -1772,29 +1778,64 @@ object Similarity {
     val assigned = graft.Scratch.track(asg0
       .join(broadcast(cellM), Seq("cid"))
       .withColumn("sub", pmod(col("vec_id"), col("m"))))
-    // each unordered pair is generated ONCE (v < u) — the 64-dim cosine is
-    // the pair stage's dominant cost and the old `!=` join evaluated it
-    // twice per pair; both directed verdict rows derive from the single
-    // scored row (persisted: near-pair-sized), bit-identical semantics
-    val half = graft.Scratch.track(assigned.as("v").join(assigned.as("u"),
-        col("v.cid") === col("u.cid") && col("v.sub") === col("u.sub") &&
-          col("v.vec_id") < col("u.vec_id"))
-      .filter(coalesce(
-        when(col("v.nrm") === 0L || col("u.nrm") === 0L, lit(0.0))
-          .otherwise(cosine(col("v.qv"), col("v.nrm"), col("u.qv"), col("u.nrm")))
-          >= SemTau, lit(false)))
-      .select(col("v.vec_id").as("a"), col("u.vec_id").as("b"),
-        col("v.csim").as("acs"), col("u.csim").as("bcs")))
-    val pairs = half.select(col("a").as("vec_id"),
-        (col("bcs") < col("acs") ||
-          (col("bcs") === col("acs") && col("b") < col("a")))
-          .cast("long").as("dom"))
-      .unionByName(half.select(col("b").as("vec_id"),
-        (col("acs") < col("bcs") ||
-          (col("acs") === col("bcs") && col("a") < col("b")))
-          .cast("long").as("dom")))
-    val verdict = pairs.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_near"), max(col("dom")).as("dommax"))
+    // CELL-LOCAL pair scoring: the (cid, sub) self-JOIN form materialized
+    // every candidate pair as a joined row carrying BOTH 64-long vector
+    // payloads — ~25M pairs × ~1 KB = tens of GB of row copies at ×100,
+    // which was the whole query's cost. Instead, ONE slim exchange
+    // co-locates each capped cell's members (cell size ≤ ~SemCellCap by
+    // the sub-split, so a cell always fits a task) and the pairwise sweep
+    // runs over primitive arrays: each vector materializes once per cell
+    // instead of once per PAIR, each unordered pair's cosine computes
+    // once, and the arithmetic is the exact dotQ/sqrt/divide chain the
+    // join form evaluated (bit-identical verdicts; the brief's
+    // mapPartitions-as-last-resort card, played because no join layout
+    // avoids the quadratic payload copy).
+    import org.apache.spark.sql.Encoders
+    val verdict = assigned
+      .select(col("cid").cast("long").as("cid"), col("sub").cast("long").as("sub"),
+        col("vec_id"), col("csim"), col("qv"), col("nrm"))
+      .as(Encoders.product[SemCellMember])
+      .repartition(col("cid"), col("sub"))
+      .mapPartitions { it =>
+        val cells = scala.collection.mutable.HashMap
+          .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[SemCellMember]]
+        it.foreach { m =>
+          cells.getOrElseUpdate((m.cid, m.sub),
+            scala.collection.mutable.ArrayBuffer.empty[SemCellMember]) += m
+        }
+        cells.valuesIterator.flatMap { ms =>
+          val n = ms.length
+          val near = new Array[Long](n)
+          val dom = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val a = ms(i)
+            var j = i + 1
+            while (j < n) {
+              val b = ms(j)
+              if (a.nrm != 0L && b.nrm != 0L) {
+                val qa = a.qv; val qb = b.qv
+                var d = 0L; var k = 0
+                while (k < qa.length) { d += qa(k) * qb(k); k += 1 }
+                val cos = d.toDouble /
+                  (math.sqrt(a.nrm.toDouble) * math.sqrt(b.nrm.toDouble))
+                if (cos >= SemTau) {
+                  near(i) += 1L; near(j) += 1L
+                  if (b.csim < a.csim ||
+                    (b.csim == a.csim && b.vec_id < a.vec_id)) dom(i) = 1L
+                  if (a.csim < b.csim ||
+                    (a.csim == b.csim && a.vec_id < b.vec_id)) dom(j) = 1L
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          (0 until n).iterator.filter(near(_) > 0L)
+            .map(i => SemVerdictRow(ms(i).vec_id, near(i), dom(i)))
+        }
+      }(Encoders.product[SemVerdictRow])
+      .toDF()
     assigned
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("csim"))
       .join(verdict, Seq("vec_id"), "left")
