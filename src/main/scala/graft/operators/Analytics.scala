@@ -2050,14 +2050,21 @@ object Analytics {
           |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pq"))
       .select(col("pq.p1").as("p1"), col("pq.p2").as("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("npair"))
-    pairs
-      .join(supports.select(col("p").as("p1"), col("sup").as("sup1")), Seq("p1"))
-      .join(supports.select(col("p").as("p2"), col("sup").as("sup2")), Seq("p2"))
+    // top-20 BEFORE the support joins: the ranking keys (npair, p1, p2)
+    // exist on the pair frame, and the inner joins cannot drop a pair
+    // (every part in a pair has a support row by construction), so the
+    // limit commutes — a TakeOrderedAndProject over the pair aggregate
+    // replaces two pair-frame-wide join exchanges (~90M rows each at
+    // ×100) with 20-row lookups; supports broadcasts (|part| rows,
+    // catalog-bounded at any corpus size)
+    val top = pairs.orderBy(col("npair").desc, col("p1"), col("p2")).limit(20)
+    top
+      .join(broadcast(supports.select(col("p").as("p1"), col("sup").as("sup1"))), Seq("p1"))
+      .join(broadcast(supports.select(col("p").as("p2"), col("sup").as("sup2"))), Seq("p2"))
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("npair"), col("sup1"), col("sup2"),
         expr("(npair * n * 1000000L) div (sup1 * sup2)").as("lift_ppm"))
       .orderBy(col("npair").desc, col("p1"), col("p2"))
-      .limit(20)
   }
 
   /** Incremental aggregate maintenance — the materialized-view update
