@@ -230,13 +230,29 @@ object Analytics {
       |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin) { (s, dir) =>
     // (l_orderkey, l_linenumber) is NOT unique in the testdata; the extra
     // l_extendedprice sort key makes the window total-ordered → deterministic.
+    //
+    // ONE exchange instead of two: the old shape hash-exchanged for the
+    // window and then range-exchanged + re-sorted the full result for the
+    // ORDER BY. RangePartitioning(l_orderkey) satisfies the window's
+    // ClusteredDistribution(l_orderkey) (the range partitioner assigns
+    // equal keys to one partition), and range-ordered partitions + the
+    // within-partition (okey, lineno, price) sort ARE the requested total
+    // order — partition p's keys ≤ partition q's for p < q with no key
+    // straddling — so no trailing orderBy is needed: the window runs on
+    // the already-range-partitioned, already-sorted stream and the output
+    // leaves in presentation order. This is the at-scale presentation
+    // form (global sort = range partition + local sort is exactly what
+    // Sort's OrderedDistribution lowers to anyway; here the window rides
+    // the same exchange).
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_extendedprice"))
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartitionByRange(col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
       .withColumn("leader_price", first(col("l_extendedprice")).over(w))
       .withColumn("gap", col("l_extendedprice") - col("leader_price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
 
   /** F5 (pitstop counts, F:133-138 + F:188): per-key count joined back with

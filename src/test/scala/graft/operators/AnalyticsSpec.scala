@@ -1054,4 +1054,23 @@ class AnalyticsSpec extends SparkSpec {
     // long shape: |flags| × 3 metrics, one row each
     assert(got.size === wide.size * 3)
   }
+  test("leader_gap: ONE exchange; output leaves in the declared total order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val q = Analytics.leaderGap.run(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the window rides the range exchange: no second (hash) exchange, no
+    // trailing global sort node
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    // the emitted row stream IS ordered by (okey, lineno, price) — the
+    // global-sort-equivalence claim, checked on the materialized result
+    val rows = q.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows === rows.sortBy(identity), "output not globally ordered")
+    assert(rows.nonEmpty)
+    graft.Scratch.release(spark)
+  }
 }
