@@ -232,6 +232,7 @@ object Bench {
     graft.operators.Dedup.releaseSession(spark)
     graft.operators.Similarity.releaseSession(spark)
     graft.operators.Graph.releaseSession(spark)
+    graft.operators.TextAnalysis.releaseSession(spark)
     graft.sources.Ingest.releaseSession(spark)
     spark.stop()
   }

@@ -43,6 +43,7 @@ object Verify {
     operators.Dedup.releaseSession(spark)
     operators.Similarity.releaseSession(spark)
     operators.Graph.releaseSession(spark)
+    operators.TextAnalysis.releaseSession(spark)
     sources.Ingest.releaseSession(spark)
     spark.stop()
   }

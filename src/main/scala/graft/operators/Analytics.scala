@@ -303,11 +303,11 @@ object Analytics {
       |         CAST(floor(fmod(secs, 3600) / 60) AS INT), fmod(secs, 60)) AS fmt
       |FROM p ORDER BY l_orderkey, l_linenumber, t_str""".stripMargin) { (s, dir) =>
     RaceTime.register(s)
-    // NOTHING string-typed crosses the global Sort: (l_orderkey,
-    // l_linenumber) is lineitem's primary key, so ORDER BY (okey, lineno,
-    // t_str) ≡ ORDER BY (okey, lineno) — the sort/shuffle payload is four
-    // numeric columns, and the ENTIRE parse/format chain (two
-    // format_strings + the native parse) runs in the post-sort projection.
+    // NOTHING string-typed crosses the global Sort: t_str's lexicographic
+    // tie-break is replayed by the numeric key triple derived below, so
+    // the sort/shuffle payload is a handful of numeric columns and the
+    // ENTIRE parse/format chain (two format_strings + the native parse)
+    // runs in the post-sort projection.
     // This is what keeps the ×100 run stable: the old shape materialized a
     // formatted string per row below the range exchange, and the 60M-row
     // allocation storm at the GC boundary made same-code runs swing
@@ -316,11 +316,21 @@ object Analytics {
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_partkey"))
-      // (okey, lineno) is NOT unique in testdata — the numeric t_str
-      // components break ties so the output order is deterministic (the
-      // gate is row-order-insensitive; this is for run-to-run stability)
+      // (okey, lineno) is NOT unique in testdata, so the declared tie-break
+      // `t_str` must be replayed EXACTLY — but numerically, so nothing
+      // string-typed crosses the sort. Within a tie group o = okey%60 is
+      // constant and the trailing %03d field is fixed-width (lex ≡
+      // numeric), leaving only the variable-width leading %d of
+      // q = ⌊qty⌋%60: its lexicographic order is (first digit, then the
+      // second digit with the ':' separator sorting AFTER '9' — ASCII
+      // ':' = 58 — so single-digit q ranks after q·10+0..9). Two rows tied
+      // on ALL four keys have byte-identical output, so the order is total.
+      .withColumn("q60", floor(col("l_quantity")).cast("int") % 60)
       .orderBy(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_partkey"))
+        expr("CASE WHEN q60 < 10 THEN q60 ELSE q60 div 10 END"),
+        expr("CASE WHEN q60 < 10 THEN 10 ELSE q60 % 10 END"),
+        col("l_partkey") % 100)
+      .drop("q60")
       // floor, not bare cast: DuckDB's CAST(double AS INT) ROUNDS while
       // Spark's truncates — floor first so both engines agree even if
       // quantities were ever non-integral

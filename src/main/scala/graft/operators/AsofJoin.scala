@@ -220,9 +220,21 @@ object AsofJoin {
       .select(col("event_id"), col("ts"))
     val tExpr = expr(
       s"((ts * ${f}L) - pmod(ts * ${f}L, 1000)) div 1000")
+    // NULL-ts rows match nothing under SQL comparison semantics but must
+    // still APPEAR with n_near = 0 (the oracle's LEFT JOIN keeps them):
+    // the half filters below would silently drop them, so they rejoin
+    // through this pushed-down IsNull branch. (NULL-id rows with a valid
+    // ts need no branch — SlidingCountExec already emits them once with
+    // count 0 and never counts them as neighbors, matching the oracle's
+    // `b.event_id != a.event_id` null semantics.) All-null corpora
+    // short-circuit here (no split point exists — or is needed).
+    val nullRows = raw
+      .filter(col("ts").isNull)
+      .select(col("event_id"), lit(0L).as("n_near"))
     // 1-row bounded collect: the split point (the bounded-model rule —
     // the same midpoint idiom as dedup_incr_index / ann_incr_index)
     val mm = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    if (mm.isNullAt(0)) nullRows.orderBy(col("event_id")) else {
     def tOf(r: Long): Long = Math.floorDiv(r * f, 1000L)
     val mid = (tOf(mm.getLong(0)) + tOf(mm.getLong(1))) / 2
     def rOf(a: Long): Long = -Math.floorDiv(-1000L * a, f) // ceil(1000a/f)
@@ -237,13 +249,17 @@ object AsofJoin {
     // seam: base rows within W below the split × delta rows within W
     // above it — both raw bounds push to the scans; the pair join keys
     // on the delta row's band (≤2 probe bands per base row), so the seam
-    // work is density(2W)², never |base|·|δ|
+    // work is density(2W)², never |base|·|δ|. NULL-id rows are excluded
+    // from BOTH sides (a null id never forms a pair in the oracle), where
+    // the half counts get the same exclusion from SlidingCountExec.
     val bb = half(col("ts") < rMid && col("ts") >= rLo)
+      .filter(col("event_id").isNotNull)
       .select(col("event_id").as("b_id"), col("t").as("b_t"),
         explode(sequence(
           expr(s"t div ${BandMicros}L"),
           expr(s"(t + ${BandMicros}L) div ${BandMicros}L"))).as("band"))
     val db = half(col("ts") >= rMid && col("ts") < rHi)
+      .filter(col("event_id").isNotNull)
       .select(col("event_id").as("d_id"), col("t").as("d_t"),
         expr(s"t div ${BandMicros}L").as("band"))
     val seam = bb.join(db, Seq("band"))
@@ -255,7 +271,9 @@ object AsofJoin {
       .join(seamAdd, Seq("event_id"), "left")
       .select(col("event_id"),
         (col("n_half") + coalesce(col("n_cross"), lit(0L))).as("n_near"))
+      .unionByName(nullRows)
       .orderBy(col("event_id"))
+    }
   }
 
   /** SCD type-2 history build — run-length compression of a per-key state

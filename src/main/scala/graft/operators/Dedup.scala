@@ -695,12 +695,29 @@ object Dedup {
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val kept = capBuckets(bands)
-    val pairs = kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
-    candidateCounts(sig, pairs, "doc_id", "n_candidates")
+    // Per-doc verdict WITHOUT the pair materialization: n_candidates is
+    // |union over the doc's 4 bands of its bucket co-members| − 1, so the
+    // bucket member lists (≤ MaxBandBucket each, by the cap) are enough —
+    // collect them per (band, bkey), hand each member its bucket's list,
+    // and take the per-doc distinct-union size. The former band self-join
+    // + corpus-wide pair DISTINCT shipped one ROW per co-bucketed pair —
+    // clique-quadratic under near-dup cliques (a replicated corpus makes
+    // every doc a ~clique-sized bucket member, ~10⁸ pair rows at ×100) —
+    // where this form ships one ARRAY per member: the same ids, packed,
+    // with the dedup done per-doc over ≤4·cap longs instead of globally.
+    // The groupBy(band, bkey) reuses capBuckets' window partitioning, so
+    // the member collect adds no exchange; only the per-doc regroup
+    // shuffles, and it carries bucket-count × cap longs, not pairs².
+    val members = kept.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("mates"))
+    val cnt = members
+      .select(explode(col("mates")).as("doc_id"), col("mates"))
+      .groupBy(col("doc_id"))
+      .agg((size(array_distinct(flatten(collect_list(col("mates"))))) - 1)
+        .cast("long").as("n_candidates"))
+    sig.join(cnt, Seq("doc_id"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup: LSH-bucketed (random hyperplanes, shared

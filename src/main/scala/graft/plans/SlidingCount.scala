@@ -35,8 +35,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     head fringe (t_a ≥ minT_q − W ≥ maxT_p − W and
   *     t_b ≤ maxT_p + W ≤ minT_q + W). Fringe volume is the row density
   *     of a 2W span per boundary — corpus-size-invariant for a fixed
-  *     window over a growing time span — collected once and matched
-  *     driver-side, broadcast back as per-id extras.
+  *     window over a growing time span, but SUMMED over boundaries it
+  *     grows with the partition count, so the fringe pairs are counted
+  *     through a keyed shuffle on ⌊t/W⌋ buckets (each bucket group is two
+  *     O(n) sliding passes — never a pairwise loop, never a driver-side
+  *     data structure beyond the per-id totals), and only the aggregated
+  *     per-id extras are collected and broadcast back. A fringe set past
+  *     `GRAFT_SLIDING_FRINGE_MAX` (default 5·10⁶ — partitions narrower
+  *     than 2W make everything fringe) fails fast toward the composed
+  *     banded-join path instead of degrading silently.
   *
   * Output: one (id, n_near) row per input row (rows with NULL time or id
   * match nothing — SQL comparison semantics — and emit 0), so the
@@ -70,7 +77,11 @@ object SlidingCountNode {
     * event_id is a key) — the fringe extras accumulate per id, so two
     * rows sharing an id would each read the id's combined cross-partition
     * total. The composed aggregate+join form merges duplicate ids the
-    * same way, but row-local window counts would not.
+    * same way, but row-local window counts would not. PARTIALLY ENFORCED
+    * by a fail-fast duplicate-id check inside the exec's fringe
+    * aggregation — it rides an aggregation pass the exec already needs
+    * and catches the common case (a duplicate pair with both rows on
+    * fringes); a full-corpus uniqueness scan stays the caller's job.
     */
   def slidingCount(df: DataFrame, idCol: String, timeCol: String,
       window: Long, as: String): DataFrame = {
@@ -140,16 +151,21 @@ case class SlidingCountExec(
     val tB = BindReferences.bindReference(timeExpr, child.output)
     val w = window
     val rdd = child.execute()
-    // --- job 1: collect per-partition fringes (rows within W of the
-    // partition's own min/max time). Bounded by the window's row density,
-    // not the corpus. Runs on the same shuffle output job 2 reads.
-    val fringes: Array[(Int, Array[Long], Array[Long])] =
+    // --- job 1: extract per-partition fringes (rows within W of the
+    // partition's own min/max time) as a DISTRIBUTED (t, id, pid) row
+    // set. Bounded by the window's row density per boundary, not the
+    // corpus — but the TOTAL grows with partition count (and a partition
+    // narrower than 2W is ALL fringe), so nothing data-sized may reach
+    // the driver: cross-partition pairs are counted through a keyed
+    // shuffle below, and the driver only ever holds the per-id totals.
+    val fringeRows: RDD[(Long, Long, Int)] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         val headT = scala.collection.mutable.ArrayBuffer.empty[Long]
         val headI = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val tail = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+        val tail = scala.collection.mutable.ArrayDeque.empty[(Long, Long, Long)]
         var firstT = 0L
         var started = false
+        var idx = 0L
         while (it.hasNext) {
           val r = it.next()
           val tv = tB.eval(r)
@@ -159,53 +175,123 @@ case class SlidingCountExec(
             val i = iv.asInstanceOf[Long]
             if (!started) { firstT = t; started = true }
             if (within(firstT, t)) { headT += t; headI += i }
-            tail.append((t, i))
+            tail.append((t, i, idx))
             while (tail.nonEmpty && !within(tail.head._1, t)) tail.removeHead()
+            idx += 1L
           }
         }
         if (!started) Iterator.empty
         else {
-          // head and tail may overlap when the partition spans < 2W; the
-          // driver dedups by id (ids need not be unique globally for the
-          // local pass, but fringe rows are keyed (pid, t, id) — exact)
-          val seen = new java.util.HashSet[Long]()
-          headI.foreach(seen.add)
-          val extraT = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val extraI = scala.collection.mutable.ArrayBuffer.empty[Long]
-          tail.foreach { case (t, i) =>
-            if (!seen.contains(i)) { extraT += t; extraI += i }
+          // head and tail may overlap when the partition spans < 2W —
+          // emit each fringe ROW once, deduping by POSITION (the head is
+          // the sorted prefix, so a tail row repeats a head row iff its
+          // row index is below the head length; an id-based dedup would
+          // silently drop a contract-violating duplicate id and mask the
+          // guard below)
+          val headLen = headT.length.toLong
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          headT.indices.foreach(k => out += ((headT(k), headI(k), pi)))
+          tail.foreach { case (t, i, k) =>
+            if (k >= headLen) out += ((t, i, pi))
           }
-          Iterator.single((pi,
-            (headT ++ extraT).toArray, (headI ++ extraI).toArray))
+          out.iterator
         }
-      }.collect()
-    // --- driver: count cross-partition pairs over the (tiny) fringe set
-    val extras = new java.util.HashMap[Long, Long]()
-    if (fringes.nonEmpty) {
-      val all = fringes.flatMap { case (pi, ts, is) =>
-        ts.indices.map(k => (ts(k), is(k), pi))
-      }.sortBy(r => (r._1, r._2))
-      var lo = 0
-      var i = 0
-      while (i < all.length) {
-        val (ti, _, pidI) = all(i)
-        while (!within(all(lo)._1, ti)) lo += 1
-        var j = lo
-        while (j < i) {
-          if (all(j)._3 != pidI) {
-            extras.merge(all(i)._2, 1L, java.lang.Long.sum(_, _))
-            extras.merge(all(j)._2, 1L, java.lang.Long.sum(_, _))
-          }
-          j += 1
-        }
-        i += 1
       }
+    fringeRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One aggregation pass gives the volume diagnostic AND enforces the
+    // unique-id contract (header scaladoc): a duplicate id would silently
+    // apply another row's cross-partition total to every row sharing it,
+    // so fail fast instead.
+    val (nFringe, nDupIds) = fringeRows.map(r => (r._2, 1L))
+      .reduceByKey(_ + _)
+      .map { case (_, c) => (c, if (c > 1L) 1L else 0L) }
+      .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    require(nDupIds == 0L,
+      s"SlidingCountExec: $nDupIds duplicate id value(s) among fringe rows — " +
+        "slidingCount requires globally unique ids (see SlidingCountNode.slidingCount)")
+    // Guard the only remaining driver-sized artifact (the per-id extras
+    // map, ≤ one entry per fringe row): past the cap the caller should
+    // use the composed BandedIntervalJoin path, whose state is fully
+    // distributed. The cap binds when partitions are narrower than 2W
+    // (everything is fringe) — a degenerate partitioning for this
+    // operator, not a data regime it should absorb silently.
+    val maxFringe = graft.Knobs.envInt(
+      "GRAFT_SLIDING_FRINGE_MAX", 5000000, 1000, Int.MaxValue).toLong
+    logInfo(s"SlidingCountExec: $nFringe fringe rows " +
+      s"(window=$w, ${rdd.getNumPartitions} partitions)")
+    require(nFringe <= maxFringe,
+      s"SlidingCountExec: $nFringe fringe rows exceed GRAFT_SLIDING_FRINGE_MAX=" +
+        s"$maxFringe — partitions are likely narrower than 2·window; use the " +
+        "composed banded-join path or raise the cap")
+    // --- job 2: count cross-partition pairs DISTRIBUTED, keyed on the
+    // W-wide time bucket g = ⌊t/W⌋. A within-W pair spans same or
+    // adjacent buckets, so bucket g's group (its own rows plus bucket
+    // g+1's, shipped once as "neighbor" copies) sees every pair whose
+    // EARLIER row lives in g — counting only pairs whose earlier row is
+    // a home row counts each pair exactly once. Within a group, two
+    // O(n) sliding-window passes with per-pid counters credit both
+    // endpoints (forward: each row k gets its earlier home partners of a
+    // different pid; backward: each HOME row k gets its later partners
+    // of a different pid) — no pairwise loop anywhere.
+    val extrasLocal = new scala.collection.mutable.HashMap[Long, Long]()
+    if (nFringe > 0L) {
+      val counted = fringeRows.flatMap { case (t, id, pid) =>
+        val g = Math.floorDiv(t, w)
+        Iterator((g, (t, id, pid, true)), (g - 1L, (t, id, pid, false)))
+      }.groupByKey().flatMap { case (_, rowsIt) =>
+        val rows = rowsIt.toArray.sortBy(r => (r._1, r._2))
+        val out = new java.util.HashMap[Long, Long]()
+        val n = rows.length
+        // forward: window of earlier rows within W; count home rows per pid
+        var cntHome = 0L
+        val homePid = new java.util.HashMap[Int, Long]()
+        var lo = 0
+        var k = 0
+        while (k < n) {
+          val (tk, idk, pidk, _) = rows(k)
+          while (lo < k && tk - rows(lo)._1 > w) {
+            if (rows(lo)._4) {
+              cntHome -= 1L
+              homePid.merge(rows(lo)._3, -1L, java.lang.Long.sum(_, _))
+            }
+            lo += 1
+          }
+          val partners = cntHome - homePid.getOrDefault(pidk, 0L)
+          if (partners > 0L) out.merge(idk, partners, java.lang.Long.sum(_, _))
+          if (rows(k)._4) {
+            cntHome += 1L
+            homePid.merge(pidk, 1L, java.lang.Long.sum(_, _))
+          }
+          k += 1
+        }
+        // backward: window of later rows within W; only HOME rows collect
+        var cntAll = 0L
+        val allPid = new java.util.HashMap[Int, Long]()
+        var hi = n - 1
+        k = n - 1
+        while (k >= 0) {
+          val (tk, idk, pidk, home) = rows(k)
+          while (hi > k && rows(hi)._1 - tk > w) {
+            cntAll -= 1L
+            allPid.merge(rows(hi)._3, -1L, java.lang.Long.sum(_, _))
+            hi -= 1
+          }
+          if (home) {
+            val partners = cntAll - allPid.getOrDefault(pidk, 0L)
+            if (partners > 0L) out.merge(idk, partners, java.lang.Long.sum(_, _))
+          }
+          cntAll += 1L
+          allPid.merge(pidk, 1L, java.lang.Long.sum(_, _))
+          k -= 1
+        }
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        out.forEach((id, c) => b += ((id, c)))
+        b.iterator
+      }.reduceByKey(_ + _).collect()
+      counted.foreach { case (id, c) => extrasLocal.update(id, c) }
     }
-    val extrasB = sparkContext.broadcast {
-      val m = new scala.collection.mutable.HashMap[Long, Long]()
-      extras.forEach((k, v) => m.update(k, v))
-      m
-    }
+    fringeRows.unpersist(blocking = false)
+    val extrasB = sparkContext.broadcast(extrasLocal)
     val outSchema = StructType(Seq(
       StructField(idOut.name, LongType, idOut.nullable),
       StructField(countOut.name, LongType, nullable = false)))

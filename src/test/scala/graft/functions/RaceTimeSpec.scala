@@ -81,6 +81,24 @@ class RaceTimeSpec extends SparkSpec {
     assert(got(3) === "01:01:01.00")
   }
 
+  test("racetime's numeric sort keys replay the declared ORDER BY t_str exactly") {
+    // The registered query sorts on numeric keys derived from t_str's
+    // printf fields (nothing string-typed crosses the range exchange);
+    // the DECLARED order is (l_orderkey, l_linenumber, t_str) with t_str
+    // compared lexicographically. Assert the shipped row order equals a
+    // driver-side re-sort by the declared keys — guarding the tie groups
+    // ((okey, lineno) is NOT unique in testdata) against a future gate
+    // that compares row order.
+    val rows = graft.operators.Analytics.racetime.run(spark, sf("sf0.001"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("t_str"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+    val declared = rows.sortBy(identity)
+    assert(rows.toSeq === declared.toSeq)
+    // and the fixture genuinely exercises ties with lex-vs-numeric risk
+    assert(rows.groupBy(r => (r._1, r._2)).exists(_._2.length > 1))
+  }
+
   test("parse∘format round-trips to 2-decimal precision") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
