@@ -2042,12 +2042,14 @@ object Analytics {
     * expands the C(k,2) pairs MAP-SIDE with nested `transform`/`slice`
     * (order sizes are bounded by basket semantics, so the expansion is
     * a constant per order and the pair stream is linear in the fact
-    * table). The per-order frame is persisted and derives all three
-    * consumers — pair counts, per-part supports, and the order total —
-    * so the fact table is scanned and shuffled exactly once. Supports
-    * join the pair counts unhinted (AQE broadcasts at small SF, shuffles
-    * when |parts| grows); top-20 is TakeOrdered with a full-key
-    * tiebreak.
+    * table). The per-order part-sets collapse to the DISTINCT-basket
+    * frame (basket, multiplicity), which is persisted and derives all
+    * three consumers — weighted pair counts, weighted per-part supports,
+    * and the weighted order total — so the fact table is scanned and
+    * shuffled exactly once and every expansion runs per distinct basket,
+    * not per order. Supports join the pair counts unhinted (AQE
+    * broadcasts at small SF, shuffles when |parts| grows); top-20 is
+    * TakeOrdered with a full-key tiebreak.
     */
   val basketPairs: Q = Q("basket_pairs",
     """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2062,20 +2064,32 @@ object Analytics {
       |FROM pr JOIN s s1 ON p1 = s1.l_partkey JOIN s s2 ON p2 = s2.l_partkey
       |CROSS JOIN no
       |ORDER BY npair DESC, p1, p2 LIMIT 20""".stripMargin) { (s, dir) =>
-    val perOrder = graft.Scratch.track(t(s, dir, "lineitem")
+    val perOrder = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
-    val supports = perOrder
-      .select(explode(col("parts")).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("sup"))
-    val nOrders = perOrder.agg(count(lit(1)).as("n"))
-    val pairs = perOrder
-      .select(explode(expr(
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    // Collapse identical BASKETS before any expansion: every consumer
+    // below is a weighted sum over the distinct part-set, so orders
+    // sharing a basket (retail corpora are full of small repeated
+    // baskets; a replicated scale corpus is the extreme case) pay their
+    // C(k,2) expansion and per-part explode ONCE, carrying a
+    // multiplicity. The basket regroup exchanges |orders| slim array
+    // rows where the unweighted form exchanged the ~k²/2-amplified pair
+    // stream — strictly less data whenever k̄ ≥ 2, and orders of
+    // magnitude less under repetition. Weighted counts are exactly the
+    // oracle's per-order counts (count(*) ≡ Σ multiplicities).
+    val baskets = graft.Scratch.track(perOrder
+      .groupBy(col("parts")).agg(count(lit(1)).as("m")))
+    val supports = baskets
+      .select(explode(col("parts")).as("p"), col("m"))
+      .groupBy(col("p")).agg(sum(col("m")).as("sup"))
+    val nOrders = baskets.agg(sum(col("m")).as("n"))
+    val pairs = baskets
+      .select(col("m"), explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)), y ->
           |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pq"))
-      .select(col("pq.p1").as("p1"), col("pq.p2").as("p2"))
-      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("npair"))
+      .select(col("pq.p1").as("p1"), col("pq.p2").as("p2"), col("m"))
+      .groupBy(col("p1"), col("p2")).agg(sum(col("m")).as("npair"))
     // top-20 BEFORE the support joins: the ranking keys (npair, p1, p2)
     // exist on the pair frame, and the inner joins cannot drop a pair
     // (every part in a pair has a support row by construction), so the

@@ -710,6 +710,10 @@ object Dedup {
     // shuffles, and it carries bucket-count × cap longs, not pairs².
     val members = kept.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("doc_id")).as("mates"))
+      // singleton buckets carry no co-members — a doc whose every bucket
+      // is a singleton reads 0 off the left-join default, so dropping
+      // them here only removes dead weight from the per-doc regroup
+      .filter(size(col("mates")) >= 2)
     val cnt = members
       .select(explode(col("mates")).as("doc_id"), col("mates"))
       .groupBy(col("doc_id"))
