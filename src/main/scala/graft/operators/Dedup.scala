@@ -1075,7 +1075,7 @@ object Dedup {
     * exactly. The ORACLE is the full rebuild over all documents; the hash
     * gate therefore IS the merge theorem, proven at every SF. This is the
     * shape a daily ingest runs at 100 TB: sign and band ONLY the day's
-    * delta, append to the index, and re-run the capped bucket join —
+    * delta, append to the index, and re-derive the capped bucket stats —
     * never re-signature the corpus.
     *
     * Output observability: per band, `n_base`/`n_delta` count entries
@@ -1084,7 +1084,7 @@ object Dedup {
     * plus merged-bucket and capped-candidate-pair counts. The bucket cap
     * is the one corpus-global step (bucket sizes must see the merged
     * index) — it runs on the union, exactly as a production refresh
-    * re-caps after append, and costs a band-keyed window on the
+    * re-caps after append, and costs a bucket-keyed aggregate on the
     * entry-sized frame, not a corpus pass.
     *
     * Shape: the midpoint is a 2-value aggregate collected as a LITERAL so
@@ -1125,17 +1125,20 @@ object Dedup {
     val merged = baseIdx.unionByName(deltaIdx)
     def entriesOf(idx: DataFrame, n: String): DataFrame =
       idx.groupBy(col("band")).agg(count(lit(1)).as(n))
-    val kept = capBuckets(merged)
-    // NO pair distinct: a doc holds exactly ONE bkey per band (sig → one
-    // bandFrame entry per (doc, band); the cap only filters), so per-band
-    // join matches are already unique — the (band, id1, id2) DISTINCT the
-    // cross-band minhash pair set needs is a no-op here, and at the ×100
-    // smoke it shuffled 88M rows to remove zero (measured 10.9 s)
-    val pairs = kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.band").as("band"))
-      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    // NO pair join at all: a doc holds exactly ONE bkey per band (sig →
+    // one bandFrame entry per (doc, band); the cap only filters), so the
+    // per-band pair COUNT this output needs is pure bucket arithmetic —
+    // Σ over kept buckets of C(sz, 2). The former capped self-join
+    // produced exactly those C(sz, 2) matches row-by-row and then
+    // counted them: at ×100 that materialized ~10⁸ pair rows (plus a
+    // window pass for the cap) purely to feed a count. One keyed
+    // aggregate replaces both; the oracle keeps the join form as the
+    // independent replay.
+    val pairs = merged.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= MaxBandBucket)
+      .groupBy(col("band"))
+      .agg(sum(expr("sz * (sz - 1L) div 2")).as("n_pairs"))
     entriesOf(baseIdx, "n_base")
       .join(entriesOf(deltaIdx, "n_delta"), Seq("band"))
       .join(merged.groupBy(col("band"))
