@@ -22,11 +22,10 @@ import org.apache.spark.sql.functions._
   * join would multiply probe rows and corrupt every co-riding count).
   * Dimension key sets broadcast; the lineitem→orders probe is the one
   * genuine fact-to-fact check and rides a single orderkey shuffle. The
-  * composite-key uniqueness check runs as `count(*) − count(DISTINCT
-  * struct(l_orderkey, l_linenumber))` inside the same aggregate (Spark
-  * plans the distinct via expand — still one scan; the struct form, not
-  * multi-arg countDistinct, so NULL-keyed tuples count like the oracle's
-  * DISTINCT subquery) — and it is NONZERO on this
+  * composite-key uniqueness check runs as a two-level aggregation
+  * (per-PK group counts riding that same orderkey partitioning, then
+  * dup = Σn − #groups in the singleton rollup — NULL-keyed tuples group
+  * as equal, like the oracle's DISTINCT subquery) — and it is NONZERO on this
   * corpus: the testdata's composite lineitem key is genuinely non-unique
   * (the repo's window queries carry a tiebreaker for the same reason), so
   * the oracle gate discriminates real counting, not all-zero echoes.
@@ -79,24 +78,34 @@ object DataQuality {
     val nkeys = t(s, dir, "nation").select(col("n_nationkey")).distinct()
     val ckeys = t(s, dir, "customer").select(col("c_custkey")).distinct()
 
+    // dup as TWO-LEVEL aggregation, not count(*) − countDistinct(struct):
+    // the distinct-aggregate rewrite expands every row and re-exchanges
+    // the fact keyed by the PK struct (a second corpus-wide shuffle that
+    // existed only to count groups), while groupBy(l_orderkey,
+    // l_linenumber) is satisfied by the FK join's own l_orderkey hash
+    // partitioning — ZERO additional exchanges; dup = Σn − #groups at the
+    // singleton level. NULL keys group as equal in both forms (and in the
+    // oracle's DISTINCT subquery), so the audit stays exact on precisely
+    // the dirty keys it exists to find.
     val liChecks = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))
       .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
       .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left")
       .join(broadcast(skeys), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fk_o"),
-        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p"),
-        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s"),
-        // countDistinct over the STRUCT, not the two columns: Spark's
-        // multi-arg count(DISTINCT a, b) silently drops tuples where any
-        // column is NULL, while the oracle's SELECT DISTINCT subquery
-        // keeps them (NULLs grouping as equal) — the struct form counts
-        // NULL-keyed tuples the same way, so the audit stays exact on
-        // precisely the dirty keys it exists to find
-        (count(lit(1)) - countDistinct(struct(col("l_orderkey"), col("l_linenumber")))).as("dup"),
-        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom"))
+        count(lit(1)).as("n_g"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fk_o_g"),
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p_g"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s_g"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom_g"))
+      .agg(
+        sum(col("fk_o_g")).as("fk_o"),
+        sum(col("fk_p_g")).as("fk_p"),
+        sum(col("fk_s_g")).as("fk_s"),
+        (sum(col("n_g")) - count(lit(1))).as("dup"),
+        sum(col("dom_g")).as("dom"))
       .select(expr(
         """stack(5,
           |  'fk_lineitem_orders', fk_o,
@@ -106,13 +115,20 @@ object DataQuality {
           |  'dom_lineitem_nonpos_qty', dom
           |) as (check, n_violations)""".stripMargin))
 
+    // same two-level dup shape: the groupBy(oid) exchange carries the
+    // fact once where the distinct-agg expand shipped it twice
     val ordChecks = t(s, dir, "orders")
       .select(col("o_orderkey").as("oid"), col("o_custkey"), col("o_totalprice"))
       .join(broadcast(ckeys), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("oid"))
       .agg(
-        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("fk_c"),
-        (count(lit(1)) - countDistinct(col("oid"))).as("dup"),
-        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("dom"))
+        count(lit(1)).as("n_g"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("fk_c_g"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("dom_g"))
+      .agg(
+        sum(col("fk_c_g")).as("fk_c"),
+        (sum(col("n_g")) - count(lit(1))).as("dup"),
+        sum(col("dom_g")).as("dom"))
       .select(expr(
         """stack(3,
           |  'fk_orders_customer', fk_c,

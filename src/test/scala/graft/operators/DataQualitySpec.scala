@@ -66,6 +66,18 @@ class DataQualitySpec extends SparkSpec {
       "testdata's (l_orderkey, l_linenumber) is non-unique — the dup " +
         "check must be nonzero or the audit is vacuous")
   }
+  test("dq_audit plan: PK-dup counts aggregate two-level, no distinct-agg Expand") {
+    val plan = DataQuality.audit.run(spark, dir).queryExecution.executedPlan.toString
+    // the two-level dup aggregation must not regress to the distinct-agg
+    // rewrite (Expand + a second fact-wide exchange keyed by the PK).
+    // (At this SF the orders FK join broadcasts, so the PK rollup pays a
+    // small exchange of its own; at shuffle-join scale the rollup rides
+    // the join's l_orderkey partitioning — ClusteredDistribution on
+    // (l_orderkey, l_linenumber) is satisfied by HashPartitioning on the
+    // key prefix. The Expand guard is the SF-independent invariant.)
+    assert(!plan.contains("Expand"), s"distinct-agg Expand is back:\n$plan")
+  }
+
   test("dq_ldiversity matches a scalar replay and discriminates groups") {
     def tbl(n: String) = graft.sources.Tables.load(spark, dir, n)
     val qi = tbl("customer")
