@@ -687,40 +687,43 @@ object Dedup {
       when(c * 2 > col("nw"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = sums.select(col("doc_id"), simhashCol.as("simhash"))
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * SimhashBandBits)
-          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("bkey"))
+    // Per-doc verdict WITHOUT pair materialization: n_candidates is
+    // |A₀ ∪ A₁ ∪ A₂ ∪ A₃| where A_b = the doc's band-b bucket co-members
+    // (∅ when that bucket is over [[MaxBandBucket]] — the capBuckets
+    // semantics). Every term of the inclusion–exclusion expansion is a
+    // COMPOSITE-BUCKET size: docs in my A_{i}∩A_{j} are exactly the docs
+    // sharing BOTH band keys with me, i.e. my (bkey_i, bkey_j) composite
+    // bucket minus self — so the whole union size is 15 window COUNTS
+    // over the slim (doc_id, bkey₀..₃) frame, signed ±1 by subset parity
+    // and gated on the single-band keep flags. No band explode, no pair
+    // rows (the old DISTINCT shipped ~10⁸ clique-quadratic pairs at
+    // ×100), no member arrays — and the windows orderd by lowest set bit
+    // ride each other's partitioning (HashPartitioning(bkey_i) satisfies
+    // every superset's ClusteredDistribution), so the plan pays FOUR
+    // exchanges of |docs| slim rows, total. The oracle keeps the
+    // band-join + DISTINCT-pair form as the independent replay.
+    val mask = (1L << SimhashBandBits) - 1
+    val keyed = (0 until 4).foldLeft(sig) { (df, b) =>
+      df.withColumn(s"k$b",
+        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(lit(mask)))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val kept = capBuckets(bands)
-    // Per-doc verdict WITHOUT the pair materialization: n_candidates is
-    // |union over the doc's 4 bands of its bucket co-members| − 1, so the
-    // bucket member lists (≤ MaxBandBucket each, by the cap) are enough —
-    // collect them per (band, bkey), hand each member its bucket's list,
-    // and take the per-doc distinct-union size. The former band self-join
-    // + corpus-wide pair DISTINCT shipped one ROW per co-bucketed pair —
-    // clique-quadratic under near-dup cliques (a replicated corpus makes
-    // every doc a ~clique-sized bucket member, ~10⁸ pair rows at ×100) —
-    // where this form ships one ARRAY per member: the same ids, packed,
-    // with the dedup done per-doc over ≤4·cap longs instead of globally.
-    // The groupBy(band, bkey) reuses capBuckets' window partitioning, so
-    // the member collect adds no exchange; only the per-doc regroup
-    // shuffles, and it carries bucket-count × cap longs, not pairs².
-    val members = kept.groupBy(col("band"), col("bkey"))
-      .agg(collect_list(col("doc_id")).as("mates"))
-      // singleton buckets carry no co-members — a doc whose every bucket
-      // is a singleton reads 0 off the left-join default, so dropping
-      // them here only removes dead weight from the per-doc regroup
-      .filter(size(col("mates")) >= 2)
-    val cnt = members
-      .select(explode(col("mates")).as("doc_id"), col("mates"))
-      .groupBy(col("doc_id"))
-      .agg((size(array_distinct(flatten(collect_list(col("mates"))))) - 1)
-        .cast("long").as("n_candidates"))
-    sig.join(cnt, Seq("doc_id"), "left")
-      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+    // subsets ordered by lowest set bit so each band's exchange is reused
+    val subsets = (1 until 16).sortBy(java.lang.Integer.numberOfTrailingZeros)
+    val counted = subsets.foldLeft(keyed) { (df, s) =>
+      val cols = (0 until 4).filter(i => (s & (1 << i)) != 0).map(i => col(s"k$i"))
+      df.withColumn(s"m$s", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(cols: _*)))
+    }
+    val terms = subsets.map { s =>
+      val bits = (0 until 4).filter(i => (s & (1 << i)) != 0)
+      val sign = if (bits.size % 2 == 1) 1L else -1L
+      val allKept = bits.map(i => col(s"m${1 << i}") <= MaxBandBucket)
+        .reduce(_ && _)
+      when(allKept, lit(sign) * (col(s"m$s") - 1L)).otherwise(lit(0L))
+    }
+    counted
+      .select(col("doc_id"), col("simhash"),
+        terms.reduce(_ + _).as("n_candidates"))
       .orderBy(col("doc_id"))
   }
 

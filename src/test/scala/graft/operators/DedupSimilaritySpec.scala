@@ -153,6 +153,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distinct > 1, "simhash collapsed the whole corpus to one signature")
   }
 
+  test("dedup_simhash plan: 15 subset windows ride exactly four band exchanges") {
+    val plan = Dedup.simhash.run(spark, dir).queryExecution.executedPlan.toString
+    // signature build is map-side (no explode anywhere) and the
+    // inclusion-exclusion windows, ordered by lowest set bit, must reuse
+    // each band's hash exchange for every superset window — 4 hash
+    // exchanges for 15 counts, plus only the presentation range exchange
+    assert(!plan.contains("Generate"), s"band explode is back:\n$plan")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash === 4, s"expected 4 band exchanges, got $nHash:\n$plan")
+  }
+
   test("kmeans_train produces a full model that Lloyd's actually trained") {
     val model = Similarity.kmeansTrain.run(spark, dir)
       .select($"cid", $"dim", $"c", $"n")
