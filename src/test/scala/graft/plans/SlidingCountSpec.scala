@@ -61,6 +61,22 @@ class SlidingCountSpec extends SparkSpec {
     assert(expect.values.max >= 26) // dense fixture: real window counts
   }
 
+  test("sliding count: negative and sign-straddling times bucket correctly") {
+    // the fringe pair shuffle keys on floorDiv(t, W) — a truncating
+    // division here would split the bucket at 0 and lose pairs that
+    // straddle the sign boundary; fixture forces cross-partition pairs
+    // with t < 0, t = 0, and t > 0 inside one window
+    val rows = (-300 until 300).map(i => (i.toLong + 1000L, i.toLong * 7L))
+    val W = 50L
+    val df = rows.toDF("id", "t").repartitionByRange(12, col("t"))
+    val got = SlidingCountNode.slidingCount(df, "id", "t", W, "n")
+      .as[(Long, Long)].collect().toMap
+    val expect = rows.map { case (i, t) =>
+      i -> rows.count { case (j, u) => j != i && math.abs(u - t) <= W }.toLong
+    }.toMap
+    assert(got === expect)
+  }
+
   test("sliding count: duplicate ids among fringe rows fail fast") {
     // Two rows share id 7 and land near partition boundaries (every row
     // is fringe at this scale) — the unique-id contract guard must abort
