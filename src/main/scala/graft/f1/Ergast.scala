@@ -148,9 +148,9 @@ object Ergast {
         // formatCol(null) is null — collapse that to the same 'N/A'
         // sentinel every other failure path produces (one contract)
         coalesce(
-          when(isAbsolute, RaceTime.formatCol(secs))
+          when(isAbsolute, call_function("race_time_format", secs))
             .when(col("rawTime").startsWith("+") && leaderSoFar.isNotNull,
-              RaceTime.formatCol(leaderSoFar + secs))
+              call_function("race_time_format", leaderSoFar + secs))
             .otherwise(lit("N/A")),
           lit("N/A")))
       .drop("rawTime")

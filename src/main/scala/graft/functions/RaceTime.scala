@@ -69,6 +69,10 @@ object RaceTime {
         org.apache.spark.sql.catalyst.FunctionIdentifier("race_time_seconds")))
       reg.createOrReplaceTempFunction(
         "race_time_seconds", exprs => RaceTimeSeconds(exprs.head), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("race_time_format")))
+      reg.createOrReplaceTempFunction(
+        "race_time_format", exprs => RaceTimeFormat(exprs.head), "built-in")
   }
 }
 
@@ -111,6 +115,38 @@ object RaceTimeParse {
     val m = math.floor((sec % 3600) / 60).toInt
     "%02d:%02d:%05.2f".formatLocal(java.util.Locale.ROOT, h, m, sec % 60)
   }
+
+  /** Allocation-light `"HH:MM:SS.ss"` formatter — the JVM core behind the
+    * native [[RaceTimeFormat]] expression. Semantics are the COMPOSED
+    * [[RaceTime.formatCol]]'s, replayed exactly for every finite input:
+    * pmod (sign-safe, like the composed pmod calls), and the `%05.2f`
+    * fraction rounded HALF-UP on the double's exact decimal expansion —
+    * `java.util.Formatter`'s documented algorithm, reproduced via
+    * BigDecimal.setScale instead of a per-row Formatter (pattern parse +
+    * locale machinery), which is what made format_string the hottest
+    * expression in the racetime projection (~9 s of the ×100 query).
+    * NaN/±Inf return null (the composed path's ANSI int cast would ERROR
+    * there; a formatter must not kill a 100 TB job — documented easing,
+    * spec-pinned).
+    */
+  def formatFast(x: Double): UTF8String = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
+    @inline def pmod(a: Double, n: Double): Double = ((a % n) + n) % n
+    val h = math.floor(x / 3600d).toLong
+    val m = math.floor(pmod(x, 3600d) / 60d).toLong
+    val s = pmod(x, 60d)
+    val frac = new java.math.BigDecimal(s)
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    val sb = new java.lang.StringBuilder(12)
+    if (h >= 0 && h < 10) sb.append('0')
+    sb.append(h).append(':')
+    if (m >= 0 && m < 10) sb.append('0')
+    sb.append(m).append(':')
+    var pad = 5 - frac.length
+    while (pad > 0) { sb.append('0'); pad -= 1 }
+    sb.append(frac)
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Native Catalyst expression for race-time parsing (SURVEY.md §7.3): one
@@ -135,5 +171,34 @@ case class RaceTimeSeconds(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): RaceTimeSeconds =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression for race-time FORMATTING (the F2 twin of
+  * [[RaceTimeSeconds]]): seconds → `"HH:MM:SS.ss"` as a single codegen'd
+  * static call — see [[RaceTimeParse.formatFast]] for the exactness
+  * contract vs the composed [[RaceTime.formatCol]] (parity spec-asserted
+  * on random grids and printf edge shapes in RaceTimeSpec). Registered as
+  * SQL `race_time_format`.
+  */
+case class RaceTimeFormat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "race_time_format"
+
+  override def nullSafeEval(input: Any): Any =
+    RaceTimeParse.formatFast(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("fmt")
+      s"""
+      org.apache.spark.unsafe.types.UTF8String $tmp =
+        graft.functions.RaceTimeParse.formatFast($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RaceTimeFormat =
     copy(child = newChild)
 }

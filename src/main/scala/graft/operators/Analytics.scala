@@ -340,7 +340,10 @@ object Analytics {
         ((col("l_partkey") % 100) * 10).cast("int")))
       .withColumn("secs", RaceTime.secondsCol(col("t_str")))
       .withColumn("secs_native", expr("race_time_seconds(t_str)"))
-      .withColumn("fmt", RaceTime.formatCol(col("secs")))
+      // native formatter (composed formatCol ≡ native, RaceTimeSpec): the
+      // per-row java.util.Formatter behind format_string was ~9 s of the
+      // ×100 projection — the F2 twin of the F1 native parse above
+      .withColumn("fmt", call_function("race_time_format", col("secs")))
       .select(col("l_orderkey"), col("l_linenumber"), col("t_str"),
         col("secs"), col("secs_native"), col("fmt"))
   }

@@ -81,6 +81,31 @@ class RaceTimeSpec extends SparkSpec {
     assert(got(3) === "01:01:01.00")
   }
 
+  test("native race_time_format ≡ composed formatCol on grids and printf edges") {
+    import spark.implicits._
+    // random grid over the domain plus the printf-sensitive shapes: values
+    // whose exact binary expansion sits near a 2-decimal rounding boundary
+    // (x.xx5-looking doubles — 2.125 IS exactly representable), carry
+    // cases that round the fraction to "60.00", zero, and negatives
+    // (pmod keeps the fraction positive; the hour goes negative).
+    val rnd = new scala.util.Random(11)
+    val grid = Seq.fill(5000)(rnd.nextDouble() * 35999.99) ++
+      Seq(0.0, 2.125, 0.005, 0.015, 59.995, 59.999, 3599.995, 3599.999,
+        60.0, 3600.0, 86399.994, -0.5, -3600.25, -59.999)
+    val rows = grid.toDF("x")
+      .select(RaceTime.formatCol(col("x")).as("a"),
+        call_function("race_time_format", col("x")).as("b"))
+      .as[(String, String)].collect()
+    rows.foreach { case (a, b) => assert(a === b, s"composed=$a native=$b") }
+    // null propagates; NaN/Inf yield null from the native form (the
+    // composed ANSI cast would error — the native formatter's documented
+    // lenience: a bad row must not kill the job)
+    val edge = Seq(Option.empty[Double], Some(Double.NaN),
+      Some(Double.PositiveInfinity)).toDF("x")
+      .select(call_function("race_time_format", col("x"))).as[Option[String]].collect()
+    assert(edge.forall(_.isEmpty))
+  }
+
   test("racetime's numeric sort keys replay the declared ORDER BY t_str exactly") {
     // The registered query sorts on numeric keys derived from t_str's
     // printf fields (nothing string-typed crosses the range exchange);
