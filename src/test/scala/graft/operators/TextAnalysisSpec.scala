@@ -13,6 +13,26 @@ class TextAnalysisSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("session gram memo: memo-served equals a fresh build, persists, and releases") {
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(identity)
+    val memo = TextAnalysis.gramFrame(spark, dir)
+    val fresh = TextAnalysis.posGramsOf(
+      graft.sources.Tables.load(spark, dir, "documents"))
+    assert(rows(memo).toSeq === rows(fresh).toSeq)
+    assert(memo.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the memo frame must be persisted — first-payer amortization is its point")
+    // same instance on re-request (the memo actually memoizes)...
+    assert(TextAnalysis.gramFrame(spark, dir) eq memo)
+    // ...and a fresh, equal instance after release (no stale cache entry)
+    TextAnalysis.releaseSession(spark)
+    val rebuilt = TextAnalysis.gramFrame(spark, dir)
+    assert(!(rebuilt eq memo))
+    assert(rows(rebuilt).toSeq === rows(fresh).toSeq)
+    TextAnalysis.releaseSession(spark)
+  }
+
   test("langid recovers labels on a corpus with distinct marker distributions") {
     // the classifier's own marker vocabulary, as bare words (markers are
     // matched as " word ", so joining words with single spaces produces
