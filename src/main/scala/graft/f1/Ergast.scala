@@ -137,6 +137,11 @@ object Ergast {
     * to a running `first(..., ignoreNulls)` window over the array index.
     */
   def withFormattedTime(flat: DataFrame): DataFrame = {
+    // self-register the native formatter: call_function resolves through the
+    // session registry, so a plain SparkSession (no GraftSparkExtensions)
+    // must not throw AnalysisException here. register() is a no-op when the
+    // extension already injected the function.
+    RaceTime.register(flat.sparkSession)
     val secs = RaceTime.secondsCol(col("rawTime"))
     val isAbsolute = col("rawTime") =!= "N/A" && !col("rawTime").startsWith("+")
     val w = Window.partitionBy(col("year"), col("round")).orderBy(col("idx"))

@@ -120,11 +120,17 @@ object RaceTimeParse {
     * native [[RaceTimeFormat]] expression. Semantics are the COMPOSED
     * [[RaceTime.formatCol]]'s, replayed exactly for every finite input:
     * pmod (sign-safe, like the composed pmod calls), and the `%05.2f`
-    * fraction rounded HALF-UP on the double's exact decimal expansion —
-    * `java.util.Formatter`'s documented algorithm, reproduced via
-    * BigDecimal.setScale instead of a per-row Formatter (pattern parse +
-    * locale machinery), which is what made format_string the hottest
-    * expression in the racetime projection (~9 s of the ×100 query).
+    * fraction rounded HALF-UP on the double's SHORTEST decimal
+    * representation (`Double.toString`) — which is what
+    * `java.util.Formatter`'s `%f` actually rounds (it goes through
+    * `sun.misc.FormattedFloatingDecimal`, i.e. the shortest repr, NOT the
+    * exact binary expansion: 0.015 prints "0.02" under Formatter but its
+    * exact expansion 0.01499999999999999944… would round to "0.01").
+    * Reproduced via BigDecimal(Double.toString(s)).setScale instead of a
+    * per-row Formatter (pattern parse + locale machinery), which is what
+    * made format_string the hottest expression in the racetime projection
+    * (~9 s of the ×100 query). Verified mismatch-free against Formatter
+    * over dense grids in RaceTimeFormatProps + RaceTimeSpec.
     * NaN/±Inf return null (the composed path's ANSI int cast would ERROR
     * there; a formatter must not kill a 100 TB job — documented easing,
     * spec-pinned).
@@ -135,7 +141,9 @@ object RaceTimeParse {
     val h = math.floor(x / 3600d).toLong
     val m = math.floor(pmod(x, 3600d) / 60d).toLong
     val s = pmod(x, 60d)
-    val frac = new java.math.BigDecimal(s)
+    // shortest-repr BigDecimal, NOT new BigDecimal(s): Formatter rounds
+    // the shortest decimal representation half-up (see Scaladoc above)
+    val frac = new java.math.BigDecimal(java.lang.Double.toString(s))
       .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
     val sb = new java.lang.StringBuilder(12)
     if (h >= 0 && h < 10) sb.append('0')

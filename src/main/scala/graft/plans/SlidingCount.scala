@@ -215,14 +215,18 @@ case class SlidingCountExec(
     // distributed. The cap binds when partitions are narrower than 2W
     // (everything is fringe) — a degenerate partitioning for this
     // operator, not a data regime it should absorb silently.
-    val maxFringe = graft.Knobs.envInt(
+    // conf-first so the fail-fast path is test-exercisable (the JVM can't
+    // mutate its own env); GRAFT_SLIDING_FRINGE_MAX stays the ops surface
+    val maxFringe = graft.Knobs.confInt(
+      k => if (conf.contains(k)) Some(conf.getConfString(k)) else None,
+      "graft.sliding.fringeMax",
       "GRAFT_SLIDING_FRINGE_MAX", 5000000, 1000, Int.MaxValue).toLong
     logInfo(s"SlidingCountExec: $nFringe fringe rows " +
       s"(window=$w, ${rdd.getNumPartitions} partitions)")
     require(nFringe <= maxFringe,
       s"SlidingCountExec: $nFringe fringe rows exceed GRAFT_SLIDING_FRINGE_MAX=" +
-        s"$maxFringe — partitions are likely narrower than 2·window; use the " +
-        "composed banded-join path or raise the cap")
+        s"$maxFringe (conf graft.sliding.fringeMax) — partitions are likely " +
+        "narrower than 2·window; use the composed banded-join path or raise the cap")
     // --- job 2: count cross-partition pairs DISTRIBUTED, keyed on the
     // W-wide time bucket g = ⌊t/W⌋. A within-W pair spans same or
     // adjacent buckets, so bucket g's group (its own rows plus bucket

@@ -91,21 +91,42 @@ class SlidingCountSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("duplicate id")), ex.toString)
   }
 
-  test("sliding count: fringe cap failure names the knob") {
-    // With the cap forced to its floor, the 600-row all-fringe fixture
-    // must refuse to run rather than degrade (GRAFT_SLIDING_FRINGE_MAX
-    // is read per-execution via Knobs.envInt; the env itself can't be
-    // set from inside the JVM, so drive the floor through a narrow
-    // fixture instead: 1500 > 1000-floor only when all rows are fringe).
+  test("sliding count: fringe cap failure fails fast and names the knob") {
+    // 1500-row all-fringe fixture (every partition spans < 2W): with the
+    // cap forced to its 1000 floor via the injectable session conf, the
+    // exec must refuse to run rather than degrade, and the error must
+    // name the ops knob.
     val rows = (0 until 1500).map(i => (i.toLong, i.toLong))
     val df = rows.toDF("id", "t").repartitionByRange(8, col("t"))
-    // every partition spans ~187 < 2W=4000 — all 1500 rows are fringe
-    // and every pair is within W; assert the default cap does NOT bind
-    // and the result is exact (the guard's happy path): each row sees
-    // all 1499 others.
+    spark.conf.set("graft.sliding.fringeMax", "1000")
+    try {
+      val ex = intercept[Exception] {
+        SlidingCountNode.slidingCount(df, "id", "t", 2000L, "n").collect()
+      }
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ messages(t.getCause))
+      assert(messages(ex).exists(m =>
+        m.contains("GRAFT_SLIDING_FRINGE_MAX") && m.contains("graft.sliding.fringeMax")),
+        ex.toString)
+    } finally spark.conf.unset("graft.sliding.fringeMax")
+    // happy path with the cap back at its default: exact result (each row
+    // sees all 1499 others — everything is within W AND on a fringe)
     val got = SlidingCountNode.slidingCount(df, "id", "t", 2000L, "n")
       .as[(Long, Long)].collect().toMap
     assert(got.size === 1500 && got.values.forall(_ === 1499L))
+  }
+
+  test("sliding count: malformed fringe cap conf fails loudly, not default") {
+    spark.conf.set("graft.sliding.fringeMax", "lots")
+    try {
+      val df = Seq((1L, 0L), (2L, 5L)).toDF("id", "t")
+      val ex = intercept[Exception] {
+        SlidingCountNode.slidingCount(df, "id", "t", 10L, "n").collect()
+      }
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ messages(t.getCause))
+      assert(messages(ex).exists(_.contains("must be an integer")), ex.toString)
+    } finally spark.conf.unset("graft.sliding.fringeMax")
   }
 
   test("sliding count plan: native exec over ONE range exchange, no band explode") {
