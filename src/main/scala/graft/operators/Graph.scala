@@ -319,63 +319,43 @@ object Graph {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private val edgeFixtureReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** One-time persisted copy of the family's two shared edge sets
     * (co-purchase and bipartite trade) — the
     * [[graft.operators.Similarity.rankedTopKWrite]] shape for the graph
     * family: a deployment derives its edge lists once per corpus version
-    * and every graph algorithm reads the stored tables. Bench builds it
-    * outside the timed window (`graph_edges_fixture_s`) so the timed
-    * queries measure the algorithm, not the shared orderkey-exchange +
-    * wedge-truncation derivation; the memo fallback below keeps
-    * first-payer semantics when no fixture was written (Verify, specs).
+    * and every graph algorithm reads the stored tables. Content-stamped
+    * ([[graft.FixtureStore]]) so unchanged corpus + code reuse the stored
+    * edges across sessions. Bench builds it outside the timed window
+    * (`graph_edges_fixture_s`) so the timed queries measure the
+    * algorithm, not the shared orderkey-exchange + wedge-truncation
+    * derivation; the memo fallback below keeps first-payer semantics when
+    * no fixture was written (Verify, specs).
     */
   def edgeFixtureWrite(s: SparkSession, dir: String): String =
-    edgeFixtureReady.synchronized {
-      edgeFixtureReady.getOrElseUpdate((s, dir), {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-          "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-          "_" + Integer.toHexString(System.identityHashCode(s))
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_gredges_$tag"
-        buildCoPurchaseEdges(s, dir)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$root/copurchase")
-        buildBipartiteEdges(s, dir)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$root/bipartite")
-        graft.Scratch.release(s)
-        root
-      })
+    graft.FixtureStore.obtain("gredges", dir,
+      Seq("lineitem", "orders"), getClass) { root =>
+      buildCoPurchaseEdges(s, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/copurchase")
+      buildBipartiteEdges(s, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/bipartite")
+      graft.Scratch.release(s)
     }
 
-  /** End-of-session teardown for [[edgeCache]] and the edge fixture —
-    * the [[graft.operators.Similarity.releaseSession]] contract. */
+  /** End-of-session teardown for [[edgeCache]] — the
+    * [[graft.operators.Similarity.releaseSession]] contract. The edge
+    * fixture dirs stay: they belong to the corpus version
+    * ([[graft.FixtureStore]]), not the session. */
   def releaseSession(s: SparkSession): Unit = {
     edgeCache.keys.filter(_._1 eq s).foreach { k =>
       edgeCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
-    edgeFixtureReady.synchronized {
-      val (dead, live) = edgeFixtureReady.partition { case ((sess, _), _) => sess eq s }
-      dead.values.foreach { root =>
-        val d = new java.io.File(root)
-        if (d.getName.startsWith("graft_gredges_")) {
-          def rm(f: java.io.File): Unit = {
-            val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-          }
-          rm(d)
-        }
-      }
-      edgeFixtureReady.clear()
-      edgeFixtureReady ++= live
-      ()
     }
   }
 
   private[operators] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate((s, dir, "copurchase"), {
-      val base = edgeFixtureReady.synchronized(edgeFixtureReady.get((s, dir))) match {
+      val base = graft.FixtureStore.peek("gredges", dir) match {
         // restore the build path's (u, v) hash partitioning: the edge
         // files are small enough that maxPartitionBytes packs the scan
         // into 1–2 partitions, and the wedge self-joins downstream would
@@ -681,7 +661,7 @@ object Graph {
       // serve from the persisted fixture when it exists; re-apply the
       // src partitioning the consumers' per-round joins key on (a parquet
       // read-back carries no partitioning guarantee)
-      val base = edgeFixtureReady.synchronized(edgeFixtureReady.get((s, dir))) match {
+      val base = graft.FixtureStore.peek("gredges", dir) match {
         case Some(root) => s.read.parquet(s"$root/bipartite")
         case None => buildBipartiteEdges(s, dir)
       }

@@ -937,15 +937,13 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  private val indexReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
-  /** One-time persisted IVF×PQ index per (session, dir) — the production
+  /** One-time persisted IVF×PQ index per corpus version — the production
     * ANN piece the rebuild path lacks: a real deployment trains its
     * quantizers ONCE, writes the model + postings as tables, and every
     * query session thereafter serves from storage. Three parquet tables
-    * under a collision-proof tmpdir tag (the [[graft.sources.Ingest.orcPartCopy]]
-    * fixture idiom — memoized, Bench builds it outside the timed window):
+    * under a content-stamped [[graft.FixtureStore]] root (reused across
+    * sessions while embeddings + producer code are unchanged; Bench builds
+    * it outside the timed window):
     *   - `centroids`  (cid, dim, c)        — K×Dims flattened coarse model
     *   - `codebooks`  (m, code, dim, c)    — M×K×sub flattened PQ model
     *   - `postings`   (vec_id, cid, codes) — the encoded corpus
@@ -954,13 +952,9 @@ object Similarity {
     * directories and the cell-id prune becomes PARTITION PRUNING at the
     * scan — no full-postings pass at any corpus size.
     */
-  def ivfPqIndexWrite(s: SparkSession, dir: String): String = indexReady.synchronized {
-    indexReady.getOrElseUpdate((s, dir), {
+  def ivfPqIndexWrite(s: SparkSession, dir: String): String =
+    graft.FixtureStore.obtain("annidx", dir, Seq("embeddings"), getClass) { root =>
       import s.implicits._
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-        "_" + Integer.toHexString(System.identityHashCode(s))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_$tag"
       val (cents, cb, encoded) = ivfPqTrainEncode(s, dir)
       cents.zipWithIndex
         .flatMap { case (cv, cid) => cv.zipWithIndex.map { case (c, d) =>
@@ -977,9 +971,7 @@ object Similarity {
       encoded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cid").parquet(s"$root/postings")
       graft.Scratch.release(s)
-      root
-    })
-  }
+    }
 
   /** Query-from-disk ≡ query-from-rebuild — [[annIvfPq]] served from the
     * PERSISTED index ([[ivfPqIndexWrite]]) instead of retraining: the
@@ -1258,35 +1250,28 @@ object Similarity {
 
   private val RankMethods = Seq("brute", "lsh", "ivf", "pq", "ivfpq", "sq8")
 
-  private val rankFixtureReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** One-time persisted copy of the six ranked top-k frames — the
     * [[ivfPqIndexWrite]] train-once/serve-from-storage shape applied to
     * the RANKINGS the metric readouts consume: a deployment computes its
     * retrieval rankings once per corpus version and every quality readout
     * (recall, MRR, contrastive mining, fusion) reads the stored table.
-    * Bench builds this outside the timed window (`ann_rank_fixture_s`) so
-    * the timed metric queries measure the readout, not the six pipelines;
-    * first consumer still pays the build when the fixture was never
-    * written (Verify, specs) — the memo fallback in [[rankedTopK]].
+    * Content-stamped ([[graft.FixtureStore]]) so unchanged corpus + code
+    * reuse the stored frames across sessions. Bench builds this outside
+    * the timed window (`ann_rank_fixture_s`) so the timed metric queries
+    * measure the readout, not the six pipelines; first consumer still
+    * pays the build when the fixture was never written (Verify, specs) —
+    * the memo fallback in [[rankedTopK]].
     * Frames are tiny (≤ queries·k rows), so one file per method.
     */
   def rankedTopKWrite(s: SparkSession, dir: String): String =
-    rankFixtureReady.synchronized {
-      rankFixtureReady.getOrElseUpdate((s, dir), {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-          "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-          "_" + Integer.toHexString(System.identityHashCode(s))
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_annrank_$tag"
-        RankMethods.foreach { m =>
-          rankedMethodQ(m).run(s, dir)
-            .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$root/$m")
-        }
-        graft.Scratch.release(s)
-        root
-      })
+    graft.FixtureStore.obtain("annrank", dir,
+      Seq("embeddings"), getClass) { root =>
+      RankMethods.foreach { m =>
+        rankedMethodQ(m).run(s, dir)
+          .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/$m")
+      }
+      graft.Scratch.release(s)
     }
 
   private[operators] def rankedTopK(s: SparkSession, dir: String, method: String): DataFrame =
@@ -1294,60 +1279,25 @@ object Similarity {
       // serve from the persisted fixture when it exists — a ranked-frame
       // scan instead of the pipeline rebuild; values are identical (exact
       // integer ranks/sims, hash-gated) and every consumer re-sorts
-      val base = rankFixtureReady.synchronized(rankFixtureReady.get((s, dir))) match {
+      val base = graft.FixtureStore.peek("annrank", dir) match {
         case Some(root) => s.read.parquet(s"$root/$method")
         case None => rankedMethodQ(method).run(s, dir)
       }
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** End-of-session teardown for [[rankCache]] and the persisted-index
-    * fixture — the [[Dedup.releaseSession]] contract (mid-session the
-    * memo's whole point is to stay). The index dir is deleted with the
-    * session (the `Ingest.releaseSession` evict-fixtures rule: a dead
-    * memo key must not strand an index copy in /tmp per session; the
-    * session-identity tag makes each dir ours alone to remove). */
+  /** End-of-session teardown for the SESSION-scoped memos ([[rankCache]],
+    * [[semModelCache]]) — the [[Dedup.releaseSession]] contract
+    * (mid-session the memo's whole point is to stay). The on-disk fixture
+    * dirs are deliberately NOT deleted anymore: they live in the
+    * content-stamped [[graft.FixtureStore]], owned by the corpus version
+    * rather than the session, and the next session reusing them is the
+    * point (stale versions are reaped at the next build). */
   def releaseSession(s: SparkSession): Unit = {
     rankCache.keys.filter(_._1 eq s).foreach { k =>
       rankCache.remove(k).foreach(_.unpersist(blocking = false))
     }
-    indexReady.synchronized {
-      val (dead, live) = indexReady.partition { case ((sess, _), _) => sess eq s }
-      dead.values.foreach { root =>
-        val d = new java.io.File(root)
-        if (d.getName.startsWith("graft_annidx_")) deleteRecursively(d)
-      }
-      indexReady.clear()
-      indexReady ++= live
-      ()
-    }
-    rankFixtureReady.synchronized {
-      val (dead, live) = rankFixtureReady.partition { case ((sess, _), _) => sess eq s }
-      dead.values.foreach { root =>
-        val d = new java.io.File(root)
-        if (d.getName.startsWith("graft_annrank_")) deleteRecursively(d)
-      }
-      rankFixtureReady.clear()
-      rankFixtureReady ++= live
-      ()
-    }
     semModelCache.keys.filter(_._1 eq s).foreach(semModelCache.remove)
-    semModelReady.synchronized {
-      val (dead, live) = semModelReady.partition { case ((sess, _), _) => sess eq s }
-      dead.values.foreach { root =>
-        val d = new java.io.File(root)
-        if (d.getName.startsWith("graft_semmodel_")) deleteRecursively(d)
-      }
-      semModelReady.clear()
-      semModelReady ++= live
-      ()
-    }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   val annRecall: Q = Q("ann_recall", annRecallOracle) { (s, dir) =>
@@ -1707,36 +1657,29 @@ object Similarity {
   private val semModelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Long]]]
 
-  private val semModelReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** One-time persisted measured-K semantic model — [[ivfPqIndexWrite]]'s
     * train-once/serve-from-storage shape for the SemDeDup quantizer: both
     * consumers ([[dedupSemantic]], [[sampleProto]]) re-trained the same
     * [[KmIters]]-round model per invocation, tripling the assignment cost
-    * they actually measure. Bench builds this outside the timed window
-    * (`sem_model_fixture_s`); [[semanticModel]] then serves the K×Dims
-    * centroid table FROM the parquet (bounded-model collect).
+    * they actually measure. Content-stamped ([[graft.FixtureStore]]) so
+    * unchanged corpus + code reuse the trained model across sessions.
+    * Bench builds this outside the timed window (`sem_model_fixture_s`);
+    * [[semanticModel]] then serves the K×Dims centroid table FROM the
+    * parquet (bounded-model collect).
     */
   def semanticModelWrite(s: SparkSession, dir: String): String =
-    semModelReady.synchronized {
-      semModelReady.getOrElseUpdate((s, dir), {
-        import s.implicits._
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-          "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-          "_" + Integer.toHexString(System.identityHashCode(s))
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_semmodel_$tag"
-        val base = semanticCorpus(s, dir)
-        val cents = trainCoarse(s,
-          base.select(col("vec_id"), col("qv")), semK(base.count()))
-        cents.zipWithIndex
-          .flatMap { case (cv, cid) => cv.zipWithIndex.map { case (c, d) =>
-            (cid.toLong, d.toLong, c) } }
-          .toDF("cid", "dim", "c")
-          .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$root/centroids")
-        root
-      })
+    graft.FixtureStore.obtain("semmodel", dir,
+      Seq("embeddings"), getClass) { root =>
+      import s.implicits._
+      val base = semanticCorpus(s, dir)
+      val cents = trainCoarse(s,
+        base.select(col("vec_id"), col("qv")), semK(base.count()))
+      cents.zipWithIndex
+        .flatMap { case (cv, cid) => cv.zipWithIndex.map { case (c, d) =>
+          (cid.toLong, d.toLong, c) } }
+        .toDF("cid", "dim", "c")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/centroids")
     }
 
   /** The measured-K semantic model for a corpus dir — served from the
@@ -1745,7 +1688,7 @@ object Similarity {
   private[operators] def semanticModel(s: SparkSession, dir: String): Seq[Seq[Long]] =
     semModelCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      semModelReady.synchronized(semModelReady.get((s, dir))) match {
+      graft.FixtureStore.peek("semmodel", dir) match {
         case Some(root) =>
           s.read.parquet(s"$root/centroids")
             .select(col("cid"), col("dim"), col("c"))

@@ -252,34 +252,12 @@ object Ingest {
     bucketedReady.synchronized {
       bucketedReady.filterInPlace { case (sess, _) => !(sess eq s) }; ()
     }
-    // delete the evicted sessions' on-disk tmpdir fixtures too — the memo
-    // key dying must not strand a full table copy in /tmp per session
-    // (ADVICE r8); the session-identity tag makes each dir ours alone to
-    // remove
-    def evictFixtures(
-        memo: scala.collection.mutable.Map[(SparkSession, String), String],
-        dirPrefix: String): Unit = memo.synchronized {
-      val (dead, live) = memo.partition { case ((sess, _), _) => sess eq s }
-      dead.values.foreach { out =>
-        val fixtureDir = new java.io.File(out).getParentFile
-        if (fixtureDir != null && fixtureDir.getName.startsWith(dirPrefix))
-          deleteRecursively(fixtureDir)
-      }
-      memo.clear()
-      memo ++= live
-      ()
-    }
-    evictFixtures(orcReady, "graft_orc_")
-    evictFixtures(variantReady, "graft_variant_")
-    evictFixtures(raceZoneReady, "graft_racezone_")
-    evictFixtures(dppReady, "graft_dpp_")
-    evictFixtures(evoReady, "graft_evo_")
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(); ()
+    // the on-disk layout fixtures (orc/variant/racezone/dpp/evo copies)
+    // are NOT deleted anymore: they live in the content-stamped
+    // graft.FixtureStore, owned by the corpus version, and the next
+    // session reusing them is the point (the r8 per-session-stranding
+    // concern is gone — at most ONE live dir per family+corpus exists,
+    // stale versions reaped at the next build).
   }
 
   val bucketedJoin: graft.Q = graft.Q("bucketed_join",
@@ -296,32 +274,22 @@ object Ingest {
       .orderBy(col("c_mktsegment"))
   }
 
-  private val orcReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
-  /** One-time ORC interchange copy of `part` per (session, dir) — the
-    * fixture for [[orcRoundtrip]], memoized with the same contract as
-    * [[bucketedTables]] (collision-proof dir tag; Bench builds it outside
-    * the timed window and reports the seconds separately).
+  /** One-time ORC interchange copy of `part` per corpus version — the
+    * fixture for [[orcRoundtrip]], content-stamped ([[graft.FixtureStore]])
+    * so unchanged corpus + code reuse the copy across sessions; Bench
+    * builds it outside the timed window and reports the seconds
+    * separately. (Concurrent sessions are safe without a session tag now:
+    * builds land in a private dir and publish by atomic rename — nobody
+    * ever Overwrites a path another session is reading.)
     */
-  def orcPartCopy(s: SparkSession, dir: String): String = orcReady.synchronized {
-    orcReady.getOrElseUpdate((s, dir), {
-      // the tag includes the SESSION identity: two live sessions sharing a
-      // dir must not Overwrite the same path while the other reads it
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-        "_" + Integer.toHexString(System.identityHashCode(s))
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$tag/part.orc"
-      Tables.load(s, dir, "part").write.mode(SaveMode.Overwrite).orc(out)
-      out
-    })
-  }
+  def orcPartCopy(s: SparkSession, dir: String): String =
+    graft.FixtureStore.obtain("orc", dir, Seq("part"), getClass) { root =>
+      Tables.load(s, dir, "part").write.mode(SaveMode.Overwrite)
+        .orc(s"$root/part.orc")
+    } + "/part.orc"
 
-  private val variantReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
-  /** One-time mixed-shape JSON landing zone per (session, dir) — the
-    * fixture for [[variantMixed]], memoized and tagged exactly like
+  /** One-time mixed-shape JSON landing zone per corpus version — the
+    * fixture for [[variantMixed]], content-stamped exactly like
     * [[orcPartCopy]]. Five payload shapes keyed by `event_id % 5` over
     * the deterministic `event_id % 97 = 0` events slice: a numeric-`k`
     * object with a tag array, a string-`k` object, a nested-context
@@ -333,13 +301,9 @@ object Ingest {
     */
   def variantZone(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    variantReady.synchronized {
-      variantReady.getOrElseUpdate((s, dir), {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-          "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-          "_" + Integer.toHexString(System.identityHashCode(s))
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_variant_$tag/props.txt"
-        Tables.load(s, dir, "events")
+    graft.FixtureStore.obtain("variant", dir, Seq("events"), getClass) { root =>
+      val out = s"$root/props.txt"
+      Tables.load(s, dir, "events")
           .filter(col("event_id") % 97 === 0)
           .select(expr(
             """CASE CAST(event_id % 5 AS INT)
@@ -354,9 +318,7 @@ object Ingest {
               |  ELSE concat('not json ', CAST(event_id AS STRING))
               |END""".stripMargin).as("value"))
           .write.mode(SaveMode.Overwrite).text(out)
-        out
-      })
-    }
+    } + "/props.txt"
   }
 
   /** Spark 4 VARIANT over a heterogeneous landing zone — the registered,
@@ -437,10 +399,7 @@ object Ingest {
       .orderBy(col("p_brand"))
   }
 
-  private val raceZoneReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
-  /** One-time raw race-zone fixture per (session, dir) — reference-shaped
+  /** One-time raw race-zone fixture per corpus version — reference-shaped
     * `races_<year>_<round>.json` files (one document per race,
     * `Lucas files/finalversion:89`) derived DETERMINISTICALLY from the
     * nation⋈region dimensions so the DuckDB oracle can replay the
@@ -448,37 +407,31 @@ object Ingest {
     * becomes the race (year 1990 + k∕5, round k%5 + 1) with city = nation
     * name and country = region name. The 25-row collect is a bounded
     * dimension by construction (the pivot-domain argument, not a data
-    * collect). Memoized + tagged + evicted exactly like [[orcPartCopy]].
+    * collect). Content-stamped exactly like [[orcPartCopy]].
     */
   def raceZoneFixture(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions.col
-    raceZoneReady.synchronized {
-      raceZoneReady.getOrElseUpdate((s, dir), {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-          "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-          "_" + Integer.toHexString(System.identityHashCode(s))
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_racezone_$tag/raw"
-        val rows = Tables.load(s, dir, "nation")
-          .join(Tables.load(s, dir, "region"),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey").cast("int"), col("n_name"), col("r_name"))
-          .collect()
-        val d = new java.io.File(out)
-        d.mkdirs()
-        rows.foreach { r =>
-          val key = r.getInt(0)
-          val name = r.getString(1); val region = r.getString(2)
-          val year = 1990 + key / 5; val round = key % 5 + 1
-          val json =
-            s"""{"raceName": "GP $name", "date": "$year-06-0$round",
-               | "Circuit": {"circuitName": "Circuit $name"},
-               | "city": "$name", "country": "$region"}""".stripMargin
-          java.nio.file.Files.writeString(
-            new java.io.File(d, s"races_${year}_$round.json").toPath, json)
-        }
-        out
-      })
-    }
+    graft.FixtureStore.obtain("racezone", dir,
+      Seq("nation", "region"), getClass) { root =>
+      val rows = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("r_name"))
+        .collect()
+      val d = new java.io.File(s"$root/raw")
+      d.mkdirs()
+      rows.foreach { r =>
+        val key = r.getInt(0)
+        val name = r.getString(1); val region = r.getString(2)
+        val year = 1990 + key / 5; val round = key % 5 + 1
+        val json =
+          s"""{"raceName": "GP $name", "date": "$year-06-0$round",
+             | "Circuit": {"circuitName": "Circuit $name"},
+             | "city": "$name", "country": "$region"}""".stripMargin
+        java.nio.file.Files.writeString(
+          new java.io.File(d, s"races_${year}_$round.json").toPath, json)
+      }
+    } + "/raw"
   }
 
   /** The DSv2 raw-zone connector under the correctness gate (r9 verdict
@@ -509,13 +462,10 @@ object Ingest {
       .orderBy(col("year"))
   }
 
-  private val dppReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   private val DayNanos = 86400L * 1000000000L
 
-  /** One-time DAY-PARTITIONED copy of events per (session, dir) — the
-    * fixture for [[dppJoin]], memoized + tagged + evicted exactly like
+  /** One-time DAY-PARTITIONED copy of events per corpus version — the
+    * fixture for [[dppJoin]], content-stamped exactly like
     * [[orcPartCopy]]. The partition key is the zero-padded epoch-day
     * string (fixed width keeps the key a plain STRING in both the writer
     * and the directory-name inference — no partition-column type
@@ -524,22 +474,17 @@ object Ingest {
     * date-partitioned directories, where a day predicate is a directory
     * listing, not a scan.
     */
-  def dppEventsCopy(s: SparkSession, dir: String): String = dppReady.synchronized {
-    dppReady.getOrElseUpdate((s, dir), {
+  def dppEventsCopy(s: SparkSession, dir: String): String =
+    graft.FixtureStore.obtain("dpp", dir, Seq("events"), getClass) { root =>
       import org.apache.spark.sql.functions._
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-        "_" + Integer.toHexString(System.identityHashCode(s))
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$tag/events_by_day"
       Tables.load(s, dir, "events")
         .select(
           format_string("%06d", expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L"))
             .as("pd"),
           col("event_type"), col("value"))
-        .write.mode(SaveMode.Overwrite).partitionBy("pd").parquet(out)
-      out
-    })
-  }
+        .write.mode(SaveMode.Overwrite).partitionBy("pd")
+        .parquet(s"$root/events_by_day")
+    } + "/events_by_day"
 
   /** Dynamic partition pruning — the optimization that makes star-schema
     * joins survive 100 TB: the fact side is the day-partitioned copy
@@ -592,10 +537,7 @@ object Ingest {
       .orderBy(col("day"))
   }
 
-  private val evoReady =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
-  /** One-time two-era parquet directory per (session, dir) — the fixture
+  /** One-time two-era parquet directory per corpus version — the fixture
     * for [[schemaEvolutionQ]], memoized + tagged + evicted exactly like
     * [[orcPartCopy]]. Era A (even partkeys) was written before the schema
     * gained `p_brand`/`p_type`/`p_size`: its files carry only the three
@@ -603,22 +545,17 @@ object Ingest {
     * eras land in ONE directory (append), the exact on-disk shape months
     * of ingest leave behind.
     */
-  def evolvedPartCopy(s: SparkSession, dir: String): String = evoReady.synchronized {
-    evoReady.getOrElseUpdate((s, dir), {
+  def evolvedPartCopy(s: SparkSession, dir: String): String =
+    graft.FixtureStore.obtain("evo", dir, Seq("part"), getClass) { root =>
       import org.apache.spark.sql.functions.col
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-        "_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir)) +
-        "_" + Integer.toHexString(System.identityHashCode(s))
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$tag/part_evolved"
+      val out = s"$root/part_evolved"
       val p = Tables.load(s, dir, "part")
       p.filter(col("p_partkey") % 2 === 0)
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .write.mode(SaveMode.Overwrite).parquet(out)
       p.filter(col("p_partkey") % 2 === 1)
         .write.mode(SaveMode.Append).parquet(out)
-      out
-    })
-  }
+    } + "/part_evolved"
 
   /** Schema-evolution read under the hash gate — [[readEvolved]] was
     * spec-only (SchemaEvolutionSpec); this registers it: the two-era

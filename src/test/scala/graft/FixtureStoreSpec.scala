@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-session fixture store contract: one build per corpus version,
+  * rediscovery across processes by content stamp, rebuild on data change,
+  * and stale-version reaping. Pure filesystem tests — the store itself
+  * never runs Spark (builders do; here the builder just writes a marker).
+  */
+class FixtureStoreSpec extends AnyFunSuite {
+
+  /** A fake corpus dir holding one "table" file the stamp walks. */
+  private def corpus(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_fxspec_$tag")
+    Files.writeString(d.resolve("documents.parquet"), "rows")
+    d.toString
+  }
+
+  test("one build per corpus version; memo and on-disk rediscovery both skip the builder") {
+    val dir = corpus("reuse")
+    var builds = 0
+    def get(): String =
+      FixtureStore.obtain("fxspec", dir, Seq("documents"), getClass) { root =>
+        builds += 1
+        Files.writeString(Paths.get(root, "artifact"), s"build$builds")
+      }
+    val r1 = get()
+    assert(builds === 1)
+    assert(Files.readString(Paths.get(r1, "artifact")) === "build1")
+    // same process: memo hit
+    assert(get() === r1)
+    assert(builds === 1)
+    // fresh process (memo dropped): the on-disk dir is stamp-valid and
+    // must be reused WITHOUT building — this is the cross-session reuse
+    // the ×100 fixture seconds depend on
+    FixtureStore.dropMemo("fxspec", dir)
+    assert(FixtureStore.peek("fxspec", dir).isEmpty)
+    val r2 = get()
+    assert(r2 === r1)
+    assert(builds === 1, "stamp-valid dir must be served, not rebuilt")
+    assert(FixtureStore.peek("fxspec", dir).contains(r1))
+  }
+
+  test("data change flips the stamp: rebuild, and the stale sibling is reaped") {
+    val dir = corpus("stale")
+    var builds = 0
+    def get(): String =
+      FixtureStore.obtain("fxspec2", dir, Seq("documents"), getClass) { root =>
+        builds += 1
+        Files.writeString(Paths.get(root, "artifact"), s"build$builds")
+      }
+    val r1 = get()
+    assert(builds === 1)
+    // mutate the source table (size + mtime both move)
+    Files.writeString(Paths.get(dir, "documents.parquet"), "rows-v2-longer")
+    FixtureStore.dropMemo("fxspec2", dir)
+    val r2 = get()
+    assert(builds === 2, "changed data must rebuild")
+    assert(r2 !== r1, "new stamp, new dir")
+    assert(Files.readString(Paths.get(r2, "artifact")) === "build2")
+    assert(!Files.exists(Paths.get(r1)),
+      "the stale corpus version's dir must be reaped at the next build")
+  }
+
+  test("publication is all-or-nothing: a failed build leaves no serveable dir") {
+    val dir = corpus("fail")
+    var attempts = 0
+    def get(fail: Boolean): String =
+      FixtureStore.obtain("fxspec3", dir, Seq("documents"), getClass) { root =>
+        attempts += 1
+        if (fail) sys.error("builder exploded mid-write")
+        Files.writeString(Paths.get(root, "artifact"), "ok")
+      }
+    intercept[RuntimeException] { get(fail = true) }
+    FixtureStore.dropMemo("fxspec3", dir)
+    // the failed attempt must not have published: the retry builds
+    val r = get(fail = false)
+    assert(attempts === 2)
+    assert(Files.readString(Paths.get(r, "artifact")) === "ok")
+  }
+
+  test("absent source tables stamp as a stable state, not an error") {
+    val dir = corpus("absent")
+    var builds = 0
+    def get(): String =
+      FixtureStore.obtain("fxspec4", dir, Seq("documents", "no_such_table"),
+        getClass) { root =>
+        builds += 1
+        Files.writeString(Paths.get(root, "artifact"), "ok")
+      }
+    val r1 = get()
+    FixtureStore.dropMemo("fxspec4", dir)
+    assert(get() === r1)
+    assert(builds === 1)
+  }
+}
