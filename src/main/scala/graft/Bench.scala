@@ -19,7 +19,34 @@ object Bench {
           .getSystemLoadAverage, -1.0)
       }
     }
-    val (load1Start, load5Start) = loadAvg()
+    // Load-gate: two rounds produced BENCH artifacts with 5-10× phantom
+    // per-query regressions that were pure host contention (r14:
+    // text_bigram_lm 5.97 s contended vs 0.45 s quiet, same code). The
+    // harness now defends itself instead of relying on judge-side
+    // adjudication: if the 1-min load exceeds GRAFT_BENCH_LOAD_MAX
+    // (default 3.0) it backs off up to GRAFT_BENCH_LOAD_WAITS × 20 s for
+    // the host to quiet down, and if still loud it STAMPS the record
+    // `"contended": true` — a flagged artifact can never again present
+    // noise as a code regression. load1_end is NOT gated: the bench's own
+    // 32-thread work keeps it elevated by design.
+    val loadMax = sys.env.get("GRAFT_BENCH_LOAD_MAX").map { raw =>
+      val v = raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_BENCH_LOAD_MAX must be a number, got '$raw'"))
+      require(v > 0, s"GRAFT_BENCH_LOAD_MAX must be positive, got $v"); v
+    }.getOrElse(3.0)
+    val maxWaits = Knobs.envInt("GRAFT_BENCH_LOAD_WAITS", 6, 0, 60)
+    var (load1Start, load5Start) = loadAvg()
+    var waits = 0
+    while (load1Start > loadMax && waits < maxWaits) {
+      System.err.println(
+        f"[bench] host contended (load1 $load1Start%.2f > $loadMax%.2f) — backing off 20 s (${waits + 1}/$maxWaits)")
+      Thread.sleep(20000)
+      val l = loadAvg(); load1Start = l._1; load5Start = l._2
+      waits += 1
+    }
+    val contended = load1Start > loadMax
+    if (contended) System.err.println(
+      f"[bench] still contended after ${waits * 20} s (load1 $load1Start%.2f) — record will be stamped contended")
     val spark = GraftSession.build("graft-bench", Some(sfDir))
     // Force FULL evaluation of the declared result — every column, every
     // row, including the presentation sort. A bare `.count()` lets the
@@ -121,6 +148,13 @@ object Bench {
         "graph_degree").exists(selected.contains)) {
         graft.operators.Graph.edgeFixtureWrite(spark, sfDir); ()
       }
+    // the persisted base band index for incremental MinHash maintenance —
+    // the timed query signs only the delta half and reads the base from
+    // storage, the posture a daily ingest actually runs
+    val dedupBaseFixtureSecs: Double =
+      timedFixture("dedup_base", selected.contains("dedup_incr_index")) {
+        graft.operators.Dedup.baseIndexWrite(spark, sfDir); ()
+      }
     // Each query is timed BEST-OF-2: two independent passes, report the
     // min. A single pass conflates the query's cost with whatever the
     // host happened to be doing in that window — rounds 5-8 each spent
@@ -186,13 +220,14 @@ object Bench {
     val (load1End, load5End) = loadAvg()
     val loadFields =
       s""""load1_start":${fmt(load1Start)},"load5_start":${fmt(load5Start)},""" +
-        s""""load1_end":${fmt(load1End)},"load5_end":${fmt(load5End)}"""
+        s""""load1_end":${fmt(load1End)},"load5_end":${fmt(load5End)},""" +
+        s""""contended":$contended,"load_wait_s":${waits * 20}"""
     // the driver-contract line: summary-only (~180 bytes — no tail window
     // can clip it), per-query detail lives in the bench_last.json sidecar
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
       results.size},"failed":${results.values.count(_ < 0)},"sf":$sf,"total_p1_s":${
       fmt(totalP1)},"bucketed_fixture_s":${
-      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},$loadFields}""")
+      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},"dedup_base_fixture_s":${fmt(dedupBaseFixtureSecs)},$loadFields}""")
     System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
@@ -205,7 +240,7 @@ object Bench {
       val sidecar =
         s"""{"total_s":$total,"n":${results.size},"failed":${
           results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2","total_p1_s":$totalP1,$loadFields,""" +
-          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,"dedup_base_fixture_s":$dedupBaseFixtureSecs,""" +
           s""""queries":$qs,"passes":$raw}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),

@@ -12,6 +12,19 @@ object Verify {
     }
     val spark = GraftSession.build("graft-verify", Some(sfDir))
     new java.io.File(outDir).mkdirs()
+    // GRAFT_VERIFY_FIXTURES=1: obtain every persisted fixture BEFORE the
+    // dump, so the queries run their FIXTURE-SERVED paths under the full
+    // DuckDB hash gate (the driver runs without it and gates the inline
+    // rebuild paths — together the two runs gate both sides of every
+    // fixture ≡ rebuilt equivalence at any SF).
+    if (sys.env.get("GRAFT_VERIFY_FIXTURES").contains("1")) {
+      operators.Similarity.ivfPqIndexWrite(spark, sfDir)
+      operators.Similarity.rankedTopKWrite(spark, sfDir)
+      operators.Similarity.semanticModelWrite(spark, sfDir)
+      operators.Graph.edgeFixtureWrite(spark, sfDir)
+      operators.Dedup.baseIndexWrite(spark, sfDir)
+      Scratch.release(spark)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -353,6 +353,9 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("dedup_incr_index: delta-only signing, pushed half filters, band accounting") {
+    // pin the INLINE path: another test (or a bench run in this JVM) may
+    // have obtained the persisted base index, which changes the plan shape
+    graft.FixtureStore.dropMemo("dedupbase", dir)
     val out = Dedup.incrIndex.run(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
     // no full-corpus re-signature: every documents scan carries a doc_id
@@ -378,6 +381,41 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(nBase + nDelta === corpus, "one entry per doc per band")
       assert(nBuckets <= nBase + nDelta && nBuckets > 0)
     }
+  }
+
+  test("dedup_incr_index fixture: served base index ≡ inline rebuild, delta-only documents scan") {
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq.map(String.valueOf))
+        .sortBy(_.mkString(" "))
+    // 1. inline result first (no fixture memo in this order of operations)
+    graft.FixtureStore.dropMemo("dedupbase", dir)
+    val inline = sorted(Dedup.incrIndex.run(spark, dir))
+    // 2. obtain the persisted base index, re-run — values must be
+    //    identical (the merge theorem served from storage)
+    Dedup.baseIndexWrite(spark, dir)
+    assert(graft.FixtureStore.peek("dedupbase", dir).nonEmpty)
+    val served = Dedup.incrIndex.run(spark, dir)
+    assert(sorted(served) === inline,
+      "fixture-served incr index diverges from the inline rebuild")
+    // 3. the served plan signs ONLY the delta: every documents scan
+    //    carries the pushed >=mid filter and NONE carries <mid (the base
+    //    half comes from the stored index, not a re-signature)
+    val plan = served.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+      .toSeq
+    assert(scanLines.nonEmpty, plan)
+    scanLines.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id"),
+        s"documents scan without the delta-half filter: $l")
+      assert(!l.contains("LessThan(doc_id"),
+        s"base half re-signed despite the persisted index: $l")
+    }
+    // and the base entries come from the stored table (the location
+    // string truncates at 100 chars, so match the fixture family dir
+    // rather than the /baseidx leaf)
+    assert(plan.contains("graft_fx/dedupbase"), plan)
+    graft.Scratch.release(spark)
   }
 
   test("ann_ivfpq: residual codes score only probed cells, recall clears its floor") {
