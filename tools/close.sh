@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Round-close ritual: regenerate PLANS.md from the committed HEAD and stamp
+# it with the generating commit, so plan-affecting changes can never ship
+# with a stale plan dump again (the defect flagged in rounds 12-14: a
+# late plan-changing commit landed after the last `graft.Explain` run and
+# PLANS.md silently described the previous build).
+#
+# Usage: tools/close.sh [sfDir]     (default /root/testdata/sf0.001)
+# Then:  tools/check_plans.sh       fails while PLANS.md predates the last
+#                                   src/main change — run both at close.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.001}"
+if [ -n "$(git status --porcelain -- src/main)" ]; then
+  echo "close.sh: src/main has uncommitted changes — commit them first so" >&2
+  echo "the stamp names a commit that actually contains the plans" >&2
+  exit 1
+fi
+HEAD_SHA=$(git rev-parse HEAD)
+sbt -batch "runMain graft.Explain $SF_DIR PLANS.md"
+# stamp line goes right under the title; Explain rewrites the whole file,
+# so a previous stamp can never survive a regen
+sed -i "2i Generated at commit: $HEAD_SHA" PLANS.md
+echo "close.sh: PLANS.md regenerated and stamped at $HEAD_SHA"
+tools/check_plans.sh
