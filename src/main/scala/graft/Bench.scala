@@ -155,6 +155,15 @@ object Bench {
       timedFixture("dedup_base", selected.contains("dedup_incr_index")) {
         graft.operators.Dedup.baseIndexWrite(spark, sfDir); ()
       }
+    // the corpus gram frames (positional + distinct) behind the five
+    // text/dedup gram consumers — parquet-backed storage posture measured
+    // against the executor-memory memo at ×100 (NOTES.md round 15)
+    val gramsFixtureSecs: Double =
+      timedFixture("grams", Seq("text_decontam", "text_decontam_bloom",
+        "dedup_spans", "text_novelty", "text_boilerplate")
+        .exists(selected.contains)) {
+        graft.operators.TextAnalysis.gramFixtureWrite(spark, sfDir); ()
+      }
     // Each query is timed BEST-OF-2: two independent passes, report the
     // min. A single pass conflates the query's cost with whatever the
     // host happened to be doing in that window — rounds 5-8 each spent
@@ -227,7 +236,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
       results.size},"failed":${results.values.count(_ < 0)},"sf":$sf,"total_p1_s":${
       fmt(totalP1)},"bucketed_fixture_s":${
-      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},"dedup_base_fixture_s":${fmt(dedupBaseFixtureSecs)},$loadFields}""")
+      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},"dedup_base_fixture_s":${fmt(dedupBaseFixtureSecs)},"grams_fixture_s":${fmt(gramsFixtureSecs)},$loadFields}""")
     System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
@@ -240,7 +249,7 @@ object Bench {
       val sidecar =
         s"""{"total_s":$total,"n":${results.size},"failed":${
           results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2","total_p1_s":$totalP1,$loadFields,""" +
-          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,"dedup_base_fixture_s":$dedupBaseFixtureSecs,""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,"dedup_base_fixture_s":$dedupBaseFixtureSecs,"grams_fixture_s":$gramsFixtureSecs,""" +
           s""""queries":$qs,"passes":$raw}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
