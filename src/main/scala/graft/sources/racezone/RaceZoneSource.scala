@@ -156,12 +156,39 @@ final case class RaceFilePartition(path: String, year: Int, round: Int)
 
 final class RaceZoneScan(path: String, pushed: Array[Filter],
     required: StructType) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"racezone($path) pushed=[${pushed.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
+
+  /** Runtime (DPP-style) filtering — the EXECUTION-time sibling of the
+    * planning-time prune: declaring `year`/`round` filterable lets
+    * Catalyst's PartitionPruning rule wire a join's dim-side result into
+    * this scan as a dynamic `In` filter, delivered via [[filter]] after
+    * the dim side has executed but BEFORE this scan plans its partitions
+    * — so a year set that only exists at runtime (e.g. "years above the
+    * mean race count", underivable statically) still prunes whole files
+    * from a millions-of-files zone. Same vetting as the static path:
+    * only [[RaceZone.isFileLevel]]-decidable filters apply (Spark keeps a
+    * post-scan safety net for runtime filters regardless, so dropping an
+    * undecidable one costs correctness nothing).
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  // only columns surviving the projection prune: Spark resolves these
+  // against the scan's OUTPUT, so naming a pruned-away column (e.g.
+  // `round` in a year-only query) fails analysis instead of filtering
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.filter(RaceZone.fileLevelCols)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters.filter(RaceZone.isFileLevel)
+  }
 
   // the SESSION's Hadoop conf (spark.hadoop.* credentials, fs schemes),
   // not a bare `new Configuration()` — an s3a/abfs zone resolves through
@@ -173,7 +200,7 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
   // one listing per scan: planInputPartitions AND estimateStatistics both
   // read it (Spark calls stats at optimization, partitions at execution —
   // double-listing a millions-of-files zone would double the planning cost)
-  private lazy val partitions: Array[InputPartition] = {
+  private lazy val listed: Array[RaceFilePartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
     fs.listStatus(p).iterator
@@ -185,10 +212,15 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
       // planning-time pruning: a file failing ANY pushed predicate is
       // never scheduled
       .filter(fp => pushed.forall(RaceZone.accepts(_, fp.year, fp.round)))
-      .toArray[InputPartition]
+      .toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  // runtime filters apply HERE, not in the memoized listing: Spark calls
+  // planInputPartitions again after filter(), and statistics (an
+  // optimization-time concern) must keep describing the static prune
+  override def planInputPartitions(): Array[InputPartition] =
+    listed.filter(fp => runtime.forall(RaceZone.accepts(_, fp.year, fp.round)))
+      .toArray[InputPartition]
 
   /** POST-pruning statistics (SupportsReportStatistics): one output row
     * per surviving file, sized by the pruned column set. This is what
@@ -202,7 +234,7 @@ final class RaceZoneScan(path: String, pushed: Array[Filter],
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = partitions.length.toLong
+    val rows = listed.length.toLong
     val rowWidth = required.fields.map(_.dataType.defaultSize + 8L).sum
       .max(8L)
     new org.apache.spark.sql.connector.read.Statistics {
