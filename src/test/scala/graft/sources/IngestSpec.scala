@@ -163,30 +163,32 @@ class IngestSpec extends SparkSpec {
       !read.contains("p_name"), read)
   }
 
-  test("releaseSession deletes the on-disk ORC fixture, not just the memo") {
+  test("releaseSession KEEPS the on-disk ORC fixture: corpus-owned, session-independent") {
+    // the round-15 inversion of the old per-session-deletion contract:
+    // fixtures live in the content-stamped FixtureStore, owned by the
+    // corpus version — a session ending must NOT destroy what the next
+    // session exists to reuse (staleness is handled by the stamp, not by
+    // teardown)
     val dir = sf("sf0.001")
     val out = Ingest.orcPartCopy(spark, dir)
     val fixtureDir = new java.io.File(out).getParentFile
     assert(fixtureDir.exists(), s"fixture should exist after build: $fixtureDir")
     Ingest.releaseSession(spark)
-    assert(!fixtureDir.exists(),
-      s"fixture dir must be deleted on release: $fixtureDir")
-    // memo evicted too: a fresh call rebuilds rather than returning the
-    // deleted path as-if-ready
-    val rebuilt = Ingest.orcPartCopy(spark, dir)
-    assert(new java.io.File(rebuilt).getParentFile.exists())
+    assert(fixtureDir.exists(),
+      s"fixture dir must SURVIVE release for cross-session reuse: $fixtureDir")
+    // and the next consumer serves the same path without a rebuild
+    assert(Ingest.orcPartCopy(spark, dir) === out)
   }
 
-  test("releaseSession deletes the racezone fixture dir with the same contract") {
+  test("releaseSession keeps the racezone fixture dir with the same contract") {
     val dir = sf("sf0.001")
     val out = Ingest.raceZoneFixture(spark, dir)
     val fixtureDir = new java.io.File(out).getParentFile
-    assert(fixtureDir.exists() && fixtureDir.getName.startsWith("graft_racezone_"))
+    assert(fixtureDir.exists())
     Ingest.releaseSession(spark)
-    assert(!fixtureDir.exists(),
-      s"racezone fixture must be deleted on release: $fixtureDir")
-    val rebuilt = Ingest.raceZoneFixture(spark, dir)
-    assert(new java.io.File(rebuilt).getParentFile.exists())
+    assert(fixtureDir.exists(),
+      s"racezone fixture must survive release: $fixtureDir")
+    assert(Ingest.raceZoneFixture(spark, dir) === out)
   }
 }
 
