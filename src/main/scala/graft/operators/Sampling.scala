@@ -811,17 +811,26 @@ object Sampling {
       |  day_registers, n_days, occupied
       |FROM est e, dr, oc ORDER BY rank""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // persisted: the (user, day) projection feeds the register partials
-    // AND the exact fidelity counts — one corpus scan
-    val e = graft.Scratch.track(Tables.load(s, dir, "events")
+    // (day, user) COLLAPSE before anything else — the basket_pairs
+    // multiplicity lever: the corpus pays ONE keyed aggregate (10M rows →
+    // ~|days|·|users|, the user domain is dimension-sized), and the
+    // CmsRows explode + register partials + exact counts all run on the
+    // collapsed frame with `dc` weights. count ≡ Σ multiplicities at
+    // every downstream grain, so the oracle (which replays the
+    // row-per-event form) hashes identically. Previously the explode
+    // multiplied the CORPUS ×CmsRows into the register aggregate
+    // (×100: 40M probe rows) and the exact counts re-aggregated the
+    // corpus a second time.
+    val du = graft.Scratch.track(Tables.load(s, dir, "events")
       .select(col("user_id"),
-        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day")))
-    val cells = withCmsCells(e.select(col("user_id"), col("day")))
+        expr(s"(ts - pmod(ts, ${DayNanos}L)) div ${DayNanos}L").as("day"))
+      .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("dc")))
+    val cells = withCmsCells(du)
     val daily = cells.groupBy(col("day"), col("r"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("dc")).as("c"))
     val merged = daily.groupBy(col("r"), col("bucket"))
       .agg(sum(col("c")).as("c"))
-    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val exact = du.groupBy(col("user_id")).agg(sum(col("dc")).as("cnt"))
     // top-10 probes via TakeOrderedAndProject — no data-sized window
     val probes = exact.orderBy(col("cnt").desc, col("user_id")).limit(10)
     val pc = withCmsCells(probes.select(col("user_id"), col("cnt")))
@@ -1011,29 +1020,51 @@ object Sampling {
       |  FROM neg)
       |SELECT CAST(cust AS BIGINT) AS cust, CAST(rank AS BIGINT) AS rank, item
       |FROM r WHERE rank <= $NegK ORDER BY cust, rank""".stripMargin) { (s, dir) =>
-    // persisted: the probe generator (distinct users) and the anti-join
-    // both consume the positive set — unpersisted, each re-runs the
-    // fact join + distinct
-    val pos = graft.Scratch.track(Tables.load(s, dir, "lineitem")
+    // The anti-join needs only MEMBERSHIP of the ~|custs|·NegDraws
+    // candidate pairs in the positive set — never the positive set's own
+    // distinct identity. The former shape globally distinct'd the fact
+    // join's (cust, item) pairs (a corpus-sized exchange, ×100: ~60M
+    // pairs) and shuffled them again into a sort-merge anti-join against
+    // 120k candidates. Inverted: the un-distinct'd join output streams
+    // ONCE through a broadcast LEFT SEMI probe against the candidate
+    // pairs (map-side, no pair exchange at all), the matched survivors
+    // (≤ |cands|) dedup for pennies, and the anti-join becomes
+    // tiny-vs-tiny. The only corpus exchange left is the orderkey fact
+    // join itself — irreducible, it defines the positives; persisted
+    // because both the cust domain and the membership probe consume it
+    // (measured at ×100: persist 14.5 s, recompute-twice 24.5 s).
+    // Honest local read: wall-clock is join-dominated either way — the
+    // former shape measured 13.0 s and this one 14.5–16.8 s across
+    // noisy runs (the pairs are ~unique, so its distinct didn't shrink
+    // anything; both persist ~the same volume). The shape is kept for
+    // the CLUSTER posture: the former global pair distinct was a second
+    // full corpus NETWORK exchange (~60M pairs) feeding a sort-merge
+    // anti-join, and both are gone — on local NVMe an exchange costs
+    // about what a cache materialization does, on 1000 executors it
+    // does not.
+    val joined = graft.Scratch.track(Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long").as("cust"),
-        col("l_partkey").cast("long").as("item"))
-      .distinct())
+        col("l_partkey").cast("long").as("item")))
     val np = Tables.load(s, dir, "part").agg(count(lit(1)).as("np"))
-    val cands = pos.select(col("cust")).distinct()
+    val cands = graft.Scratch.track(joined.select(col("cust")).distinct()
       .crossJoin(broadcast(np))
       .select(col("cust"), explode(expr(
         s"sequence(0, ${NegDraws - 1})")).as("j"), col("np"))
       .withColumn("item", expr(
         """1 + CAST(conv(substr(md5(concat(CAST(cust AS STRING), '#',
           |  CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % np"""
-          .stripMargin))
+          .stripMargin)))
+    val matched = joined
+      .join(broadcast(cands.select(col("cust"), col("item"))),
+        Seq("cust", "item"), "left_semi")
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cust")).orderBy(col("j"), col("item"))
-    cands.join(pos, Seq("cust", "item"), "left_anti")
+    cands.join(broadcast(matched), Seq("cust", "item"), "left_anti")
       .groupBy(col("cust"), col("item")).agg(min(col("j")).as("j"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= NegK)

@@ -847,15 +847,22 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("w")).limit(CooccurVocab))
     val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
     val vocArr = voc.agg(sort_array(collect_list(col("w"))).as("vw"))
+    // basket collapse (the basket_pairs multiplicity lever): distinct
+    // vocab-intersection arrays repeat heavily (every near-dup / replica
+    // shares one), so group them to (parts, m) BEFORE the C(k,2) pair
+    // explode and aggregate Σm — exact (count ≡ Σ multiplicities), and
+    // the explode feeds |distinct baskets|·C(k,2) rows into the partial
+    // aggregate instead of |docs|·C(k,2) (×100: ~10× fewer)
     val pairs = perDoc
       .crossJoin(broadcast(vocArr))
       .select(sort_array(array_intersect(col("ws"), col("vw"))).as("parts"))
+      .groupBy(col("parts")).agg(count(lit(1)).as("m"))
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)), y ->
-          |    struct(x AS w1, y AS w2))))""".stripMargin)).as("pq"))
-      .select(col("pq.w1").as("w1"), col("pq.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("docs_both"))
+          |    struct(x AS w1, y AS w2))))""".stripMargin)).as("pq"), col("m"))
+      .select(col("pq.w1").as("w1"), col("pq.w2").as("w2"), col("m"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("docs_both"))
     pairs
       .crossJoin(broadcast(nDocs))
       .join(broadcast(voc).select(col("w").as("w1"), col("df").as("df1")), Seq("w1"))
@@ -1256,7 +1263,16 @@ object TextAnalysis {
     val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val lm = bd.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c"))
       .withColumn("pc", sum(col("c")).over(byW1))
-    bd.join(lm, Seq("w1", "w2"))
+    // the trained LM is VOCABULARY-sized, not corpus-sized (931 distinct
+    // bigrams at sf0.1; the ScaleUp suffix scheme adds ~|last words| per
+    // replica) — broadcast it so the corpus-sized bd frame never
+    // re-exchanges on (w1, w2) and the scoring join is map-side; the
+    // only corpus exchanges left are bd's own build and the per-doc
+    // rollup (whose map-side partial collapses to ~|docs| wire rows).
+    // A corpus whose bigram vocab outgrows broadcast would flip this
+    // back to the shuffle join — that is a different data model than
+    // the synthetic documents family this LM is declared over.
+    bd.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * expr("(c * 1000000L) div pc")).as("tot"))
