@@ -80,6 +80,53 @@ class FixtureStoreSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(r, "artifact")) === "ok")
   }
 
+  test("concurrent obtains converge to one published root with the artifact intact") {
+    // the in-process TrieMap memo may evaluate the builder more than once
+    // under contention, and two processes can genuinely race — the
+    // publish-by-atomic-rename contract must make every caller see ONE
+    // immutable root regardless (losers discard their build). Simulate
+    // with racing threads, each dropping the memo first so all of them
+    // walk the filesystem path.
+    val dir = corpus("race")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        FixtureStore.dropMemo("fxspec5", dir)
+        val r = FixtureStore.obtain("fxspec5", dir, Seq("documents"),
+          getClass) { root =>
+          builds.incrementAndGet()
+          // a slow build widens the race window
+          Thread.sleep(50)
+          Files.writeString(Paths.get(root, "artifact"), s"by-$i")
+        }
+        roots.add(r); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(roots.size === 1, s"divergent roots: $roots")
+    val root = roots.iterator().next()
+    assert(Files.exists(Paths.get(root, "_GRAFT_STAMP")))
+    // exactly one build PUBLISHED (whichever), its artifact whole
+    val content = Files.readString(Paths.get(root, "artifact"))
+    assert(content.startsWith("by-"), content)
+    // no stranded .build dirs
+    val base = Paths.get(root).getParent
+    val leftover = {
+      val s = Files.list(base)
+      try {
+        val b = scala.collection.mutable.Buffer.empty[String]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("fxspec5") && n.contains(".build.")) b += n
+        }
+        b.toList
+      } finally s.close()
+    }
+    assert(leftover.isEmpty, s"stranded build dirs: $leftover")
+  }
+
   test("absent source tables stamp as a stable state, not an error") {
     val dir = corpus("absent")
     var builds = 0
