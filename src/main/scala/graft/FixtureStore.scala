@@ -127,16 +127,40 @@ object FixtureStore {
     f.delete(); ()
   }
 
+  /** Monotonic per-process attempt counter: together with the pid it
+    * makes every build dir unique per ATTEMPT, so two threads of one JVM
+    * racing the same obtain can never write into each other's dir (the
+    * TrieMap memo does not make the builder exclusive — publication
+    * correctness comes from unique dirs + the atomic rename, period).
+    */
+  private val attempt = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Published stale siblings younger than this survive a reap pass: a
+    * dir this fresh was likely built by a CONCURRENTLY RUNNING process on
+    * a different code version, which may still be reading it (external
+    * bucketed tables, lazily-consumed fixture scans). Older ones are the
+    * previous corpus/code version's leftovers and go.
+    */
+  private val ReapGraceMs = 30L * 60 * 1000
+
   /** Obtain the fixture root for `family` over `tables` under `dataDir`,
     * building via `build(tmpRoot)` only when no stamp-valid dir exists.
     * `build` receives a PRIVATE temp root and must write everything under
     * it; publication is the atomic rename here, never the build itself.
     * Returns the published root (immutable once visible).
+    *
+    * `extra` carries stamp lines beyond data + producer code — resolved
+    * env-knob values for families whose CONTENT depends on them (the LSH
+    * geometry behind the ranked-frame fixture): a knob change must flip
+    * the stamp exactly like a data or code change, or a fixture built
+    * under one geometry would silently serve a session running another.
     */
   def obtain(family: String, dataDir: String, tables: Seq[String],
-      producer: Class[_])(build: String => Unit): String =
+      producer: Class[_], extra: Seq[String] = Nil)(
+      build: String => Unit): String =
     ready.getOrElseUpdate((family, dataDir), {
       val lines = (Seq(s"family:$family", codeStamp(producer)) ++
+        extra.sorted ++
         tables.sorted.flatMap { t =>
           fileMeta(Paths.get(dataDir, s"$t.parquet"), s"$t.parquet")
         }).mkString("\n")
@@ -150,29 +174,46 @@ object FixtureStore {
       val done = root.resolve("_GRAFT_STAMP")
       if (Files.exists(done)) root.toString
       else {
-        // reap stale siblings: same family+corpus, different stamp — the
-        // previous corpus/code version's artifact, unreachable from any
-        // current stamp computation
+        // reap siblings of this family+corpus. Two kinds:
+        //  - published dirs with a different stamp: the previous
+        //    corpus/code/knob version — reaped once past the grace
+        //    window (a younger one may still feed a live process);
+        //  - `.build.` attempt dirs whose owning PID is dead: orphans of
+        //    a crashed build (live attempts — including our own threads'
+        //    — are left alone).
+        val now = System.currentTimeMillis()
         val sibs = {
           val s = Files.list(base)
           try s.iterator().asScala.toSeq finally s.close()
         }
-        sibs.filter { p =>
+        sibs.foreach { p =>
           val n = p.getFileName.toString
-          n.startsWith(s"${family}_${dirTag}_") && n != rootName &&
-            !n.contains(".build.")
-        }.foreach(p => deleteRecursively(p.toFile))
+          if (n.startsWith(s"${family}_${dirTag}_") && n != rootName) {
+            val bi = n.indexOf(".build.")
+            if (bi >= 0) {
+              val pid = n.drop(bi + ".build.".length).takeWhile(_.isDigit)
+              val dead = pid.nonEmpty &&
+                (try ProcessHandle.of(pid.toLong).isEmpty
+                 catch { case _: Throwable => false })
+              if (dead) deleteRecursively(p.toFile)
+            } else if ({
+              val age = try now - Files.getLastModifiedTime(p).toMillis
+                        catch { case _: Throwable => 0L }
+              age > ReapGraceMs
+            }) deleteRecursively(p.toFile)
+          }
+        }
         val tmp = base.resolve(
-          s"$rootName.build.${ProcessHandle.current().pid()}")
-        deleteRecursively(tmp.toFile)
+          s"$rootName.build.${ProcessHandle.current().pid()}.${attempt.incrementAndGet()}")
         Files.createDirectories(tmp)
         build(tmp.toString)
         Files.writeString(tmp.resolve("_GRAFT_STAMP"), lines)
         try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case e: java.nio.file.FileSystemException =>
-            // rename race: another JVM published the same stamp first —
-            // its copy is byte-equivalent (same data, same code); drop ours
+            // rename race: another attempt published the same stamp
+            // first — its copy is equivalent (same data, same code, same
+            // knobs); drop ours
             if (Files.exists(done)) deleteRecursively(tmp.toFile)
             else throw e
         }

@@ -1265,7 +1265,13 @@ object Similarity {
     */
   def rankedTopKWrite(s: SparkSession, dir: String): String =
     graft.FixtureStore.obtain("annrank", dir,
-      Seq("embeddings"), getClass) { root =>
+      Seq("embeddings"), getClass,
+      // the LSH ranking's content depends on the geometry knobs — a knob
+      // change must flip the stamp like a code change, or a fixture built
+      // under one geometry would serve a session running another
+      extra = Seq(
+        s"knob:lsh_tables=${graft.functions.LshPlanes.NumTables}",
+        s"knob:lsh_bits=${graft.functions.LshPlanes.TableBits}")) { root =>
       RankMethods.foreach { m =>
         rankedMethodQ(m).run(s, dir)
           .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -198,10 +198,14 @@ object Ingest {
     * its per-bucket sort when files-per-bucket is 1.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table) // managed: location under spark.sql.warehouse.dir
+    // with a path: EXTERNAL at that location (dropping the table keeps
+    // the files — the FixtureStore build path); without: managed under
+    // spark.sql.warehouse.dir
+    path.fold(w)(w.option("path", _)).saveAsTable(table)
+  }
 
   /** The co-located join the bucketed sink exists for, oracle-gated on its
     * RESULT while BucketedJoinSpec gates the PLAN (zero shuffle exchanges
@@ -226,15 +230,14 @@ object Ingest {
     val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
     val root = graft.FixtureStore.obtain("bucketed", dir,
       Seq("orders", "customer"), getClass) { tmp =>
-      // write THROUGH a throwaway catalog entry (saveAsTable is the only
-      // writer that lays down bucket metadata), external at the build
-      // path; dropping an external table keeps its data
+      // write THROUGH a throwaway catalog entry ([[writeBucketed]] with a
+      // path — saveAsTable is the only writer that lays down bucket
+      // metadata), external at the build path; dropping an external
+      // table keeps its data
       def writeTo(df: DataFrame, buildTable: String, path: String,
           bucketCol: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $buildTable")
-        df.write.mode(SaveMode.Overwrite).format("parquet")
-          .bucketBy(8, bucketCol).sortBy(bucketCol)
-          .option("path", path).saveAsTable(buildTable)
+        writeBucketed(df, buildTable, bucketCol, 8, Some(path))
         s.sql(s"DROP TABLE $buildTable")
       }
       writeTo(Tables.load(s, dir, "orders")

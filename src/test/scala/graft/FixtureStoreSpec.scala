@@ -42,7 +42,7 @@ class FixtureStoreSpec extends AnyFunSuite {
     assert(FixtureStore.peek("fxspec", dir).contains(r1))
   }
 
-  test("data change flips the stamp: rebuild, and the stale sibling is reaped") {
+  test("data change flips the stamp: rebuild; aged stale siblings reaped, fresh ones spared") {
     val dir = corpus("stale")
     var builds = 0
     def get(): String =
@@ -59,8 +59,44 @@ class FixtureStoreSpec extends AnyFunSuite {
     assert(builds === 2, "changed data must rebuild")
     assert(r2 !== r1, "new stamp, new dir")
     assert(Files.readString(Paths.get(r2, "artifact")) === "build2")
+    // the FRESH stale sibling survives the reap (grace window: a young
+    // dir may belong to a concurrently running process on another code
+    // version that is still reading it)
+    assert(Files.exists(Paths.get(r1)),
+      "a stale sibling inside the grace window must be spared")
+    // ...but once aged past the window, the next build reaps it
+    Files.setLastModifiedTime(Paths.get(r1),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Files.writeString(Paths.get(dir, "documents.parquet"), "rows-v3-even-longer")
+    FixtureStore.dropMemo("fxspec2", dir)
+    val r3 = get()
+    assert(builds === 3)
+    assert(r3 !== r2)
     assert(!Files.exists(Paths.get(r1)),
-      "the stale corpus version's dir must be reaped at the next build")
+      "an aged stale sibling must be reaped at the next build")
+  }
+
+  test("extra stamp lines (resolved knobs) key the fixture like data does") {
+    val dir = corpus("knobs")
+    var builds = 0
+    def get(knob: Int): String =
+      FixtureStore.obtain("fxspec6", dir, Seq("documents"), getClass,
+        extra = Seq(s"knob:geometry=$knob")) { root =>
+        builds += 1
+        Files.writeString(Paths.get(root, "artifact"), s"geom$knob")
+      }
+    val r1 = get(8)
+    FixtureStore.dropMemo("fxspec6", dir)
+    // same knob, fresh process: reuse
+    assert(get(8) === r1)
+    assert(builds === 1)
+    FixtureStore.dropMemo("fxspec6", dir)
+    // different knob: a DIFFERENT fixture — never served the old content
+    val r2 = get(16)
+    assert(builds === 2)
+    assert(r2 !== r1)
+    assert(Files.readString(Paths.get(r2, "artifact")) === "geom16")
   }
 
   test("publication is all-or-nothing: a failed build leaves no serveable dir") {
