@@ -47,7 +47,32 @@ object Bench {
     val contended = load1Start > loadMax
     if (contended) System.err.println(
       f"[bench] still contended after ${waits * 20} s (load1 $load1Start%.2f) — record will be stamped contended")
-    val spark = GraftSession.build("graft-bench", Some(sfDir))
+    // GRAFT_BENCH_SCALE=N: bench the N×-replicated corpus derived from
+    // sfDir, obtained through the content-stamped FixtureStore — a cold
+    // sandbox builds it exactly once (generation seconds reported in the
+    // trailer as corpus_fixture_s, like every other one-time fixture), a
+    // warm one serves it in ~ms. Obtain runs BEFORE the bench session so
+    // that session auto-sizes shuffle partitions and LSH geometry for the
+    // SCALED corpus (the generation session never touches LshPlanes —
+    // ScaleUp.obtainScaled scaladoc).
+    val scale = sys.env.get("GRAFT_BENCH_SCALE").map { raw =>
+      val v = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_BENCH_SCALE must be an integer, got '$raw'"))
+      require(v >= 2 && v <= 10000,
+        s"GRAFT_BENCH_SCALE must be in [2, 10000], got $v"); v
+    }
+    var corpusFixtureSecs = 0.0
+    val effDir = scale match {
+      case Some(f) =>
+        val t0 = System.nanoTime()
+        val root = ScaleUp.obtainScaled(sfDir, f)
+        corpusFixtureSecs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] scaled corpus (×$f) at $root (obtain $corpusFixtureSecs%.1f s)")
+        root
+      case None => sfDir
+    }
+    val spark = GraftSession.build("graft-bench", Some(effDir))
     // Force FULL evaluation of the declared result — every column, every
     // row, including the presentation sort. A bare `.count()` lets the
     // optimizer prune exactly the work being benchmarked: column pruning
@@ -57,7 +82,7 @@ object Bench {
     // in 0.2 s at ×100 while its real cost is the 10⁸-pair band join.
     // toRdd materializes the final InternalRows without collecting them.
     def exec(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+      SparkEntry.queries(name)(spark, effDir).queryExecution.toRdd
         .foreach(_ => ())
     // Warm the JVM once (codegen compiler, parquet reader, shuffle, join
     // machinery) so the first timed query doesn't absorb session startup.
@@ -99,31 +124,31 @@ object Bench {
       }
     val fixtureSecs: Double =
       timedFixture("bucketed", selected.contains("bucketed_join")) {
-        graft.sources.Ingest.bucketedTables(spark, sfDir); ()
+        graft.sources.Ingest.bucketedTables(spark, effDir); ()
       }
     // same contract for the ORC interchange copy: layout writes are
     // one-time amortized cost, the timed entries measure the reads
     val orcFixtureSecs: Double =
       timedFixture("orc", selected.contains("orc_roundtrip")) {
-        graft.sources.Ingest.orcPartCopy(spark, sfDir); ()
+        graft.sources.Ingest.orcPartCopy(spark, effDir); ()
       }
     // the variant landing-zone write is the same one-time amortized cost
     val variantFixtureSecs: Double =
       timedFixture("variant", selected.contains("variant_mixed")) {
-        graft.sources.Ingest.variantZone(spark, sfDir); ()
+        graft.sources.Ingest.variantZone(spark, effDir); ()
       }
     // the trained-ANN-index write (train + encode + parquet tables) is the
     // same one-time amortized cost — the timed entry measures the
     // serve-from-disk query alone
     val annIndexFixtureSecs: Double =
       timedFixture("ann_index", selected.contains("ann_index_persist")) {
-        graft.operators.Similarity.ivfPqIndexWrite(spark, sfDir); ()
+        graft.operators.Similarity.ivfPqIndexWrite(spark, effDir); ()
       }
     // the day-partitioned events layout is the same one-time amortized
     // cost — the timed entry measures the dynamically-pruned join alone
     val dppFixtureSecs: Double =
       timedFixture("dpp", selected.contains("dpp_join")) {
-        graft.sources.Ingest.dppEventsCopy(spark, sfDir); ()
+        graft.sources.Ingest.dppEventsCopy(spark, effDir); ()
       }
     // the six ranked top-k frames the retrieval-quality readouts consume:
     // computed once per corpus version in a deployment, so the ranking
@@ -132,28 +157,28 @@ object Bench {
     val annRankFixtureSecs: Double =
       timedFixture("ann_rank", Seq("ann_recall", "ann_mrr", "retrieval_rrf",
         "embed_pairs_mine").exists(selected.contains)) {
-        graft.operators.Similarity.rankedTopKWrite(spark, sfDir); ()
+        graft.operators.Similarity.rankedTopKWrite(spark, effDir); ()
       }
     // the trained measured-K semantic model, same one-time contract — the
     // timed entries measure assignment + pair verdict, not Lloyd rounds
     val semModelFixtureSecs: Double =
       timedFixture("sem_model", Seq("dedup_semantic", "sample_prune_proto")
         .exists(selected.contains)) {
-        graft.operators.Similarity.semanticModelWrite(spark, sfDir); ()
+        graft.operators.Similarity.semanticModelWrite(spark, effDir); ()
       }
     // the graph family's two shared edge sets, same one-time contract
     val graphEdgesFixtureSecs: Double =
       timedFixture("graph_edges", Seq("graph_triangles_big", "graph_lpa",
         "graph_jaccard", "graph_pagerank_big", "graph_bfs", "graph_closeness",
         "graph_degree").exists(selected.contains)) {
-        graft.operators.Graph.edgeFixtureWrite(spark, sfDir); ()
+        graft.operators.Graph.edgeFixtureWrite(spark, effDir); ()
       }
     // the persisted base band index for incremental MinHash maintenance —
     // the timed query signs only the delta half and reads the base from
     // storage, the posture a daily ingest actually runs
     val dedupBaseFixtureSecs: Double =
       timedFixture("dedup_base", selected.contains("dedup_incr_index")) {
-        graft.operators.Dedup.baseIndexWrite(spark, sfDir); ()
+        graft.operators.Dedup.baseIndexWrite(spark, effDir); ()
       }
     // the corpus gram frames (positional + distinct) behind the five
     // text/dedup gram consumers — parquet-backed storage posture measured
@@ -162,7 +187,7 @@ object Bench {
       timedFixture("grams", Seq("text_decontam", "text_decontam_bloom",
         "dedup_spans", "text_novelty", "text_boilerplate")
         .exists(selected.contains)) {
-        graft.operators.TextAnalysis.gramFixtureWrite(spark, sfDir); ()
+        graft.operators.TextAnalysis.gramFixtureWrite(spark, effDir); ()
       }
     // Each query is timed BEST-OF-2: two independent passes, report the
     // min. A single pass conflates the query's cost with whatever the
@@ -185,16 +210,33 @@ object Bench {
       Scratch.release(spark)
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val passes = selected.map { case (name, _) =>
+    // ALPHABETICAL execution order: a Map's hash order scattered each
+    // memo family's consumers across the run, so "which memos are
+    // resident when the late board entries run" changed with every
+    // registry edit. Sorted order makes each family's LAST consumer a
+    // static fact — the hook the post-family memo release keys on — and
+    // makes the storage-pressure profile comparable across rounds.
+    val ordered = selected.keys.toSeq.sorted
+    // Per-query storage snapshot (persisted blocks: session memos,
+    // scratch persists that escaped release) taken after each query's
+    // passes — the instrument for the in-run vs focused ×100 gap: late
+    // entries that run slower in-run than focused do so under whatever
+    // this column says was resident. Sidecar-only (the stdout map is
+    // size-bounded).
+    val storageAfter = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val passes = ordered.map { name =>
       val p1 = timedPass(name)
       // don't pay for a second pass of a failing query — the failure is
       // the result
       val p2 = if (p1 < 0) -1.0 else timedPass(name)
+      storageAfter(name) = spark.sparkContext.getRDDStorageInfo
+        .map(i => (i.memSize + i.diskSize).toDouble).sum / 1e6
       name -> (p1, p2)
     }
     val results = passes.map { case (name, (p1, p2)) =>
       name -> (if (p1 < 0 || p2 < 0) -1.0 else math.min(p1, p2))
     }
+    val failedCount = results.count(_._2 < 0)
     // millisecond precision in the stdout map: at 131 queries the
     // full-precision doubles pushed the metric line past the driver's
     // stdout tail window (BENCH_r07-r09 all recorded "parsed": null from
@@ -204,21 +246,27 @@ object Bench {
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // first-pass sum, reported beside the min-of-2 total: session memos
     // (ANN rankings, graph edges) are deliberately cross-query warm, so a
     // query's SECOND pass reads them and min-of-2 reports the warm cost —
     // the first pass is where the memo build (and the JVM's per-plan
     // codegen) actually lands. Publishing Σp1 keeps the cold-including
     // bound visible instead of laundering it through the min.
-    val totalP1 = passes.values.map(_._1).filter(_ >= 0).sum
+    val totalP1 = passes.map(_._2._1).filter(_ >= 0).sum
     // "sf" as the numeric scale factor when the dir encodes one (sf0.1 →
     // 0.1). The pattern requires a leading digit and at most one dot so a
     // dir like sf0.1.bak can't produce invalid JSON; the quoted fallback
     // escapes the path.
-    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+    val sfBase = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
-      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    // a scaled-corpus record must not masquerade as the source SF — quote
+    // it as "<sf>xN" so no numeric comparison ever mixes the two
+    val sf = scale match {
+      case Some(f) => "\"" + sfBase.getOrElse("src") + s"x$f\""
+      case None => sfBase
+        .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    }
     // the long per-query line is INFORMATIONAL and goes FIRST: ten rounds
     // (BENCH_r01-r10) proved the driver keeps a bounded stdout TAIL and
     // the ~3 KB per-query map overflows it no matter the order — every
@@ -234,9 +282,9 @@ object Bench {
     // the driver-contract line: summary-only (~180 bytes — no tail window
     // can clip it), per-query detail lives in the bench_last.json sidecar
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
-      results.size},"failed":${results.values.count(_ < 0)},"sf":$sf,"total_p1_s":${
+      results.size},"failed":$failedCount,"sf":$sf,"total_p1_s":${
       fmt(totalP1)},"bucketed_fixture_s":${
-      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},"dedup_base_fixture_s":${fmt(dedupBaseFixtureSecs)},"grams_fixture_s":${fmt(gramsFixtureSecs)},$loadFields}""")
+      fmt(fixtureSecs)},"orc_fixture_s":${fmt(orcFixtureSecs)},"variant_fixture_s":${fmt(variantFixtureSecs)},"ann_index_fixture_s":${fmt(annIndexFixtureSecs)},"dpp_fixture_s":${fmt(dppFixtureSecs)},"ann_rank_fixture_s":${fmt(annRankFixtureSecs)},"graph_edges_fixture_s":${fmt(graphEdgesFixtureSecs)},"sem_model_fixture_s":${fmt(semModelFixtureSecs)},"dedup_base_fixture_s":${fmt(dedupBaseFixtureSecs)},"grams_fixture_s":${fmt(gramsFixtureSecs)},"corpus_fixture_s":${fmt(corpusFixtureSecs)},$loadFields}""")
     System.out.flush()
     // sidecar file: BENCH_r07/r08 both captured "parsed": null because
     // the stdout tail clipped the per-query map mid-JSON. A file on disk
@@ -246,11 +294,13 @@ object Bench {
       val raw = passes.map { case (k, (p1, p2)) =>
         s"\"" + k + s"\":[$p1,$p2]"
       }.mkString("{", ",", "}")
+      val storageJson = storageAfter.map { case (k, mb) =>
+        s"\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, mb)
+      }.mkString("{", ",", "}")
       val sidecar =
-        s"""{"total_s":$total,"n":${results.size},"failed":${
-          results.values.count(_ < 0)},"sf":$sf,"timing":"best_of_2","total_p1_s":$totalP1,$loadFields,""" +
-          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,"dedup_base_fixture_s":$dedupBaseFixtureSecs,"grams_fixture_s":$gramsFixtureSecs,""" +
-          s""""queries":$qs,"passes":$raw}"""
+        s"""{"total_s":$total,"n":${results.size},"failed":$failedCount,"sf":$sf,"timing":"best_of_2","total_p1_s":$totalP1,$loadFields,""" +
+          s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,"dedup_base_fixture_s":$dedupBaseFixtureSecs,"grams_fixture_s":$gramsFixtureSecs,"corpus_fixture_s":$corpusFixtureSecs,""" +
+          s""""queries":$qs,"passes":$raw,"storage_after_mb":$storageJson}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
         sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -30,9 +30,13 @@ import scala.jdk.CollectionConverters._
   *   - Stale siblings (same family + data dir, different stamp) are
   *     reaped at build time — at most one live dir per (family, corpus)
   *     accumulates in tmp. Nothing is deleted at session teardown anymore;
-  *     cross-session reuse IS the point. (Safe here because the testdata
-  *     dirs are immutable during a run; a stale stamp can only mean a
-  *     recompile, and recompiles are session boundaries in this sandbox.)
+  *     cross-session reuse IS the point. A sibling referenced by a LIVE
+  *     PIN (every obtain() drops a `<root>.<pid>` marker under `.pins/`)
+  *     is never reaped: a long-running session on an older code/knob
+  *     version holds its root in in-process memos and registered EXTERNAL
+  *     table locations, and deleting it mid-session would fail its
+  *     queries with missing-file errors — liveness is checked against the
+  *     pinning pid, not assumed from "recompiles are session boundaries".
   *
   * The class-file stamp is deliberately coarse (the producer class, not
   * its transitive closure): helper drift in another file would not flip
@@ -68,6 +72,16 @@ object FixtureStore {
     * stamped as such rather than erroring: some fixtures derive from
     * tables that a minimal test dir may not carry, and "absent" is itself
     * a content state.
+    *
+    * Each file line carries a CONTENT SAMPLE (hash of the first + last
+    * 4 KiB) beside size+mtime: a same-size rewrite that preserves mtime
+    * (rsync -t, archive extraction, snapshot restore) would otherwise
+    * silently serve a stale fixture — and while Verify's DuckDB hash gate
+    * would catch that, the Bench path serves fixtures ungated, so the
+    * stamp itself has to see through metadata-preserving rewrites. Parquet
+    * puts the footer (row-group offsets, column stats) in the last bytes,
+    * so the tail block alone distinguishes any rewrite that changed a
+    * single value; cost is one open + two 4 KiB reads per source file.
     */
   private def fileMeta(p: Path, rel: String): Seq[String] =
     if (!Files.exists(p)) Seq(s"$rel:absent")
@@ -79,7 +93,31 @@ object FixtureStore {
       }
       children.flatMap(c => fileMeta(c, s"$rel/${c.getFileName}"))
     } else
-      Seq(s"$rel:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      Seq(s"$rel:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}:${sampleHash(p)}")
+
+  /** Hash of a file's first and last 4 KiB — the cheap content half of a
+    * file's stamp line (see [[fileMeta]]). Unreadable files stamp as such
+    * rather than erroring (the size/mtime half still contributes).
+    */
+  private def sampleHash(p: Path): String =
+    try {
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val size = ch.size()
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        def read(pos: Long, len: Int): Unit = {
+          val buf = java.nio.ByteBuffer.allocate(len)
+          ch.position(pos)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          buf.flip(); md.update(buf)
+        }
+        val blk = 4096L
+        read(0L, math.min(size, blk).toInt)
+        if (size > blk)
+          read(math.max(blk, size - blk), math.min(size - blk, blk).toInt)
+        md.digest().take(4).map("%02x".format(_)).mkString
+      } finally ch.close()
+    } catch { case _: java.io.IOException => "unreadable" }
 
   /** The code half of the stamp. Two classpath shapes exist here:
     *   - directory classpath (tests): stamp the producer's own .class
@@ -116,6 +154,29 @@ object FixtureStore {
         }
       } catch { case _: Throwable => "code:unknown" })
 
+  /** Content hash of the producer's own `.class` bytes — the PER-CLASS
+    * alternative to [[codeStamp]]'s whole-jar hash, for families whose
+    * build is expensive enough (the ×100 scaled corpus: minutes, GBs)
+    * that rebuilding on every unrelated recompile is a real tax. Resolved
+    * through the classloader, so it works identically on a directory
+    * classpath (tests) and inside the packaged jar (`sbt runMain`), where
+    * the jar entry's bytes are stable unless the class itself recompiled.
+    * The granularity trade (helper drift in ANOTHER file does not flip
+    * the stamp) is the caller's to accept — callers pass the values they
+    * depend on from other files as `extra` stamp lines.
+    */
+  private[graft] def classContentStamp(producer: Class[_]): String =
+    try {
+      val in = producer.getClassLoader
+        .getResourceAsStream(producer.getName.replace('.', '/') + ".class")
+      if (in == null) "code:class:absent"
+      else
+        try "code:class:" + java.security.MessageDigest.getInstance("SHA-256")
+          .digest(in.readAllBytes())
+          .take(8).map("%02x".format(_)).mkString
+        finally in.close()
+    } catch { case _: Throwable => "code:class:unknown" }
+
   private def sha16(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -139,9 +200,76 @@ object FixtureStore {
     * dir this fresh was likely built by a CONCURRENTLY RUNNING process on
     * a different code version, which may still be reading it (external
     * bucketed tables, lazily-consumed fixture scans). Older ones are the
-    * previous corpus/code version's leftovers and go.
+    * previous corpus/code version's leftovers and go — unless a live PIN
+    * ([[writePin]]) still references them.
     */
   private val ReapGraceMs = 30L * 60 * 1000
+
+  /** A pin older than this no longer protects its root even if the owning
+    * process is alive: long-lived host JVMs (an sbt daemon running
+    * in-process tests) would otherwise pin every version they ever
+    * obtained for days and tmp would only grow. Sized well above the
+    * longest realistic engine session (hours) so no live consumer is ever
+    * unprotected; [[obtain]] refreshes the pin's mtime on every call, so
+    * a session that re-obtains keeps its protection indefinitely.
+    */
+  private val PinTtlMs = 12L * 3600 * 1000
+
+  private def pinsDir(base: Path): Path = base.resolve(".pins")
+
+  /** Record that THIS process serves/reads `rootName` — an empty marker
+    * file named `<rootName>.<pid>` whose liveness (owning pid alive, age
+    * within [[PinTtlMs]]) is checked by the reaper before deleting a
+    * stale sibling. Closes the window the round-15 advice flagged: a
+    * long-running session on an older code/knob version holds the
+    * now-stale root in its in-process memo (and, for the bucketed family,
+    * in registered EXTERNAL table LOCATIONs) — a concurrent newer process
+    * must not reap it out from under those live readers. Written BEFORE
+    * the serve-vs-build check so a concurrent reaper on another stamp can
+    * never delete the root between our existence check and first read.
+    */
+  private def writePin(base: Path, rootName: String): Unit =
+    try {
+      val pd = pinsDir(base)
+      Files.createDirectories(pd)
+      val pin = pd.resolve(s"$rootName.${ProcessHandle.current().pid()}")
+      try { Files.createFile(pin); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.setLastModifiedTime(pin,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          ()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Does any LIVE pin reference `rootName`? Pins whose owning pid is
+    * dead are cleaned here as a side effect; pins past [[PinTtlMs]] are
+    * kept on disk (their owner may refresh them) but do not protect.
+    */
+  private def hasLivePin(base: Path, rootName: String, now: Long): Boolean = {
+    val pd = pinsDir(base)
+    if (!Files.exists(pd)) false
+    else {
+      val entries = {
+        val s = Files.list(pd)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      entries.filter(_.getFileName.toString.startsWith(rootName + "."))
+        .exists { p =>
+          val pid = p.getFileName.toString.stripPrefix(rootName + ".")
+            .takeWhile(_.isDigit)
+          val alive = pid.nonEmpty &&
+            (try ProcessHandle.of(pid.toLong).isPresent
+             catch { case _: Throwable => true })
+          if (!alive) { p.toFile.delete(); false }
+          else {
+            val age = try now - Files.getLastModifiedTime(p).toMillis
+                      catch { case _: Throwable => 0L }
+            age <= PinTtlMs
+          }
+        }
+    }
+  }
 
   /** Obtain the fixture root for `family` over `tables` under `dataDir`,
     * building via `build(tmpRoot)` only when no stamp-valid dir exists.
@@ -154,12 +282,19 @@ object FixtureStore {
     * geometry behind the ranked-frame fixture): a knob change must flip
     * the stamp exactly like a data or code change, or a fixture built
     * under one geometry would silently serve a session running another.
+    *
+    * `codeStampOverride` replaces the default producer-code stamp (whole
+    * jar under `sbt runMain`) — families with minutes-long builds pass
+    * [[classContentStamp]] so only a change to the producer class itself
+    * (or an `extra` line) triggers a rebuild.
     */
   def obtain(family: String, dataDir: String, tables: Seq[String],
-      producer: Class[_], extra: Seq[String] = Nil)(
+      producer: Class[_], extra: Seq[String] = Nil,
+      codeStampOverride: Option[String] = None)(
       build: String => Unit): String =
     ready.getOrElseUpdate((family, dataDir), {
-      val lines = (Seq(s"family:$family", codeStamp(producer)) ++
+      val lines = (Seq(s"family:$family",
+        codeStampOverride.getOrElse(codeStamp(producer))) ++
         extra.sorted ++
         tables.sorted.flatMap { t =>
           fileMeta(Paths.get(dataDir, s"$t.parquet"), s"$t.parquet")
@@ -172,12 +307,18 @@ object FixtureStore {
       val rootName = s"${family}_${dirTag}_$stamp"
       val root = base.resolve(rootName)
       val done = root.resolve("_GRAFT_STAMP")
+      // pin FIRST: from here on a concurrent process on a different
+      // code/knob version sees this root as live and will not reap it,
+      // whether we serve it or are about to build it
+      writePin(base, rootName)
       if (Files.exists(done)) root.toString
       else {
         // reap siblings of this family+corpus. Two kinds:
         //  - published dirs with a different stamp: the previous
         //    corpus/code/knob version — reaped once past the grace
-        //    window (a younger one may still feed a live process);
+        //    window (a younger one may still feed a live process) AND
+        //    only when no live pin references them ([[hasLivePin]] — a
+        //    long-running session on the old version still reads them);
         //  - `.build.` attempt dirs whose owning PID is dead: orphans of
         //    a crashed build (live attempts — including our own threads'
         //    — are left alone).
@@ -199,7 +340,7 @@ object FixtureStore {
             } else if ({
               val age = try now - Files.getLastModifiedTime(p).toMillis
                         catch { case _: Throwable => 0L }
-              age > ReapGraceMs
+              age > ReapGraceMs && !hasLivePin(base, n, now)
             }) deleteRecursively(p.toFile)
           }
         }

@@ -21,11 +21,25 @@ import org.apache.spark.sql.functions._
   *     geometry within a replica are preserved, but replicas land in
   *     different LSH buckets / IVF lists like genuinely new vectors.
   *
-  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [factor]`.
+  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [factor]` (one-shot
+  * write to an explicit dir), or [[obtainScaled]] for the content-stamped
+  * [[FixtureStore]] path Bench uses (`GRAFT_BENCH_SCALE`): the corpus is
+  * generated once per (source data, generator code, factor, knobs) and
+  * served to every later session/sandbox from the store.
   */
 object ScaleUp {
 
   private val KeyStride = 100000000L
+
+  /** Embedding width — [[graft.functions.ProbePlanes.Dims]], NOT
+    * `LshPlanes.Dims`: touching LshPlanes initializes it and FREEZES the
+    * JVM's LSH geometry, and when generation runs inside the bench JVM
+    * (the [[obtainScaled]] build path) that would freeze the geometry at
+    * the SOURCE corpus' size before the bench session re-hints it for the
+    * scaled corpus. ProbePlanes is the instrument module that is
+    * deliberately independent of LshPlanes for exactly this reason.
+    */
+  private def dims: Int = graft.functions.ProbePlanes.Dims
 
   /** Union of `factor` transformed replicas (replica 0 untransformed). */
   private def replicate(df: DataFrame, factor: Int)(
@@ -34,11 +48,15 @@ object ScaleUp {
       acc.unionByName(transform(df, r))
     }
 
-  def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("target/scaleup")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark: SparkSession = GraftSession.build("graft-scaleup", Some(src))
+  private def scaleKeysKnob: Boolean =
+    sys.env.get("GRAFT_SCALE_KEYS").contains("1")
+
+  /** Write the scaled corpus for `src` under `out` (one parquet dir per
+    * table). Pure function of (source bytes, this class, factor,
+    * [[scaleKeysKnob]], [[dims]]) — the exact tuple [[obtainScaled]]
+    * stamps.
+    */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def t(name: String): DataFrame = sources.Tables.load(spark, src, name)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -58,7 +76,7 @@ object ScaleUp {
     // which is the honest 100 TB shape for a growing user base; FK-probe
     // audits (dq_audit) will see replica custkeys as orphans, which is a
     // realistic dirty-data profile, not an error.
-    val scaleKeys = sys.env.get("GRAFT_SCALE_KEYS").contains("1")
+    val scaleKeys = scaleKeysKnob
     def maybeOffset(df: DataFrame, r: Int, keyCol: String): DataFrame =
       if (scaleKeys) df.withColumn(keyCol, col(keyCol) + lit(r * KeyStride))
       else df
@@ -93,20 +111,59 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")))
     }, "documents")
 
-    val dims = graft.functions.LshPlanes.Dims // single source of truth
+    val d = dims // single source of truth
     write(replicate(t("embeddings"), factor) { (df, r) =>
-      val k = r % dims
+      val k = r % d
       // rotate the vector left by k — norm-preserving, bucket-scattering —
       // and REVERSE it for replicas ≥ dims: rotation alone aliases at
       // r = dims (replica 64 would be byte-identical to replica 0),
       // reversal doubles the distinct-transform budget to 2·dims replicas
-      val rotated = concat(slice(col("embedding"), k + 1, dims - k),
+      val rotated = concat(slice(col("embedding"), k + 1, d - k),
         slice(col("embedding"), 1, k))
       df.withColumn("vec_id", col("vec_id") + lit(r * KeyStride))
         .withColumn("embedding",
-          if ((r / dims) % 2 == 1) reverse(rotated) else rotated)
+          if ((r / d) % 2 == 1) reverse(rotated) else rotated)
     }, "embeddings")
+  }
 
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The scaled corpus as a [[FixtureStore]] fixture — generated once per
+    * (source data, ScaleUp class bytes, factor, GRAFT_SCALE_KEYS, dims)
+    * and served across sessions and sandboxes, so ×100 anchors no longer
+    * depend on a hand-regenerated unversioned `/tmp/scale100_*` dir.
+    *
+    * Stamping: the producer-code half is [[FixtureStore.classContentStamp]]
+    * (this class' bytes), not the whole-jar hash — the corpus build runs
+    * minutes and writes GBs, and rebuilding it on every unrelated
+    * recompile would tax the whole round. Accepted coarseness: a change
+    * to `sources.Tables`' declared schemas would alter generated content
+    * without flipping the stamp (delete the published dir by hand after
+    * such a change; `_GRAFT_STAMP` under `$TMPDIR/graft_fx` names it).
+    *
+    * The generation session is built against the SOURCE dir and stopped
+    * before returning; it never touches LshPlanes (see [[dims]]), so a
+    * caller that builds its own session against the scaled dir afterwards
+    * (Bench) still auto-sizes LSH geometry for the SCALED corpus.
+    */
+  def obtainScaled(srcDir: String, factor: Int): String =
+    FixtureStore.obtain("scalecorpus", srcDir, AllTables, getClass,
+      extra = Seq(s"factor:$factor", s"scaleKeys:$scaleKeysKnob",
+        s"dims:$dims"),
+      codeStampOverride = Some(FixtureStore.classContentStamp(getClass))) {
+      tmp =>
+        val s = GraftSession.build("graft-scaleup", Some(srcDir))
+        try generate(s, srcDir, tmp, factor)
+        finally s.stop()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/scaleup")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark: SparkSession = GraftSession.build("graft-scaleup", Some(src))
+    generate(spark, src, out, factor)
     println(s"""{"scaled":"$out","factor":$factor}""")
     spark.stop()
   }

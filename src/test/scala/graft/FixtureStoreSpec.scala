@@ -64,17 +64,38 @@ class FixtureStoreSpec extends AnyFunSuite {
     // version that is still reading it)
     assert(Files.exists(Paths.get(r1)),
       "a stale sibling inside the grace window must be spared")
-    // ...but once aged past the window, the next build reaps it
-    Files.setLastModifiedTime(Paths.get(r1),
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // age r1 past the grace window — but THIS process pinned it at
+    // obtain time and is alive, so the reap must spare it: this is the
+    // round-15 advice scenario (a live long-running session on the old
+    // version still reads the root through its in-process memo)
+    def ageOut(p: String): Unit =
+      Files.setLastModifiedTime(Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    ageOut(r1)
     Files.writeString(Paths.get(dir, "documents.parquet"), "rows-v3-even-longer")
     FixtureStore.dropMemo("fxspec2", dir)
     val r3 = get()
     assert(builds === 3)
     assert(r3 !== r2)
+    assert(Files.exists(Paths.get(r1)),
+      "an aged stale sibling with a LIVE pin must be spared")
+    // drop r1's pins (the pinning process is gone) and age it again:
+    // now the next build reaps it
+    val base = Paths.get(r1).getParent
+    val r1Name = Paths.get(r1).getFileName.toString
+    val pins = Files.list(base.resolve(".pins"))
+    try pins.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith(r1Name + ".")) Files.delete(p)
+    } finally pins.close()
+    ageOut(r1)
+    Files.writeString(Paths.get(dir, "documents.parquet"), "rows-v4-longer-still")
+    FixtureStore.dropMemo("fxspec2", dir)
+    val r4 = get()
+    assert(builds === 4)
+    assert(r4 !== r3)
     assert(!Files.exists(Paths.get(r1)),
-      "an aged stale sibling must be reaped at the next build")
+      "an aged stale sibling with no live pin must be reaped at the next build")
   }
 
   test("extra stamp lines (resolved knobs) key the fixture like data does") {
@@ -161,6 +182,54 @@ class FixtureStoreSpec extends AnyFunSuite {
       } finally s.close()
     }
     assert(leftover.isEmpty, s"stranded build dirs: $leftover")
+  }
+
+  test("a same-size, mtime-preserving rewrite still flips the stamp (content sample)") {
+    // rsync -t / archive extraction / snapshot restore can rewrite a file
+    // while preserving size AND mtime; the stamp's first+last-block hash
+    // must see through that, because the Bench path serves fixtures
+    // without the DuckDB hash gate behind it
+    val dir = corpus("rewrite")
+    var builds = 0
+    def get(): String =
+      FixtureStore.obtain("fxspec7", dir, Seq("documents"), getClass) { root =>
+        builds += 1
+        Files.writeString(Paths.get(root, "artifact"), s"b$builds")
+      }
+    val r1 = get()
+    assert(builds === 1)
+    val src = Paths.get(dir, "documents.parquet")
+    val mtime = Files.getLastModifiedTime(src)
+    Files.writeString(src, "sw0r") // same 4-byte length as "rows"
+    Files.setLastModifiedTime(src, mtime)
+    assert(Files.size(src) === 4)
+    FixtureStore.dropMemo("fxspec7", dir)
+    val r2 = get()
+    assert(builds === 2, "content change behind identical size+mtime must rebuild")
+    assert(r2 !== r1)
+  }
+
+  test("codeStampOverride keys the fixture instead of the default producer stamp") {
+    val dir = corpus("override")
+    var builds = 0
+    def get(stamp: String): String =
+      FixtureStore.obtain("fxspec8", dir, Seq("documents"), getClass,
+        codeStampOverride = Some(stamp)) { root =>
+        builds += 1
+        Files.writeString(Paths.get(root, "artifact"), stamp)
+      }
+    val r1 = get("code:class:aaaa")
+    FixtureStore.dropMemo("fxspec8", dir)
+    assert(get("code:class:aaaa") === r1)
+    assert(builds === 1, "same override stamp must serve")
+    FixtureStore.dropMemo("fxspec8", dir)
+    val r2 = get("code:class:bbbb")
+    assert(builds === 2, "a changed override stamp must rebuild")
+    assert(r2 !== r1)
+    // the per-class stamp helper resolves real bytes for a real class
+    val cs = FixtureStore.classContentStamp(classOf[FixtureStoreSpec])
+    assert(cs.startsWith("code:class:") && !cs.endsWith("absent") &&
+      !cs.endsWith("unknown"), cs)
   }
 
   test("absent source tables stamp as a stable state, not an error") {
