@@ -210,13 +210,14 @@ object Bench {
       Scratch.release(spark)
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // ALPHABETICAL execution order: a Map's hash order scattered each
-    // memo family's consumers across the run, so "which memos are
-    // resident when the late board entries run" changed with every
-    // registry edit. Sorted order makes each family's LAST consumer a
-    // static fact — the hook the post-family memo release keys on — and
-    // makes the storage-pressure profile comparable across rounds.
-    val ordered = selected.keys.toSeq.sorted
+    // DETERMINISTIC execution order (SessionMemos.benchOrder):
+    // alphabetical with each memo family's consumers clustered into one
+    // contiguous block, so a family's persisted frames are resident only
+    // for its own block and released at block end — a Map's hash order
+    // scattered consumers across the run and left every memo resident
+    // until teardown, which is what the measured in-run vs focused ×100
+    // gap (dq_audit 19.3 vs 15.1 s) was made of.
+    val ordered = SessionMemos.benchOrder(selected.keySet)
     // Per-query storage snapshot (persisted blocks: session memos,
     // scratch persists that escaped release) taken after each query's
     // passes — the instrument for the in-run vs focused ×100 gap: late
@@ -231,6 +232,10 @@ object Bench {
       val p2 = if (p1 < 0) -1.0 else timedPass(name)
       storageAfter(name) = spark.sparkContext.getRDDStorageInfo
         .map(i => (i.memSize + i.diskSize).toDouble).sum / 1e6
+      // bounded-storage policy: a memo family whose LAST registered
+      // consumer just finished is released now (SessionMemos scaladoc) —
+      // the snapshot above records residency as the query saw it
+      SessionMemos.releaseAfter(spark, name, selected.keySet)
       name -> (p1, p2)
     }
     val results = passes.map { case (name, (p1, p2)) =>

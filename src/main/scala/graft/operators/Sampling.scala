@@ -1050,6 +1050,24 @@ object Sampling {
       .select(col("o_custkey").cast("long").as("cust"),
         col("l_partkey").cast("long").as("item")))
     val np = Tables.load(s, dir, "part").agg(count(lit(1)).as("np"))
+    // GUARDED broadcast (r15 advice): the hint bypasses
+    // autoBroadcastJoinThreshold and the candidate frame is
+    // |customers|·NegDraws rows, which grows with the corpus — an
+    // unconditional hint risks driver OOM exactly where the previous
+    // shuffle shape degraded gracefully. The bound is the CUSTOMER
+    // dimension's metadata row count (a footer read, no scan): the cust
+    // domain is FK-bounded by the catalog in any integral corpus. Under
+    // the hint cap (8M candidate rows ≈ 128 MB of pairs, comfortable on
+    // any real driver) the measured map-side-probe shape is kept; above
+    // it the hints drop and the planner/AQE picks the join strategy from
+    // real sizes — SMJ at the extreme, which is the honest cluster shape
+    // for a candidate set that no longer fits one node. (A key-scaled
+    // corpus with orphan custkeys can exceed the dimension bound; the cap
+    // has ~16× headroom before a broadcast becomes uncomfortable.)
+    val custBound = Tables.load(s, dir, "customer").count()
+    val hintOk = custBound * NegDraws <= 8L * 1000 * 1000
+    def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
+      if (hintOk) broadcast(df) else df
     val cands = graft.Scratch.track(joined.select(col("cust")).distinct()
       .crossJoin(broadcast(np))
       .select(col("cust"), explode(expr(
@@ -1059,12 +1077,12 @@ object Sampling {
           |  CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % np"""
           .stripMargin)))
     val matched = joined
-      .join(broadcast(cands.select(col("cust"), col("item"))),
+      .join(maybeBroadcast(cands.select(col("cust"), col("item"))),
         Seq("cust", "item"), "left_semi")
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cust")).orderBy(col("j"), col("item"))
-    cands.join(broadcast(matched), Seq("cust", "item"), "left_anti")
+    cands.join(maybeBroadcast(matched), Seq("cust", "item"), "left_anti")
       .groupBy(col("cust"), col("item")).agg(min(col("j")).as("j"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= NegK)

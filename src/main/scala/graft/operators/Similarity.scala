@@ -1300,11 +1300,18 @@ object Similarity {
     * rather than the session, and the next session reusing them is the
     * point (stale versions are reaped at the next build). */
   def releaseSession(s: SparkSession): Unit = {
+    releaseRankMemos(s)
+    semModelCache.keys.filter(_._1 eq s).foreach(semModelCache.remove)
+  }
+
+  /** Release ONLY the ranked-frame memos — the [[graft.SessionMemos]]
+    * per-family hook (the semantic-model cache has different consumers
+    * and no executor storage, so it stays for the session).
+    */
+  def releaseRankMemos(s: SparkSession): Unit =
     rankCache.keys.filter(_._1 eq s).foreach { k =>
       rankCache.remove(k).foreach(_.unpersist(blocking = false))
     }
-    semModelCache.keys.filter(_._1 eq s).foreach(semModelCache.remove)
-  }
 
   val annRecall: Q = Q("ann_recall", annRecallOracle) { (s, dir) =>
     import s.implicits._

@@ -1,13 +1,32 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json <artifact>]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 testdata tables in <sfDir>, and compares: row count, column names, and
 cell values (columns sorted by name, rows sorted by all columns, floats
 compared bit-exactly and with a 1e-9 fallback report).
+
+--json writes a per-query machine-readable artifact (name -> {status,
+rows}) in the CORRECTNESS_r*.json spirit, so non-driver gates (e.g. the
+FIXTURE-SERVED pass below) leave a durable committed record.
+
+FIXTURE-SERVED MODE (proposed driver extension): the benches serve
+one-time derived artifacts (ANN indexes, ranked frames, graph edges, gram
+frames, the base dedup band index) from the content-stamped FixtureStore,
+while a plain `graft.Verify` run rebuilds them inline — so the driver's
+CORRECTNESS artifact gates only the inline halves. Running
+
+    GRAFT_VERIFY_FIXTURES=1 sbt "runMain graft.Verify <sfDir> <out>"
+    python3 tools/compare.py <sfDir> <out> --json CORRECTNESS_fixtures.json
+
+obtains every fixture FIRST and puts the fixture-SERVED paths under the
+same DuckDB hash gate; together the two runs gate both sides of every
+fixture == rebuilt equivalence. The driver can adopt this as a second
+invocation verbatim; until then the builder ships the companion artifact
+per round.
 """
 import sys, os, json, math
 import duckdb
@@ -45,6 +64,10 @@ def canon(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    record = {}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -84,6 +107,7 @@ def main():
             status = "ROWS-ONLY " + ("pass" if len(got_rows) > 0 else "FAIL(empty)")
             if len(got_rows) > 0: n_pass += 1
             else: n_fail += 1
+            record[name] = {"status": status, "rows": len(got_rows)}
             print(f"{name:24s} {status} rows={len(got_rows)}")
             continue
         try:
@@ -92,12 +116,14 @@ def main():
             exp_rows = res.fetchall()
         except Exception as e:
             print(f"{name:24s} ORACLE-ERROR {e}")
+            record[name] = {"status": f"ORACLE-ERROR {e}", "rows": None}
             n_fail += 1
             continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:
             print(f"{name:24s} FAIL cols got={gc} exp={ec}")
+            record[name] = {"status": "FAIL cols", "rows": len(gr)}
             n_fail += 1
             continue
         # standing TYPE-PARITY gate: the driver's hasher is type-sensitive
@@ -111,10 +137,13 @@ def main():
                 if got_types[c] != exp_types.get(c, got_types[c])}
         if skew:
             print(f"{name:24s} FAIL type-skew (col: spark vs oracle) {skew}")
+            record[name] = {"status": f"FAIL type-skew {skew}", "rows": len(gr)}
             n_fail += 1
             continue
         if len(gr) != len(er):
             print(f"{name:24s} FAIL rows got={len(gr)} exp={len(er)}")
+            record[name] = {"status": f"FAIL rows got={len(gr)} exp={len(er)}",
+                            "rows": len(gr)}
             n_fail += 1
             continue
         bad = None
@@ -134,11 +163,19 @@ def main():
                    abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
             print(f"{name:24s} FAIL cell row={i} col={cname} got={x!r} exp={y!r}"
                   f"{' (within 1e-9!)' if near else ''}")
+            record[name] = {"status": f"FAIL cell col={cname}", "rows": len(gr)}
             n_fail += 1
         else:
             print(f"{name:24s} pass rows={len(gr)}")
+            record[name] = {"status": "pass", "rows": len(gr)}
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "fixtures_served":
+                       os.environ.get("GRAFT_VERIFY_FIXTURES") == "1",
+                       "queries": record}, f, indent=0, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
