@@ -23,6 +23,7 @@ object Verify {
       operators.Similarity.semanticModelWrite(spark, sfDir)
       operators.Graph.edgeFixtureWrite(spark, sfDir)
       operators.Dedup.baseIndexWrite(spark, sfDir)
+      operators.Dedup.pairFixtureWrite(spark, sfDir)
       operators.TextAnalysis.gramFixtureWrite(spark, sfDir)
       Scratch.release(spark)
     }

@@ -23,3 +23,24 @@ sbt -batch "runMain graft.Explain $SF_DIR PLANS.md"
 sed -i "2i Generated at commit: $HEAD_SHA" PLANS.md
 echo "close.sh: PLANS.md regenerated and stamped at $HEAD_SHA"
 tools/check_plans.sh
+# Closing test count, recorded MECHANICALLY (rounds 14-15 both shipped a
+# BASELINE.md count one behind HEAD because the hand re-copy rule was
+# skippable): run the suite at this exact commit and append the verbatim
+# result to BASELINE.md. Appending (not editing prose) keeps the record
+# append-only and un-breakable by format drift; the newest stamped block
+# is the authoritative count for the round.
+TEST_LOG=$(mktemp)
+if sbt -batch test > "$TEST_LOG" 2>&1; then
+  {
+    echo ""
+    echo "### Closing test count (tools/close.sh at commit $HEAD_SHA)"
+    grep -E "^\[info\] (Tests:|Suites:|Passed:)" "$TEST_LOG" | sed 's/^\[info\] //'
+  } >> BASELINE.md
+  echo "close.sh: closing test count appended to BASELINE.md"
+else
+  tail -30 "$TEST_LOG"
+  echo "close.sh: TEST SUITE FAILED at $HEAD_SHA — fix before closing" >&2
+  exit 1
+fi
+rm -f "$TEST_LOG"
+echo "close.sh: done — commit PLANS.md and BASELINE.md as the final act"
