@@ -19,6 +19,26 @@ object Bench {
           .getSystemLoadAverage, -1.0)
       }
     }
+    // Steal brackets: the host's documented 1.0-1.8× performance phases
+    // (NOTES.md host-band rule) are co-tenant CPU steal INVISIBLE to our
+    // own loadavg — three rounds burned an adjudication cycle each on
+    // "regressions" that were purely this band (r16: graph_triangles_big
+    // 17.5 s in the driver run vs 2.1 s focused, same code and bytes).
+    // The probe-pair rule works but is manual and after-the-fact; this
+    // snapshot makes every per-query reading carry its own phase
+    // evidence: /proc/stat's aggregate cpu line, fields (steal, Σall) in
+    // jiffies, sampled before and after each query's two passes. The
+    // sidecar records Δsteal/Δtotal per query — ≳2-5% sustained steal IS
+    // the slow band; ~0% proves a quiet window. (-1, -1) on non-Linux.
+    def cpuJiffies(): (Long, Long) = {
+      try {
+        val fields = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        (fields(7), fields.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+    }
     // Load-gate: two rounds produced BENCH artifacts with 5-10× phantom
     // per-query regressions that were pure host contention (r14:
     // text_bigram_lm 5.97 s contended vs 0.45 s quiet, same code). The
@@ -234,11 +254,21 @@ object Bench {
     // this column says was resident. Sidecar-only (the stdout map is
     // size-bounded).
     val storageAfter = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query steal fraction (percent) across both passes — the phase
+    // evidence described at cpuJiffies; -1 when /proc/stat is unreadable
+    // or the window saw no jiffies at all
+    val stealPct = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val (runSteal0, runTotal0) = cpuJiffies()
     val passes = ordered.map { name =>
+      val (s0, t0) = cpuJiffies()
       val p1 = timedPass(name)
       // don't pay for a second pass of a failing query — the failure is
       // the result
       val p2 = if (p1 < 0) -1.0 else timedPass(name)
+      val (s1, t1) = cpuJiffies()
+      stealPct(name) =
+        if (s0 < 0 || s1 < 0 || t1 <= t0) -1.0
+        else 100.0 * (s1 - s0).toDouble / (t1 - t0).toDouble
       storageAfter(name) = spark.sparkContext.getRDDStorageInfo
         .map(i => (i.memSize + i.diskSize).toDouble).sum / 1e6
       // bounded-storage policy: a memo family whose LAST registered
@@ -289,9 +319,14 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     val (load1End, load5End) = loadAvg()
+    val (runSteal1, runTotal1) = cpuJiffies()
+    val runStealPct =
+      if (runSteal0 < 0 || runSteal1 < 0 || runTotal1 <= runTotal0) -1.0
+      else 100.0 * (runSteal1 - runSteal0).toDouble / (runTotal1 - runTotal0)
     val loadFields =
       s""""load1_start":${fmt(load1Start)},"load5_start":${fmt(load5Start)},""" +
         s""""load1_end":${fmt(load1End)},"load5_end":${fmt(load5End)},""" +
+        s""""steal_pct_run":${"%.2f".formatLocal(java.util.Locale.ROOT, runStealPct)},""" +
         s""""contended":$contended,"load_wait_s":${waits * 20}"""
     // the driver-contract line: summary-only (~180 bytes — no tail window
     // can clip it), per-query detail lives in the bench_last.json sidecar
@@ -311,10 +346,13 @@ object Bench {
       val storageJson = storageAfter.map { case (k, mb) =>
         s"\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, mb)
       }.mkString("{", ",", "}")
+      val stealJson = stealPct.map { case (k, p) =>
+        s"\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, p)
+      }.mkString("{", ",", "}")
       val sidecar =
         s"""{"total_s":$total,"n":${results.size},"failed":$failedCount,"sf":$sf,"timing":"best_of_2","total_p1_s":$totalP1,$loadFields,""" +
           s""""bucketed_fixture_s":$fixtureSecs,"orc_fixture_s":$orcFixtureSecs,"variant_fixture_s":$variantFixtureSecs,"ann_index_fixture_s":$annIndexFixtureSecs,"dpp_fixture_s":$dppFixtureSecs,"ann_rank_fixture_s":$annRankFixtureSecs,"graph_edges_fixture_s":$graphEdgesFixtureSecs,"sem_model_fixture_s":$semModelFixtureSecs,"dedup_pairs_fixture_s":$dedupPairsFixtureSecs,"dedup_base_fixture_s":$dedupBaseFixtureSecs,"grams_fixture_s":$gramsFixtureSecs,"corpus_fixture_s":$corpusFixtureSecs,""" +
-          s""""queries":$qs,"passes":$raw,"storage_after_mb":$storageJson}"""
+          s""""queries":$qs,"passes":$raw,"storage_after_mb":$storageJson,"steal_pct":$stealJson}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
         sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
