@@ -53,12 +53,20 @@ object SessionMemos {
     Family("ann_rank", Set(
       "ann_mrr", "ann_recall", "embed_pairs_mine", "retrieval_rrf"),
       operators.Similarity.releaseRankMemos),
-    // gramCache: positional + distinct corpus gram digests — the largest
-    // resident frame at ×100
+    // gramCache (pos/dist halves): positional + distinct corpus gram
+    // digests — the largest resident frame at ×100. Release is the
+    // gram-only hook: the module's third memo (bd) belongs to the
+    // `bigrams` family below and may not have run its block yet.
     Family("grams", Set(
       "dedup_spans", "text_boilerplate", "text_decontam",
       "text_decontam_bloom", "text_novelty"),
-      operators.TextAnalysis.releaseSession),
+      operators.TextAnalysis.releaseGramMemos),
+    // gramCache (bd half): per-document bigram counts — shared by the
+    // LM pair (text_bigram_lm re-aggregates it, text_predictability
+    // trains and scores from it)
+    Family("bigrams", Set(
+      "text_bigram_lm", "text_predictability"),
+      operators.TextAnalysis.releaseBigramMemo),
     // edgeCache: co-purchase and bipartite trade edge sets
     Family("graph_edges", Set(
       "graph_bfs", "graph_closeness", "graph_degree", "graph_jaccard",

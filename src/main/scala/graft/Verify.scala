@@ -25,6 +25,7 @@ object Verify {
       operators.Dedup.baseIndexWrite(spark, sfDir)
       operators.Dedup.pairFixtureWrite(spark, sfDir)
       operators.TextAnalysis.gramFixtureWrite(spark, sfDir)
+      operators.TextAnalysis.bigramFixtureWrite(spark, sfDir)
       Scratch.release(spark)
     }
     SparkEntry.queries

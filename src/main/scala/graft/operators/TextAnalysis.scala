@@ -499,7 +499,64 @@ object TextAnalysis {
         case None => gramFrame(s, dir).select(col("doc_id"), col("g")).distinct()
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** End-of-session teardown for the gram memos — the
+  /** Per-document bigram occurrence counts (doc_id, w1, w2, n) over any
+    * (doc_id, text) frame — the shared backbone of the bigram-LM pair:
+    * [[bigramLm]] re-aggregates it to corpus pair counts and
+    * [[predictability]] both trains the LM from it and scores against
+    * it, so the corpus tokenize+explode pass exists exactly once. */
+  private[operators] def bdOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+
+  /** One-time persisted (doc_id, w1, w2, n) frame per corpus version —
+    * the same storage posture as [[gramFixtureWrite]]: the bigram
+    * explode+aggregate is the first-payer cost BOTH its consumers
+    * otherwise rebuild (text_predictability's p1 carried an 11.6 s
+    * bd-build spike at ×100, NOTES.md round 16), so it is built once per
+    * (corpus, code) and served from parquet across sessions. */
+  def bigramFixtureWrite(s: SparkSession, dir: String): String =
+    graft.FixtureStore.obtain("bigrams", dir, Seq("documents"), getClass) {
+      root =>
+        bdOf(docs(s, dir))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/bd")
+        ()
+    }
+
+  /** Memoized per-document bigram counts — hybrid posture like
+    * [[gramFrame]]: first consumer loads the persisted fixture (or
+    * derives inline when no fixture exists — first-payer honesty), later
+    * consumers in the session hit the memo. */
+  private[operators] def bdFrame(s: SparkSession, dir: String): DataFrame =
+    gramCache.getOrElseUpdate((s, dir, "bd"),
+      (graft.FixtureStore.peek("bigrams", dir) match {
+        case Some(root) => s.read.parquet(s"$root/bd")
+        case None => bdOf(docs(s, dir))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release ONLY the bigram memo (the `bigrams` family's
+    * [[graft.SessionMemos]] hook — it must not evict the gram family's
+    * frames, whose consumer block may not have run yet). */
+  def releaseBigramMemo(s: SparkSession): Unit =
+    gramCache.keys.filter(k => (k._1 eq s) && k._3 == "bd").foreach { k =>
+      gramCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
+  /** Release ONLY the gram memos (`grams` family hook — the mirror-image
+    * constraint of [[releaseBigramMemo]]). */
+  def releaseGramMemos(s: SparkSession): Unit =
+    gramCache.keys.filter(k => (k._1 eq s) && k._3 != "bd").foreach { k =>
+      gramCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
+  /** End-of-session teardown for ALL of this module's memos — the
     * [[graft.operators.Dedup.releaseSession]] contract; entry points call
     * it right before `spark.stop()`. */
   def releaseSession(s: SparkSession): Unit =
@@ -1104,14 +1161,12 @@ object TextAnalysis {
       |ORDER BY w1, rn""".stripMargin) { (s, dir) =>
     val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val top = byW1.orderBy(col("c").desc, col("w2"))
-    docs(s, dir)
-      .select(split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
-          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    // corpus pair counts re-aggregate the SHARED per-doc frame (`bd`
+    // memo/fixture — [[bdFrame]]): Σ per-doc n ≡ the occurrence count
+    // the direct explode produced, and the tokenize pass is shared with
+    // text_predictability instead of run twice per session
+    bdFrame(s, dir)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c"))
       .withColumn("pc", sum(col("c")).over(byW1))
       .withColumn("rn", row_number().over(top).cast("long"))
       .where(col("pc") >= 50 && col("rn") <= 3)
@@ -1251,15 +1306,12 @@ object TextAnalysis {
       |SELECT doc_id, n_bigrams,
       |  CAST(tot // n_bigrams AS BIGINT) AS predict_ppm
       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val bd = graft.Scratch.track(docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
-          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n")))
+    // the (doc, bigram) frame is the session memo / store fixture shared
+    // with text_bigram_lm ([[bdFrame]]) — it was a per-query Scratch
+    // persist through round 16, which meant the corpus tokenize+explode
+    // re-ran inside this query's first pass every session (the 11.6 s
+    // ×100 p1 spike the round-16 sidecars recorded)
+    val bd = bdFrame(s, dir)
     val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val lm = bd.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c"))
       .withColumn("pc", sum(col("c")).over(byW1))
