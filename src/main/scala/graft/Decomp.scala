@@ -85,12 +85,30 @@ object Decomp {
         .select(col("l_orderkey"), col("l_linenumber"), col("t_str"),
           col("secs"), col("secs_native"), col("fmt"))
     }
+    // round-17 fused shape: native race_time_str + numeric secs + ONE
+    // native parse (the registered query's current projection) — priced
+    // against the r16 concat/double-parse stages above
+    def formattedFused(df: DataFrame): DataFrame =
+      df.drop("q60")
+        .withColumn("t_str", call_function("race_time_str",
+          floor(col("l_quantity")).cast("int") % 60,
+          (col("l_orderkey") % 60).cast("int"),
+          ((col("l_partkey") % 100) * 10).cast("int")))
+        .withColumn("secs",
+          (floor(col("l_quantity")).cast("int") % 60).cast("double") * 60.0 +
+            ((col("l_orderkey") % 60).cast("int") * 1000 +
+              ((col("l_partkey") % 100) * 10).cast("int")).cast("double") / 1000.0)
+        .withColumn("secs_native", expr("race_time_seconds(t_str)"))
+        .withColumn("fmt", call_function("race_time_format", col("secs")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("t_str"),
+          col("secs"), col("secs_native"), col("fmt"))
     // JVM warm pass (codegen, parquet reader) — not reported
     base.queryExecution.toRdd.foreach(_ => ())
     timed("scan_project")(base)
     timed("sort_only")(sorted(base).drop("q60"))
     timed("format_only")(formatted(base, concatTstr = false))
     timed("format_only_concat")(formatted(base, concatTstr = true))
+    timed("format_only_fused")(formattedFused(base))
     timed("full")(operators.Analytics.racetime.run(s, dir))
     timed("full_concat")(formatted(sorted(base), concatTstr = true))
     // where does the range partitioner SAMPLE? The r5 fix moved the

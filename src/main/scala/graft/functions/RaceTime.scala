@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -73,6 +73,11 @@ object RaceTime {
         org.apache.spark.sql.catalyst.FunctionIdentifier("race_time_format")))
       reg.createOrReplaceTempFunction(
         "race_time_format", exprs => RaceTimeFormat(exprs.head), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("race_time_str")))
+      reg.createOrReplaceTempFunction(
+        "race_time_str", exprs => RaceTimeStr(exprs(0), exprs(1), exprs(2)),
+        "built-in")
   }
 }
 
@@ -155,6 +160,66 @@ object RaceTimeParse {
     sb.append(frac)
     UTF8String.fromString(sb.toString)
   }
+}
+
+/** JVM core of [[RaceTimeStr]] — `'%d:%02d.%03d'` from three ints in ONE
+  * buffer fill. Byte-for-byte the semantics of the composed
+  * `concat(cast(q), ':', lpad(cast(o), 2, '0'), '.', lpad(cast(p), 3, '0'))`
+  * it replaces in the racetime projection, INCLUDING the two non-printf
+  * edges of that form (pinned in RaceTimeSpec so a future field change
+  * fails loudly instead of silently diverging — round-16 ADVICE):
+  * Spark's `lpad(s, n, '0')` TRUNCATES to the first n chars when s is
+  * LONGER than n (printf `%0nd` widens), and `cast(int as string)` of a
+  * negative renders `-k` (so a -5 o-field becomes "-5", 2 chars, no pad).
+  * The racetime fields are modulo-bounded non-negative, so the forms
+  * agree there; the replication is for honesty at the boundaries.
+  */
+object RaceTimeStrBuild {
+  private def appendPadded(sb: java.lang.StringBuilder, v: Int, n: Int): Unit = {
+    val s = java.lang.String.valueOf(v)
+    if (s.length >= n) sb.append(s, 0, n) // lpad truncation semantics
+    else {
+      var pad = n - s.length
+      while (pad > 0) { sb.append('0'); pad -= 1 }
+      sb.append(s)
+    }
+  }
+
+  def build(q: Int, o: Int, p: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(18)
+    sb.append(q).append(':')
+    appendPadded(sb, o, 2)
+    sb.append('.')
+    appendPadded(sb, p, 3)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Native fused `'%d:%02d.%03d'` formatter (SQL `race_time_str`): the
+  * racetime board query's t_str projection as ONE codegen'd static call
+  * instead of a 9-node concat/cast/lpad chain (each node allocating its
+  * own UTF8String per row at 60M rows ×100). Null-safe on all three
+  * children via [[TernaryExpression]]'s default null propagation — the
+  * composed concat form was null-propagating too, so the swap preserves
+  * the NULL row behavior (spec-pinned).
+  */
+case class RaceTimeStr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "race_time_str"
+
+  override def nullSafeEval(q: Any, o: Any, p: Any): Any =
+    RaceTimeStrBuild.build(q.asInstanceOf[Int], o.asInstanceOf[Int],
+      p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, o, p) =>
+      s"${ev.value} = graft.functions.RaceTimeStrBuild.build($q, $o, $p);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RaceTimeStr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Native Catalyst expression for race-time parsing (SURVEY.md §7.3): one

@@ -334,21 +334,30 @@ object Analytics {
       // floor, not bare cast: DuckDB's CAST(double AS INT) ROUNDS while
       // Spark's truncates — floor first so both engines agree even if
       // quantities were ever non-integral.
-      // concat/lpad, not format_string: the '%d:%02d.%03d' fields are
-      // non-negative and fixed-range (q∈[0,60), o∈[0,60), p∈[0,991)), so
-      // zero-padded lpad is byte-identical to the printf form — and it
-      // stays inside whole-stage codegen where format_string drops to a
-      // per-row java.util.Formatter. Measured at ×100 (graft.Decomp
-      // racetime, round 16): the full query 43.5 → 30.9 s best-of-2, the
-      // format-only stage 33.1 → 24.6 s, same host window; hash-gated
-      // unchanged at sf0.001/0.01/0.1.
-      .withColumn("t_str", concat(
-        (floor(col("l_quantity")).cast("int") % 60).cast("string"),
-        lit(":"),
-        lpad((col("l_orderkey") % 60).cast("int").cast("string"), 2, "0"),
-        lit("."),
-        lpad(((col("l_partkey") % 100) * 10).cast("int").cast("string"), 3, "0")))
-      .withColumn("secs", RaceTime.secondsCol(col("t_str")))
+      // Fused native t_str (round 17; the r16 concat/lpad chain priced by
+      // graft.Decomp at ×100: format stage 24.6 s of the 30.9 s query):
+      // race_time_str builds '%d:%02d.%03d' in ONE codegen'd static call
+      // — byte-identical to the concat/lpad form including its lpad
+      // truncation and negative-field edges, pinned in RaceTimeSpec.
+      .withColumn("t_str", call_function("race_time_str",
+        floor(col("l_quantity")).cast("int") % 60,
+        (col("l_orderkey") % 60).cast("int"),
+        ((col("l_partkey") % 100) * 10).cast("int")))
+      // secs NUMERICALLY, not by re-parsing t_str: parseDouble("oo.ppp")
+      // is the nearest double to the exact decimal o.ppp, and
+      // (o*1000 + p)/1000.0 is that SAME single correctly-rounded
+      // operation (both operands exact in double) — then q*60.0 is exact
+      // (≤3540) and the final addition is the one rounding step both the
+      // composed split/try_cast path and RaceTimeParse take. Bitwise
+      // equality with BOTH parse paths over the full field grid
+      // (60×60×100) is spec-asserted in RaceTimeSpec; the DuckDB oracle
+      // replays the parse form and the hash gate agrees at 3 SFs.
+      .withColumn("secs",
+        (floor(col("l_quantity")).cast("int") % 60).cast("double") * 60.0 +
+          ((col("l_orderkey") % 60).cast("int") * 1000 +
+            ((col("l_partkey") % 100) * 10).cast("int")).cast("double") / 1000.0)
+      // the native F1 parse demo stays in-query (one parse, not the two
+      // the r16 shape paid: composed split/regexp + native on every row)
       .withColumn("secs_native", expr("race_time_seconds(t_str)"))
       // native formatter (composed formatCol ≡ native, RaceTimeSpec): the
       // per-row java.util.Formatter behind format_string was ~9 s of the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, IntegerType, TimestampType}
 
-import graft.functions.{BloomMightContainStr, CentroidSims, HyperplaneBuckets, PqAdc, PqCodes, PqDtab, ProbeBucket, RaceTimeFormat, RaceTimeSeconds, RandomSignProject}
+import graft.functions.{BloomMightContainStr, CentroidSims, HyperplaneBuckets, PqAdc, PqCodes, PqDtab, ProbeBucket, RaceTimeFormat, RaceTimeSeconds, RaceTimeStr, RandomSignProject}
 
 /** Catalyst optimizer rule: rewrite `year(col) <cmp> <int literal>` filters
   * into sargable range predicates on the underlying date/timestamp column.
@@ -94,6 +94,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => SlidingCountStrategy)
     e.injectFunction(fn("race_time_seconds", xs => RaceTimeSeconds(xs.head)))
     e.injectFunction(fn("race_time_format", xs => RaceTimeFormat(xs.head)))
+    e.injectFunction(fn("race_time_str", xs => RaceTimeStr(xs(0), xs(1), xs(2))))
     e.injectFunction(fn("hyperplane_buckets", xs => HyperplaneBuckets(xs.head)))
     e.injectFunction(fn("centroid_sims", xs => CentroidSims(xs(0), xs(1))))
     e.injectFunction(fn("random_project", xs => RandomSignProject(xs.head)))

@@ -136,4 +136,67 @@ class RaceTimeSpec extends SparkSpec {
       assert(math.abs(x - rt) < 0.005 + 1e-9, s"$x → $rt")
     }
   }
+
+  /** The three t_str forms racetime has shipped — printf, concat/lpad, and
+    * the fused native race_time_str — pinned equal AT THE FIELD BOUNDARIES
+    * and beyond them (round-16 ADVICE: the concat/lpad ≡ printf invariant
+    * held only under unchecked range assumptions; this makes any future
+    * field change fail here instead of silently corrupting t_str). Beyond
+    * the modulo ranges the concat and fused forms STAY identical to each
+    * other (lpad truncation semantics) while printf widens — asserted
+    * separately so the documented divergence is pinned too. */
+  test("fused race_time_str ≡ concat/lpad ≡ printf on field boundaries; NULL propagates") {
+    RaceTime.register(spark)
+    import spark.implicits._
+    val fields = Seq(// (q, o, p) — boundaries and representatives
+      (0, 0, 0), (9, 9, 90), (10, 10, 100), (59, 59, 990), (59, 0, 0),
+      (0, 59, 990), (1, 2, 30), (42, 7, 500))
+    val df = fields.toDF("q", "o", "p").select(
+      format_string("%d:%02d.%03d", col("q"), col("o"), col("p")).as("printf"),
+      concat(col("q").cast("string"), lit(":"),
+        lpad(col("o").cast("string"), 2, "0"), lit("."),
+        lpad(col("p").cast("string"), 3, "0")).as("composed"),
+      expr("race_time_str(q, o, p)").as("fused"))
+    val bad = df.filter(!(col("printf") <=> col("composed")) ||
+      !(col("printf") <=> col("fused"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+    // OUT-OF-RANGE fields: fused must track the concat/lpad form exactly
+    // (truncation, negatives) even where printf widens
+    val wide = Seq((123, 123, 1234), (-5, -5, -50), (60, 60, 1000))
+      .toDF("q", "o", "p").select(
+        concat(col("q").cast("string"), lit(":"),
+          lpad(col("o").cast("string"), 2, "0"), lit("."),
+          lpad(col("p").cast("string"), 3, "0")).as("composed"),
+        expr("race_time_str(q, o, p)").as("fused"))
+    val wbad = wide.filter(!(col("composed") <=> col("fused"))).collect()
+    assert(wbad.isEmpty, wbad.mkString("; "))
+    // NULL in any field → NULL out, like the concat form it replaced
+    val nulls = spark.sql(
+      "SELECT race_time_str(CAST(NULL AS INT), 1, 2) AS a," +
+        " race_time_str(1, CAST(NULL AS INT), 2) AS b," +
+        " race_time_str(1, 2, CAST(NULL AS INT)) AS c").collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
+  /** racetime's round-17 numeric secs — q·60 + (o·1000+p)/1000.0 — must be
+    * BITWISE equal to both parse paths on the full field grid: the one
+    * division is the same single correctly-rounded operation as
+    * parseDouble("oo.ppp"), and the remaining ops (exact q·60, one final
+    * add) are shared with the composed split/try_cast chain. 60×60×100 =
+    * 360k rows, exhaustive over every value racetime can produce. */
+  test("numeric secs ≡ composed parse ≡ native parse on the exhaustive field grid") {
+    RaceTime.register(spark)
+    val grid = spark.range(0, 360000).selectExpr(
+      "CAST(id % 60 AS INT) AS q",
+      "CAST((id div 60) % 60 AS INT) AS o",
+      "CAST(((id div 3600) % 100) * 10 AS INT) AS p")
+      .selectExpr("race_time_str(q, o, p) AS t_str",
+        "q * 60.0 + CAST(o * 1000 + p AS DOUBLE) / 1000.0 AS numeric")
+    val df = grid.select(col("numeric"),
+      RaceTime.secondsCol(col("t_str")).as("composed"),
+      expr("race_time_seconds(t_str)").as("native"))
+    // === not <=>+tolerance: the claim is bitwise equality
+    assert(df.filter(col("numeric") =!= col("composed") ||
+      col("numeric") =!= col("native")).count() === 0)
+  }
 }
