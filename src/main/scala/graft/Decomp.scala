@@ -45,9 +45,29 @@ object Decomp {
     val spark = GraftSession.build("graft-decomp", Some(sfDir))
     which match {
       case "racetime" => racetime(spark, sfDir)
+      case "dedup_spans" => dedupSpans(spark, sfDir)
       case other => sys.error(s"unknown decomposition '$other'")
     }
     spark.stop()
+  }
+
+  /** dedup_spans stage pricing (round-17 task 6): the gram fixture is
+    * obtained first (store posture, like Bench), the memo is loaded by a
+    * non-reported warm pass, then each pipeline prefix is timed
+    * best-of-2 — so stage deltas price the doc-frequency pass, the
+    * dup-gram join, the per-doc count, and the interval-union window in
+    * isolation from the serve cost (reported as its own stage).
+    */
+  private def dedupSpans(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val t0 = System.nanoTime()
+    operators.TextAnalysis.gramFixtureWrite(s, dir)
+    println(f"""{"stage":"fixture_obtain","best_s":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    val stages = operators.TextAnalysis.spanDecompStages(s, dir)
+    // warm pass: codegen + parquet reader + the gram memo load, so
+    // grams_scan times the MEMO read (the posture every in-run consumer
+    // after the first sees), not the one-time load
+    stages.head._2().queryExecution.toRdd.foreach(_ => ())
+    stages.foreach { case (label, df) => timed(label)(df()) }
   }
 
   private def racetime(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
