@@ -242,9 +242,13 @@ object FixtureStore {
       }
     } catch { case _: java.io.IOException => () }
 
-  /** Does any LIVE pin reference `rootName`? Pins whose owning pid is
-    * dead are cleaned here as a side effect; pins past [[PinTtlMs]] are
+  /** Does any LIVE pin reference `rootName`? Pins past [[PinTtlMs]] are
     * kept on disk (their owner may refresh them) but do not protect.
+    * EVERY dead-pid pin in the listing is swept here — not just this
+    * root's and not only until the first live hit (the round-16 advice:
+    * the former short-circuiting exists() cleaned dead pins only
+    * opportunistically, so `.pins` grew one file per (root, pid)
+    * indefinitely while roots stayed live).
     */
   private def hasLivePin(base: Path, rootName: String, now: Long): Boolean = {
     val pd = pinsDir(base)
@@ -254,21 +258,45 @@ object FixtureStore {
         val s = Files.list(pd)
         try s.iterator().asScala.toSeq finally s.close()
       }
-      entries.filter(_.getFileName.toString.startsWith(rootName + "."))
+      def pidOf(p: Path): String =
+        p.getFileName.toString.reverse.takeWhile(_.isDigit).reverse
+      def alive(pid: String): Boolean = pid.nonEmpty &&
+        (try ProcessHandle.of(pid.toLong).isPresent
+         catch { case _: Throwable => true })
+      val (live, dead) = entries.partition(p => alive(pidOf(p)))
+      dead.foreach(p => p.toFile.delete())
+      live.filter(_.getFileName.toString.startsWith(rootName + "."))
         .exists { p =>
-          val pid = p.getFileName.toString.stripPrefix(rootName + ".")
-            .takeWhile(_.isDigit)
-          val alive = pid.nonEmpty &&
-            (try ProcessHandle.of(pid.toLong).isPresent
-             catch { case _: Throwable => true })
-          if (!alive) { p.toFile.delete(); false }
-          else {
-            val age = try now - Files.getLastModifiedTime(p).toMillis
-                      catch { case _: Throwable => 0L }
-            age <= PinTtlMs
-          }
+          val age = try now - Files.getLastModifiedTime(p).toMillis
+                    catch { case _: Throwable => 0L }
+          age <= PinTtlMs
         }
     }
+  }
+
+  /** Reap one published stale sibling WITHOUT the check-then-delete race
+    * the round-16 advice flagged: a concurrent session's writePin can land
+    * between our hasLivePin check and the delete. Sequence: atomically
+    * RENAME the root to a process-private `.reap.` tombstone (readers that
+    * already opened files keep their fds; a concurrent obtain that just
+    * pinned but had not yet checked `_GRAFT_STAMP` now sees the root
+    * absent and rebuilds — correct, merely unlucky), then RE-CHECK pins:
+    * if one appeared in the window, rename back (losing that race to the
+    * victim's own fresh rebuild is fine — the restore fails only if a new
+    * root was already published, in which case the victim no longer needs
+    * this copy). Only an unpinned tombstone is deleted.
+    */
+  private def reapPublished(base: Path, root: Path, rootName: String): Unit = {
+    val tomb = base.resolve(
+      s"$rootName.reap.${ProcessHandle.current().pid()}.${attempt.incrementAndGet()}")
+    try Files.move(root, tomb, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException => return } // someone else got it
+    if (hasLivePin(base, rootName, System.currentTimeMillis())) {
+      // a pin landed in the window — undo if the slot is still free
+      try { Files.move(tomb, root, StandardCopyOption.ATOMIC_MOVE); return }
+      catch { case _: java.io.IOException => () } // slot republished; fall through
+    }
+    deleteRecursively(tomb.toFile)
   }
 
   /** Obtain the fixture root for `family` over `tables` under `dataDir`,
@@ -330,9 +358,13 @@ object FixtureStore {
         sibs.foreach { p =>
           val n = p.getFileName.toString
           if (n.startsWith(s"${family}_${dirTag}_") && n != rootName) {
-            val bi = n.indexOf(".build.")
-            if (bi >= 0) {
-              val pid = n.drop(bi + ".build.".length).takeWhile(_.isDigit)
+            // .build. attempt dirs and .reap. tombstones both carry the
+            // owning pid; either kind from a dead process is an orphan
+            val marker = Seq(".build.", ".reap.")
+              .map(m => (m, n.indexOf(m))).find(_._2 >= 0)
+            if (marker.isDefined) {
+              val (m, bi) = marker.get
+              val pid = n.drop(bi + m.length).takeWhile(_.isDigit)
               val dead = pid.nonEmpty &&
                 (try ProcessHandle.of(pid.toLong).isEmpty
                  catch { case _: Throwable => false })
@@ -341,7 +373,7 @@ object FixtureStore {
               val age = try now - Files.getLastModifiedTime(p).toMillis
                         catch { case _: Throwable => 0L }
               age > ReapGraceMs && !hasLivePin(base, n, now)
-            }) deleteRecursively(p.toFile)
+            }) reapPublished(base, p, n)
           }
         }
         val tmp = base.resolve(

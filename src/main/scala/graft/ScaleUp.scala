@@ -137,10 +137,10 @@ object ScaleUp {
     * Stamping: the producer-code half is [[FixtureStore.classContentStamp]]
     * (this class' bytes), not the whole-jar hash — the corpus build runs
     * minutes and writes GBs, and rebuilding it on every unrelated
-    * recompile would tax the whole round. Accepted coarseness: a change
-    * to `sources.Tables`' declared schemas would alter generated content
-    * without flipping the stamp (delete the published dir by hand after
-    * such a change; `_GRAFT_STAMP` under `$TMPDIR/graft_fx` names it).
+    * recompile would tax the whole round. The one real cross-file
+    * dependency, `sources.Tables` (declared schemas + loaders), is
+    * covered by an extra stamp line of ITS class bytes (round-16 advice
+    * closed the former manual-delete trap).
     *
     * The generation session is built against the SOURCE dir and stopped
     * before returning; it never touches LshPlanes (see [[dims]]), so a
@@ -150,7 +150,13 @@ object ScaleUp {
   def obtainScaled(srcDir: String, factor: Int): String =
     FixtureStore.obtain("scalecorpus", srcDir, AllTables, getClass,
       extra = Seq(s"factor:$factor", s"scaleKeys:$scaleKeysKnob",
-        s"dims:$dims"),
+        s"dims:$dims",
+        // the one real cross-file dependency (round-16 advice): generate()
+        // reads through sources.Tables' declared schemas/loaders, so a
+        // Tables change alters corpus CONTENT — stamp its class bytes too,
+        // keeping per-class granularity while closing the manual-delete
+        // trap the scaladoc below used to document
+        s"tables:${FixtureStore.classContentStamp(sources.Tables.getClass)}"),
       codeStampOverride = Some(FixtureStore.classContentStamp(getClass))) {
       tmp =>
         val s = GraftSession.build("graft-scaleup", Some(srcDir))
