@@ -82,6 +82,21 @@ object Decomp {
         expr("CASE WHEN q60 < 10 THEN q60 ELSE q60 div 10 END"),
         expr("CASE WHEN q60 < 10 THEN 10 ELSE q60 % 10 END"),
         col("l_partkey") % 100)
+    // candidate lever (round 17): the 5-key sort packed into ONE long —
+    // all trailing fields are bounded non-negative (lineno 1..7, lexq1
+    // 0..9, lexq2 0..10, p 0..99), so the packed integer order is
+    // isomorphic to the tuple order; the exchange ships one long instead
+    // of five sort columns and the sorter compares one word
+    // bit budget: lineno 1..7 → 3 bits, lexq1 0..9 → 4, lexq2 0..10 → 4,
+    // pmod 0..99 → 7; okey occupies the remaining high bits (fits to
+    // ~2^44 of key space, 10⁴× beyond the ×100 corpus)
+    def sortedPacked(df: DataFrame): DataFrame = df
+      .withColumn("sk", expr(
+        "l_orderkey * 262144L + l_linenumber * 32768L + " +
+          "(CASE WHEN q60 < 10 THEN q60 ELSE q60 div 10 END) * 2048L + " +
+          "(CASE WHEN q60 < 10 THEN 10 ELSE q60 % 10 END) * 128L + " +
+          "l_partkey % 100"))
+      .orderBy(col("sk")).drop("sk")
     // mirror of the registered post-sort projection (q60 dropped first,
     // the format chain recomputes its fields — identical plan shape)
     def formatted(df: DataFrame, concatTstr: Boolean): DataFrame = {
@@ -126,6 +141,8 @@ object Decomp {
     base.queryExecution.toRdd.foreach(_ => ())
     timed("scan_project")(base)
     timed("sort_only")(sorted(base).drop("q60"))
+    timed("sort_only_packed")(sortedPacked(base).drop("q60"))
+    timed("full_fused_packed")(formattedFused(sortedPacked(base)))
     timed("format_only")(formatted(base, concatTstr = false))
     timed("format_only_concat")(formatted(base, concatTstr = true))
     timed("format_only_fused")(formattedFused(base))

@@ -326,11 +326,22 @@ object Analytics {
       // ':' = 58 — so single-digit q ranks after q·10+0..9). Two rows tied
       // on ALL four keys have byte-identical output, so the order is total.
       .withColumn("q60", floor(col("l_quantity")).cast("int") % 60)
-      .orderBy(col("l_orderkey"), col("l_linenumber"),
-        expr("CASE WHEN q60 < 10 THEN q60 ELSE q60 div 10 END"),
-        expr("CASE WHEN q60 < 10 THEN 10 ELSE q60 % 10 END"),
-        col("l_partkey") % 100)
-      .drop("q60")
+      // the 5-key tuple packed into ONE long (round 17; Decomp priced the
+      // packed sort at −2.1 s of the ×100 sort stage and a 5×-narrower
+      // exchange payload): every trailing field is bounded non-negative —
+      // lineno 1..7 (<8), lexq1 0..9 and lexq2 0..10 (<16 each), pmod
+      // 0..99 (<128) — so the packed integer order is ISOMORPHIC to the
+      // tuple order (spec-asserted against the tuple sort AND a driver-
+      // side t_str re-sort in RaceTimeSpec). okey rides the high bits:
+      // ×262144 overflows long only past okey ≈ 3.5e13, three orders of
+      // magnitude beyond the ×100 corpus' offset key domain.
+      .withColumn("sk", expr(
+        "l_orderkey * 262144L + l_linenumber * 32768L + " +
+          "(CASE WHEN q60 < 10 THEN q60 ELSE q60 div 10 END) * 2048L + " +
+          "(CASE WHEN q60 < 10 THEN 10 ELSE q60 % 10 END) * 128L + " +
+          "l_partkey % 100"))
+      .orderBy(col("sk"))
+      .drop("q60", "sk")
       // floor, not bare cast: DuckDB's CAST(double AS INT) ROUNDS while
       // Spark's truncates — floor first so both engines agree even if
       // quantities were ever non-integral.

@@ -124,6 +124,29 @@ class RaceTimeSpec extends SparkSpec {
     assert(rows.groupBy(r => (r._1, r._2)).exists(_._2.length > 1))
   }
 
+  /** The round-17 packed sort key must order EXACTLY like the 5-key tuple
+    * it replaces — exhaustive over the full bounded-field domain (okey
+    * boundary values × lineno 1..7 × q60 0..59 × pmod 0..99), driver-side
+    * so the claim is about the arithmetic itself, not one corpus. */
+  test("racetime's packed sort key is order-isomorphic to the 5-key tuple") {
+    def lexq1(q: Int) = if (q < 10) q else q / 10
+    def lexq2(q: Int) = if (q < 10) 10 else q % 10
+    def packed(okey: Long, lineno: Int, q: Int, pmod: Int): Long =
+      okey * 262144L + lineno * 32768L + lexq1(q) * 2048L +
+        lexq2(q) * 128L + pmod
+    val domain = for {
+      okey <- Seq(0L, 1L, 9999900000000L) // incl. the documented headroom edge
+      lineno <- 1 to 7
+      q <- 0 until 60
+      pmod <- 0 until 100 by 3 // stride keeps it ~85k tuples; q is exhaustive
+    } yield (okey, lineno, q, pmod)
+    val byTuple = domain.sortBy { case (o, l, q, p) =>
+      (o, l, lexq1(q), lexq2(q), p)
+    }
+    val byPacked = domain.sortBy { case (o, l, q, p) => packed(o, l, q, p) }
+    assert(byTuple === byPacked)
+  }
+
   test("parse∘format round-trips to 2-decimal precision") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
