@@ -38,5 +38,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Heap sizing measured on THIS host (round 17, bench_r17_heap*_probe):
+  // bigger is NOT better on this VM — the same ×100 5-query probe read
+  // 2-3× SLOWER at -Xmx28g than at 8g (e.g. dedup_spans 40 vs 16 s,
+  // basket_pairs 28 vs 9 s, steal ~0 both) — consistent with guest
+  // free-page reporting (kvfree_rcu kworkers): a large lazily-grown G1
+  // heap keeps faulting freshly-zapped pages back from the host, while a
+  // compact heap stays resident. Xms is pinned to Xmx so the heap is
+  // committed once instead of thrash-grown. SPARK_DRIVER_MEM overrides
+  // both knobs for other hosts.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ad-hoc JVM flags for forked runs (GC experiments, diagnostics) without
+// editing the build — e.g. GRAFT_JVM_EXTRA="-XX:+UseParallelGC -Xlog:gc"
+javaOptions ++= sys.env.get("GRAFT_JVM_EXTRA")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
