@@ -267,7 +267,14 @@ object Bench {
     // or the window saw no jiffies at all
     val stealPct = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val (runSteal0, runTotal0) = cpuJiffies()
+    // GRAFT_BENCH_GC_BETWEEN=1: a full GC in the UNTIMED gap before each
+    // query — it lets the ContextCleaner reap the previous query's
+    // shuffle files/broadcasts (cleanup keys off reference GC) so a
+    // heavy predecessor's multi-GB residue doesn't bill the next timed
+    // window. Experiment knob (round-17 in-run-tax bisects), default off.
+    val gcBetween = sys.env.get("GRAFT_BENCH_GC_BETWEEN").contains("1")
     val passes = ordered.map { name =>
+      if (gcBetween) { System.gc(); Thread.sleep(500) }
       val (s0, t0) = cpuJiffies()
       val p1 = timedPass(name)
       // don't pay for a second pass of a failing query — the failure is
