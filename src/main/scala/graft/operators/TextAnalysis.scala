@@ -827,7 +827,8 @@ object TextAnalysis {
   val boilerplate: Q = Q("text_boilerplate",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |g00 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS gt FROM toks),
-       |g0 AS (SELECT doc_id, substr(md5(gt), 1, 16) AS g, gt FROM g00),
+       |g0 AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(gt), 1, 15)) AS BIGINT) AS g, gt FROM g00),
        |dg AS (SELECT DISTINCT doc_id, g FROM g0),
        |gdf AS (SELECT g, count(*) AS n_docs FROM dg GROUP BY g),
        |topk AS (SELECT g, n_docs FROM gdf WHERE n_docs >= $SpanMinDocs
@@ -841,9 +842,16 @@ object TextAnalysis {
     val grams = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), wordGramsCol(DecontamGram).as("gt"))
-      .select(col("doc_id"), substring(md5(col("gt")), 1, 16).as("g"),
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(gt), 1, 15), 16, 10) AS BIGINT)").as("g"),
         col("gt"))
+    // 60-bit long digests (the dedup_spans idiom): the df-count exchange
+    // and the winner-set broadcast probe both carry 8-byte keys; the
+    // numeric tie-break at the top-K boundary replaces the string one
+    // IDENTICALLY in both engines (same conv in the oracle)
     val top = gramSet(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)").as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= SpanMinDocs)
@@ -1201,7 +1209,8 @@ object TextAnalysis {
   val novelty: Q = Q("text_novelty",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |g00 AS (SELECT doc_id, unnest(${gramListSql(DecontamGram)}) AS gt FROM toks),
-       |g0 AS (SELECT doc_id, substr(md5(gt), 1, 16) AS g FROM g00),
+       |g0 AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(gt), 1, 15)) AS BIGINT) AS g FROM g00),
        |dg AS (SELECT DISTINCT doc_id, g FROM g0),
        |fw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc
        |  FROM dg)
@@ -1217,7 +1226,13 @@ object TextAnalysis {
     // with the scan and distinct now read from the session gram memo
     // ([[gramSet]]) shared with decontam/boilerplate/dedup_spans.
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    // the memo's 16-hex-char digest re-digested to a 60-bit long
+    // map-side (the dedup_spans idiom — see spanCoverageFromGrams): the
+    // distinct/window exchanges carry an 8-byte key, and the identical
+    // conv in the oracle keeps any truncation collision consistent
     gramSet(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)").as("g"))
       .withColumn("first_doc", min(col("doc_id")).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -1541,7 +1556,8 @@ object TextAnalysis {
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |lg AS (SELECT doc_id, len(t) AS n_tokens, ${gramListSql(SpanGram)} AS l
        |  FROM toks),
-       |g0 AS (SELECT doc_id, e.p AS p, substr(md5(e.gt), 1, 16) AS g FROM (
+       |g0 AS (SELECT doc_id, e.p AS p,
+       |    CAST(concat('0x', substr(md5(e.gt), 1, 15)) AS BIGINT) AS g FROM (
        |    SELECT doc_id, unnest(list_transform(range(len(l)),
        |      i -> struct_pack(p := i, gt := l[i + 1]))) AS e
        |    FROM lg)),
@@ -1581,7 +1597,10 @@ object TextAnalysis {
     * later one's input.
     */
   def spanDecompStages(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
-    def grams = gramFrame(s, dir)
+    // same long re-digest the registered query applies (see
+    // spanCoverageFromGrams) so the stage prices match its exchanges
+    def grams = gramFrame(s, dir).select(col("doc_id"), col("p"),
+      expr("CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)").as("g"))
     def dup = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("g"))
@@ -1611,12 +1630,23 @@ object TextAnalysis {
     val toks = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
-    // (doc_id, position, 64-bit gram digest) — the only corpus-sized
-    // frame; persisted (Scratch pass-through when the caller hands the
-    // session gram memo) because BOTH the doc-frequency pass and the
+    // (doc_id, position, gram digest) — the only corpus-sized frame;
+    // persisted (Scratch pass-through when the caller hands the session
+    // gram memo) because BOTH the doc-frequency pass and the
     // duplicated-gram join consume it (unpersisted, the tokenize +
-    // explode + md5 sweep runs twice over the corpus)
-    val grams = graft.Scratch.track(gramsIn)
+    // explode + md5 sweep runs twice over the corpus).
+    // The shared memo's g is a 16-hex-char STRING (the other four
+    // consumers' oracles replay that form); THIS query re-digests it to
+    // a 60-bit long map-side (conv of the first 15 hex chars — the
+    // engine's standard replayable-randomness idiom, 48-bit cousin in
+    // Sampling.withSketchRho) so the distinct, the doc-frequency
+    // aggregate, and the dup join all exchange and compare an 8-byte
+    // key instead of a 16-char string. A truncation collision merges
+    // the same grams in both engines (the oracle applies the identical
+    // conv), preserving the hash gate exactly like the md5-prefix
+    // argument it extends.
+    val grams = graft.Scratch.track(gramsIn.select(col("doc_id"), col("p"),
+      expr("CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)").as("g")))
     // doc-frequency over digests; distinct first so the count is per-doc
     val dup = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
