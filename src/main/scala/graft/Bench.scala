@@ -36,7 +36,10 @@ object Bench {
           java.nio.file.Paths.get("/proc/stat")),
           java.nio.charset.StandardCharsets.UTF_8)
           .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
-        (fields(7), fields.sum)
+        // total = first 8 fields (user..steal) ONLY: the kernel already
+        // folds guest/guest_nice into user/nice, so summing all 10
+        // double-counts guest jiffies and understates steal% (r17 advice)
+        (fields(7), fields.take(8).sum)
       } catch { case _: Throwable => (-1L, -1L) }
     }
     // Load-gate: two rounds produced BENCH artifacts with 5-10× phantom

@@ -91,11 +91,10 @@ object Decomp {
     // pmod 0..99 → 7; okey occupies the remaining high bits (fits to
     // ~2^44 of key space, 10⁴× beyond the ×100 corpus)
     def sortedPacked(df: DataFrame): DataFrame = df
-      .withColumn("sk", expr(
-        "l_orderkey * 262144L + l_linenumber * 32768L + " +
-          "(CASE WHEN q60 < 10 THEN q60 ELSE q60 div 10 END) * 2048L + " +
-          "(CASE WHEN q60 < 10 THEN 10 ELSE q60 % 10 END) * 128L + " +
-          "l_partkey % 100"))
+      // the SAME packed-key expression the shipped query sorts on — a
+      // shared constant so the stage pricing can't desynchronize (r17
+      // advice)
+      .withColumn("sk", expr(operators.Analytics.RacetimePackedSortKey))
       .orderBy(col("sk")).drop("sk")
     // mirror of the registered post-sort projection (q60 dropped first,
     // the format chain recomputes its fields — identical plan shape)

@@ -263,7 +263,17 @@ object FixtureStore {
       def alive(pid: String): Boolean = pid.nonEmpty &&
         (try ProcessHandle.of(pid.toLong).isPresent
          catch { case _: Throwable => true })
-      val (live, dead) = entries.partition(p => alive(pidOf(p)))
+      // only entries that parse as `<root>.<pid>` participate in the
+      // sweep: a foreign/temp file in .pins has no pid suffix and must be
+      // SKIPPED, not classified dead and deleted (r17 advice — the old
+      // partition treated pidOf()=="" as a dead pin)
+      val parseable = entries.filter { p =>
+        val name = p.getFileName.toString
+        val pid = pidOf(p)
+        pid.nonEmpty && name.length > pid.length + 1 &&
+          name.charAt(name.length - pid.length - 1) == '.'
+      }
+      val (live, dead) = parseable.partition(p => alive(pidOf(p)))
       dead.foreach(p => p.toFile.delete())
       live.filter(_.getFileName.toString.startsWith(rootName + "."))
         .exists { p =>
@@ -294,7 +304,13 @@ object FixtureStore {
     if (hasLivePin(base, rootName, System.currentTimeMillis())) {
       // a pin landed in the window — undo if the slot is still free
       try { Files.move(tomb, root, StandardCopyOption.ATOMIC_MOVE); return }
-      catch { case _: java.io.IOException => () } // slot republished; fall through
+      catch { case _: java.io.IOException => () }
+      // the restore rename failed — but an IOException does NOT prove the
+      // slot was republished (r17 advice: a transient EACCES would fall
+      // through and delete a root a live pin just protected). Delete the
+      // tombstone only when the slot is VERIFIABLY occupied by a new
+      // root; otherwise leave it for the dead-pid orphan sweep.
+      if (!Files.exists(root)) return
     }
     deleteRecursively(tomb.toFile)
   }

@@ -448,6 +448,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(clipped > 0 && clipped <= (n / 50 + 2), s"$clipped clipped of $n")
   }
 
+  test("winsorize_prices cumulates via two-level banding, not a domain window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = Analytics.winsorize.run(spark, dir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size >= 3, s"expected the three banding windows, got ${wins.size}")
+    // the ONLY unpartitioned window is the super-band cumulation — the
+    // r17-flagged one-level form ordered the full distinct-price
+    // histogram on one task
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1,
+      s"exactly one unpartitioned window (super-band totals), got ${unpart.size}")
+    assert(unpart.head.orderSpec.exists(_.child.references.exists(_.name == "sband")),
+      "the unpartitioned window must walk super-bands")
+  }
+
   test("late_suppliers aggregations inherit the join partitioning at scale") {
     // at-scale regime: orders too big to broadcast → SMJ shuffled on
     // orderkey; both downstream aggs group on orderkey prefixes so
