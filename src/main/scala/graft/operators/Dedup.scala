@@ -1166,7 +1166,9 @@ object Dedup {
     * ingest must never do. Persisted per corpus version
     * ([[graft.FixtureStore]], the ann_index_persist train-once shape):
     *   - `baseidx` (doc_id, band, bkey) — the pre-midpoint half's band
-    *     entries, the table a production index refresh appends to
+    *     entries, the table a production index refresh appends to; bkey
+    *     is the 60-bit long form ([[bandFrameLong]]) so the stored scan
+    *     reads 8-byte keys and the serve path's exchanges stay narrow
     *   - `meta`    (lo, hi, mid)        — the midpoint literal, so the
     *     serve path never re-scans documents for the split point
     * [[incrIndex]] then signs ONLY the delta half (one documents scan,
@@ -1181,7 +1183,7 @@ object Dedup {
         .collect()(0)
       val lo = r.getAs[Long]("lo"); val hi = r.getAs[Long]("hi")
       val mid = Math.floorDiv(lo + hi, 2L)
-      bandFrame(minhashSignatures(d.filter(col("doc_id") < mid)))
+      bandFrameLong(minhashSignatures(d.filter(col("doc_id") < mid)))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$root/baseidx")
       Seq((lo, hi, mid)).toDF("lo", "hi", "mid")
@@ -1190,10 +1192,28 @@ object Dedup {
       graft.Scratch.release(s)
     }
 
+  /** [[bandFrame]] with the 32-hex-char band key re-digested to a 60-bit
+    * long MAP-SIDE, before any exchange — the 6bf62fb gram-key pattern
+    * applied to the incremental index (round 18): the stored base index,
+    * the delta's band entries, and every downstream (band, bkey) exchange
+    * (bucket counts, distinct-bucket counts, the cap aggregate) compare
+    * and ship an 8-byte key instead of a 32-char string. The oracle
+    * replays the identical truncation (`CAST('0x'||substr(bkey,1,15) AS
+    * BIGINT)`), so a truncation collision merges the same buckets in both
+    * engines — the md5-prefix argument, one prefix shorter.
+    */
+  private def bandFrameLong(sig: DataFrame): DataFrame =
+    bandFrame(sig).select(col("doc_id"), col("band"),
+      expr("CAST(conv(substring(bkey, 1, 15), 16, 10) AS BIGINT)").as("bkey"))
+
   val incrIndex: Q = Q("dedup_incr_index",
     s"""WITH $minhashBandsSql,
        |m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
-       |$capBucketsSql,
+       |bl AS (SELECT doc_id, b,
+       |    CAST(concat('0x', substr(bkey, 1, 15)) AS BIGINT) AS bkey FROM bands),
+       |bandsc AS (SELECT doc_id, b, bkey,
+       |    count(*) OVER (PARTITION BY b, bkey) AS bsz FROM bl),
+       |bandsk AS (SELECT doc_id, b, bkey FROM bandsc WHERE bsz <= $MaxBandBucket),
        |pr AS (SELECT x.b, x.doc_id AS id1, y.doc_id AS id2
        |  FROM bandsk x JOIN bandsk y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
@@ -1202,7 +1222,7 @@ object Dedup {
        |    count(CASE WHEN doc_id < (SELECT mid FROM m) THEN 1 END) AS n_base,
        |    count(CASE WHEN doc_id >= (SELECT mid FROM m) THEN 1 END) AS n_delta,
        |    count(DISTINCT bkey) AS n_buckets
-       |  FROM bands GROUP BY b)
+       |  FROM bl GROUP BY b)
        |SELECT CAST(b AS BIGINT) AS band, CAST(n_base AS BIGINT) AS n_base,
        |  CAST(n_delta AS BIGINT) AS n_delta,
        |  CAST(n_buckets AS BIGINT) AS n_buckets,
@@ -1230,10 +1250,10 @@ object Dedup {
         // persisted: the half's entries feed its own stat AND the merged
         // index — the signature pass runs once
         (m, graft.Scratch.track(
-          bandFrame(minhashSignatures(d.filter(col("doc_id") < m)))))
+          bandFrameLong(minhashSignatures(d.filter(col("doc_id") < m)))))
     }
     val deltaIdx = graft.Scratch.track(
-      bandFrame(minhashSignatures(d.filter(col("doc_id") >= mid))))
+      bandFrameLong(minhashSignatures(d.filter(col("doc_id") >= mid))))
     val merged = baseIdx.unionByName(deltaIdx)
     def entriesOf(idx: DataFrame, n: String): DataFrame =
       idx.groupBy(col("band")).agg(count(lit(1)).as(n))
