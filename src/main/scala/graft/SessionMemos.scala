@@ -58,8 +58,8 @@ object SessionMemos {
     // gram-only hook: the module's third memo (bd) belongs to the
     // `bigrams` family below and may not have run its block yet.
     Family("grams", Set(
-      "dedup_spans", "text_boilerplate", "text_decontam",
-      "text_decontam_bloom", "text_novelty"),
+      "dedup_span_pairs", "dedup_spans", "text_boilerplate",
+      "text_decontam", "text_decontam_bloom", "text_novelty"),
       operators.TextAnalysis.releaseGramMemos),
     // gramCache (bd half): per-document bigram counts — shared by the
     // LM pair (text_bigram_lm re-aggregates it, text_predictability

@@ -1680,6 +1680,114 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document exact-substring PAIR extraction — the redaction half
+    * of the span story: [[dedupSpans]] reports how much of each document
+    * is duplicated SOMEWHERE, this emits the actual (doc, doc, offset,
+    * offset, length) maximal shared spans a training-data pipeline
+    * redacts or attributes. Classic single-node tools build a suffix
+    * automaton; the distributed equivalent is DIAGONAL RUN-LENGTH
+    * MERGING over the positional gram frame: two documents sharing a
+    * maximal L-token span (L ≥ G) share exactly L−G+1 consecutive
+    * G-grams whose position offsets all differ by the same delta, so
+    * every matching gram-occurrence pair lands on one (id1, id2,
+    * p1−p2) diagonal and maximal spans fall out as gaps-and-islands
+    * runs (`isl = p1 − row_number()`) — partitioned windows, never a
+    * corpus-wide one.
+    *
+    * Scale shape (the 100 TB posture): (1) exact-duplicate documents
+    * collapse to one representative FIRST (min doc_id per md5(text) —
+    * production order: span mining runs on the exact-deduped corpus);
+    * (2) grams ride the shared positional fixture/memo as 60-bit longs
+    * ([[dedupSpans]]'s re-digest); (3) only grams occurring
+    * 2..[[SpanPairCap]] times corpus-wide enter the pair join — ≥2 is
+    * the duplication predicate, the cap drops boilerplate grams whose
+    * occurrence lists would explode quadratically (the [[graft.operators.Dedup]]
+    * MaxBandBucket argument: a gram in thousands of documents carries no
+    * span-attribution signal, and the oracle applies the identical cap);
+    * (4) the emitted frame is runs ≥ [[MinSpanPairTokens]] tokens — the
+    * substantive spans, a tiny fraction of any real corpus. On the ×N
+    * replicated bench corpus (near-identical replicas — ScaleUp appends
+    * a per-replica suffix, so md5-dedup does not collapse them) the cap
+    * classifies every replica-shared gram as boilerplate: the query's
+    * ×100 cost is the LINEAR gram scan + occurrence aggregate, which is
+    * exactly the bound the cap exists to enforce on pathologically
+    * self-similar corpora.
+    */
+  private val SpanPairCap = 16
+  private val MinSpanPairTokens = SpanGram + 4
+
+  val dedupSpanPairs: Q = Q("dedup_span_pairs",
+    s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |toks AS (SELECT d.doc_id, string_split(d.text, ' ') AS t
+       |  FROM documents d JOIN reps USING (doc_id)),
+       |lg AS (SELECT doc_id, ${gramListSql(SpanGram)} AS l FROM toks),
+       |g0 AS (SELECT doc_id, e.p AS p,
+       |    CAST(concat('0x', substr(md5(e.gt), 1, 15)) AS BIGINT) AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(l)),
+       |      i -> struct_pack(p := i, gt := l[i + 1]))) AS e
+       |    FROM lg)),
+       |oc AS (SELECT g, count(*) AS occ FROM g0 GROUP BY g),
+       |gk AS (SELECT g0.doc_id, g0.p, g0.g FROM g0 JOIN oc USING (g)
+       |  WHERE occ BETWEEN 2 AND $SpanPairCap),
+       |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS p1, b.p AS p2
+       |  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |d AS (SELECT id1, id2, p1 - p2 AS diag, p1,
+       |    p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2 ORDER BY p1) AS isl
+       |  FROM pr),
+       |runs AS (SELECT id1, id2, diag, isl, min(p1) AS s1, count(*) AS ng
+       |  FROM d GROUP BY 1, 2, 3, 4)
+       |SELECT id1, id2, CAST(s1 AS BIGINT) AS p1,
+       |  CAST(s1 - diag AS BIGINT) AS p2,
+       |  CAST(ng + ${SpanGram - 1} AS BIGINT) AS span_tokens
+       |FROM runs WHERE ng + ${SpanGram - 1} >= $MinSpanPairTokens
+       |ORDER BY id1, id2, p1, p2""".stripMargin) { (s, dir) =>
+    spanPairsFromGrams(docs(s, dir), gramFrame(s, dir))
+  }
+
+  /** [[dedupSpanPairs]]'s engine over any (doc_id, text) frame — exposed
+    * so specs can run it on constructed fixtures with planted spans. */
+  def spanPairs(docsDf: DataFrame): DataFrame =
+    spanPairsFromGrams(docsDf, posGramsOf(docsDf))
+
+  private def spanPairsFromGrams(docsDf: DataFrame,
+      gramsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact-dedup representatives: bounded by DISTINCT corpus content —
+    // tiny relative to a replicated corpus (AQE broadcasts the semi join
+    // at bench scale; at true 100 TB it's a doc_id-keyed semi join)
+    val reps = docsDf
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // shared positional gram memo, re-digested to 60-bit longs map-side
+    // (the dedupSpans idiom) — persisted because the occurrence count
+    // and the pair join both consume it
+    val gl = graft.Scratch.track(gramsIn
+      .join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("p"),
+        expr("CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)").as("g")))
+    val keep = gl.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2 && col("occ") <= SpanPairCap)
+      .select(col("g"))
+    val gk = graft.Scratch.track(gl.join(keep, "g")
+      .select(col("doc_id"), col("p"), col("g")))
+    val pr = gk.as("a").join(gk.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.p").as("p1"), col("b.p").as("p2"))
+    val d = pr.withColumn("diag", col("p1") - col("p2"))
+    val w = Window.partitionBy(col("id1"), col("id2"), col("diag"))
+      .orderBy(col("p1"))
+    val runs = d.withColumn("isl", col("p1") - row_number().over(w))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("isl"))
+      .agg(min(col("p1")).as("s1"), count(lit(1)).as("ng"))
+    runs.filter(col("ng") + lit(SpanGram - 1) >= MinSpanPairTokens)
+      .select(col("id1"), col("id2"), col("s1").cast("long").as("p1"),
+        (col("s1") - col("diag")).cast("long").as("p2"),
+        (col("ng") + lit(SpanGram - 1)).cast("long").as("span_tokens"))
+      .orderBy(col("id1"), col("id2"), col("p1"), col("p2"))
+  }
+
   /** The shared BM25 per-(query-term, doc) score in MICRO-units, written
     * ONCE as expression text both engines evaluate verbatim: Robertson
     * idf in the RATIONAL form ((N − df + 0.5)/(df + 0.5), the [[tfidf]]
@@ -1797,5 +1905,5 @@ object TextAnalysis {
       bpePairs, corpusReport, boilerplate, cooccur, chi2, langConfusion,
       featureHash,
       heavyHitters, invertedIndex, bigramLm, novelty, classify,
-      predictability, dedupSpans, bpeTrain, bpeEncode, bm25)
+      predictability, dedupSpans, dedupSpanPairs, bpeTrain, bpeEncode, bm25)
 }

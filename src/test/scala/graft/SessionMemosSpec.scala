@@ -29,6 +29,28 @@ class SessionMemosSpec extends AnyFunSuite {
     assert(all.distinct === all, "consumer sets overlap")
   }
 
+  test("Verify.posturedQueries names only registered queries") {
+    val unknown = Verify.posturedQueries.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"posturedQueries names non-registry queries: $unknown")
+    // every memo-family consumer is posture-sensitive by construction
+    SessionMemos.families.foreach { fam =>
+      assert(fam.consumers.subsetOf(Verify.posturedQueries.toSet), fam.name)
+    }
+  }
+
+  test("benchUnits concatenation is benchOrder, units are family-atomic") {
+    val selected = SparkEntry.queries.keySet
+    val units = SessionMemos.benchUnits(selected)
+    assert(units.flatten === SessionMemos.benchOrder(selected))
+    // a family's consumers appear inside exactly one unit
+    SessionMemos.families.foreach { fam =>
+      val holding = units.filter(_.exists(fam.consumers.contains))
+      assert(holding.size === 1, s"family '${fam.name}' spans ${holding.size} units")
+      assert(fam.consumers.intersect(selected).subsetOf(holding.head.toSet))
+    }
+  }
+
   test("benchOrder is a permutation with contiguous family blocks") {
     val selected = SparkEntry.queries.keySet
     val order = SessionMemos.benchOrder(selected)

@@ -555,6 +555,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === ((1L, 11L, 2L, 9L)))
     assert(out(2L) === ((2L, 11L, 2L, 9L)))
   }
+  test("spanPairs: planted 12-token shared span emits one maximal pair row") {
+    // docs 1/2 share a 12-token passage at offsets 2 and 0 → one maximal
+    // diagonal run of 5 grams (12−8+1), span_tokens=12; docs 3/4 share
+    // only 8 tokens (< MinSpanPairTokens) → filtered
+    val span = (1 to 12).map(i => s"sp$i").mkString(" ")
+    val eight = (1 to 8).map(i => s"e$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"f1 f2 $span g1"),
+      (2L, s"$span h1 h2"),
+      (3L, s"$eight k1 k2 k3 k4"),
+      (4L, s"m1 $eight m2")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanPairs(fixture)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, 0L, 12L)))
+  }
+
+  test("spanPairs: exact-duplicate documents collapse to one representative") {
+    // doc 20 is a verbatim copy of doc 10 — replicas must never pair
+    // (production order: span mining runs on the exact-deduped corpus);
+    // the only emitted pair is rep(10) against near-dup 30
+    val span = (1 to 12).map(i => s"rp$i").mkString(" ")
+    val fixture = Seq(
+      (10L, s"$span a b"),
+      (20L, s"$span a b"),
+      (30L, s"x y $span")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanPairs(fixture)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 30L, 0L, 2L, 12L)))
+  }
+
   test("bpeMerges: lexicographic tie-break, chained merges, pair exhaustion") {
     // words: "abc" x2. Round 1 ties (a,b)=2 vs (b,c)=2 -> lexicographic
     // picks (a,b); round 2 must merge the NEW symbol: (ab,c)=2 — the
