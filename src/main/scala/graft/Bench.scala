@@ -143,7 +143,11 @@ object Bench {
     val sfBase = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
     scale match {
-      case Some(f) => "\"" + sfBase.getOrElse("src") + s"x$f\""
+      // a Zipf-keyed corpus is a different population — mark the record
+      // so no zipf reading is ever compared against a uniform one
+      case Some(f) =>
+        val z = if (sys.env.get("GRAFT_SCALE_ZIPF").contains("1")) "z" else ""
+        "\"" + sfBase.getOrElse("src") + s"x$f$z\""
       case None => sfBase
         .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     }

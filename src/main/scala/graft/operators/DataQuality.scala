@@ -13,23 +13,22 @@ import org.apache.spark.sql.functions._
   * [[Analytics.tableStats]] (per-column profiling for the optimizer) with
   * the pass/fail contract a pipeline gates on before publishing a table.
   *
-  * Scale shape — one scan per audited table, never one scan per check:
-  * each table's checks ride a single aggregate with map-side partials
-  * (conditional counts), so adding a rule costs an expression, not a
-  * pass. FK probes LEFT-JOIN the fact against the parent's DISTINCT key
-  * set — distinct-ing first keeps the probe 1:1 even when the parent's
-  * own PK is dirty (precisely the situation an audit must survive; a raw
-  * join would multiply probe rows and corrupt every co-riding count).
-  * Dimension key sets broadcast; the lineitem→orders probe is the one
-  * genuine fact-to-fact check and rides a single orderkey shuffle. The
-  * composite-key uniqueness check runs as a two-level aggregation
-  * (per-PK group counts riding that same orderkey partitioning, then
-  * dup = Σn − #groups in the singleton rollup — NULL-keyed tuples group
-  * as equal, like the oracle's DISTINCT subquery) — and it is NONZERO on this
-  * corpus: the testdata's composite lineitem key is genuinely non-unique
-  * (the repo's window queries carry a tiebreaker for the same reason), so
-  * the oracle gate discriminates real counting, not all-zero echoes.
-  * Output is |checks| rows at any corpus size.
+  * Scale shape — bounded scans, and the fact never shuffles at row
+  * grain: FK probes LEFT-JOIN against the parent's DISTINCT key set
+  * (distinct-ing first keeps the probe 1:1 even when the parent's own PK
+  * is dirty — precisely the situation an audit must survive; a raw join
+  * would multiply probe rows and corrupt every co-riding count), and
+  * dimension key sets broadcast, so the dimension FKs + domain rules are
+  * ONE exchange-free conditional-aggregate scan per table. The lineitem
+  * checks that genuinely involve order keys (the fact-to-fact orders FK
+  * probe and the composite-PK dup count) collapse to ORDER GRAIN before
+  * anything shuffles — see the inline note at `perOrder` — so the one
+  * fact exchange carries ~|orders| narrow partial-aggregate rows, never
+  * the fact itself. The dup count is NONZERO on this corpus: the
+  * testdata's composite lineitem key is genuinely non-unique (the repo's
+  * window queries carry a tiebreaker for the same reason), so the oracle
+  * gate discriminates real counting, not all-zero echoes. Output is
+  * |checks| rows at any corpus size.
   */
 object DataQuality {
 
@@ -78,34 +77,53 @@ object DataQuality {
     val nkeys = t(s, dir, "nation").select(col("n_nationkey")).distinct()
     val ckeys = t(s, dir, "customer").select(col("c_custkey")).distinct()
 
-    // dup as TWO-LEVEL aggregation, not count(*) − countDistinct(struct):
-    // the distinct-aggregate rewrite expands every row and re-exchanges
-    // the fact keyed by the PK struct (a second corpus-wide shuffle that
-    // existed only to count groups), while groupBy(l_orderkey,
-    // l_linenumber) is satisfied by the FK join's own l_orderkey hash
-    // partitioning — ZERO additional exchanges; dup = Σn − #groups at the
-    // singleton level. NULL keys group as equal in both forms (and in the
-    // oracle's DISTINCT subquery), so the audit stays exact on precisely
-    // the dirty keys it exists to find.
-    val liChecks = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))
-      .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
+    // lineitem checks in TWO column-pruned scans, neither shuffling the
+    // fact at row grain (round 18, the ×100-floor attack):
+    //  - dimension FKs + the domain rule: broadcast probes feeding one
+    //    map-side conditional aggregate — zero exchanges;
+    //  - orders FK + composite-PK dup: collapse to ORDER GRAIN first.
+    //    groupBy(l_orderkey) partially aggregates map-side, so the one
+    //    exchange carries ~|orders| narrow rows instead of the wide fact
+    //    (the former shape shuffled every lineitem row into the orderkey
+    //    join). The per-order distinct-(lineno) count rides the SAME
+    //    aggregate as a bounded-domain BITMASK — bit_count(bit_or(1 <<
+    //    lineno)) is exact for linenos in [0, 63] — plus an exact
+    //    correction for out-of-domain values (collect_set, empty on any
+    //    sane corpus) and a NULL flag (NULL groups as its own key, like
+    //    the oracle's DISTINCT): the audit stays exact on precisely the
+    //    dirty keys it exists to find, without the distinct-agg rewrite's
+    //    Expand + second fact-wide exchange. dup = Σn − Σ per-order
+    //    groups ≡ the former (okey, lineno) two-level rollup; the orphan
+    //    probe then joins two order-grain frames.
+    val liDim = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left")
       .join(broadcast(skeys), col("l_suppkey") === col("s_suppkey"), "left")
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(
-        count(lit(1)).as("n_g"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fk_o_g"),
-        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p_g"),
-        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s_g"),
-        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom_g"))
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom"))
+    val perOrder = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("l_orderkey"))
       .agg(
-        sum(col("fk_o_g")).as("fk_o"),
-        sum(col("fk_p_g")).as("fk_p"),
-        sum(col("fk_s_g")).as("fk_s"),
-        (sum(col("n_g")) - count(lit(1))).as("dup"),
-        sum(col("dom_g")).as("dom"))
+        count(lit(1)).as("n"),
+        expr("bit_or(CASE WHEN l_linenumber BETWEEN 0 AND 63 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(l_linenumber AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("mask"),
+        expr("size(collect_set(CASE WHEN l_linenumber IS NOT NULL AND " +
+          "(l_linenumber < 0 OR l_linenumber > 63) THEN l_linenumber END))")
+          .as("bad_g"),
+        max(when(col("l_linenumber").isNull, 1L).otherwise(0L)).as("null_g"))
+      .withColumn("groups",
+        expr("CAST(bit_count(mask) AS BIGINT)")
+          + col("bad_g").cast("long") + col("null_g"))
+    val liKey = perOrder
+      .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        sum(when(col("o_orderkey").isNull, col("n")).otherwise(0L)).as("fk_o"),
+        (sum(col("n")) - sum(col("groups"))).as("dup"))
+    val liChecks = liKey.crossJoin(broadcast(liDim))
       .select(expr(
         """stack(5,
           |  'fk_lineitem_orders', fk_o,
