@@ -46,6 +46,7 @@ object Decomp {
     which match {
       case "racetime" => racetime(spark, sfDir)
       case "dedup_spans" => dedupSpans(spark, sfDir)
+      case "dq_audit" => dqAudit(spark, sfDir)
       case other => sys.error(s"unknown decomposition '$other'")
     }
     spark.stop()
@@ -68,6 +69,23 @@ object Decomp {
     // after the first sees), not the one-time load
     stages.head._2().queryExecution.toRdd.foreach(_ => ())
     stages.foreach { case (label, df) => timed(label)(df()) }
+  }
+
+  /** dq_audit stage pricing (round-18 task 3): the two named lineitem
+    * stages are the exact frames the registered query unions —
+    *   li_dim_scan   = broadcast-FK + domain conditional aggregate
+    *                   (zero exchanges; prices the two fact scans' IO)
+    *   li_key_rollup = order-grain bitmask rollup + orphan join (the one
+    *                   fact exchange)
+    *   full          = the registered query (adds the three small-table
+    *                   check scans + the final union/sort)
+    * So (full − li_dim_scan − li_key_rollup) prices the small-table
+    * checks, and li_key_rollup − (its scan share) the exchange.
+    */
+  private def dqAudit(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    timed("li_dim_scan")(operators.DataQuality.liDimChecks(s, dir))
+    timed("li_key_rollup")(operators.DataQuality.liKeyChecks(s, dir))
+    timed("full")(operators.DataQuality.audit.run(s, dir))
   }
 
   private def racetime(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {

@@ -35,6 +35,50 @@ object DataQuality {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The lineitem dimension-FK + domain-rule scan: broadcast probes
+    * feeding one map-side conditional aggregate — zero exchanges. Named
+    * so [[graft.Decomp]] can price it as a stage of `dq_audit`. */
+  private[graft] def liDimChecks(s: SparkSession, dir: String): DataFrame = {
+    val pkeys = t(s, dir, "part").select(col("p_partkey")).distinct()
+    val skeys = t(s, dir, "supplier").select(col("s_suppkey")).distinct()
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(skeys), col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom"))
+  }
+
+  /** The order-grain rollup carrying the orders-FK orphan count and the
+    * composite-PK dup count (bitmask distinct — see the inline note in
+    * [[audit]]); the one fact exchange in the audit. Named for
+    * [[graft.Decomp]] stage pricing. */
+  private[graft] def liKeyChecks(s: SparkSession, dir: String): DataFrame = {
+    val okeys = t(s, dir, "orders").select(col("o_orderkey")).distinct()
+    val perOrder = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_or(CASE WHEN l_linenumber BETWEEN 0 AND 63 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(l_linenumber AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("mask"),
+        expr("size(collect_set(CASE WHEN l_linenumber IS NOT NULL AND " +
+          "(l_linenumber < 0 OR l_linenumber > 63) THEN l_linenumber END))")
+          .as("bad_g"),
+        max(when(col("l_linenumber").isNull, 1L).otherwise(0L)).as("null_g"))
+      .withColumn("groups",
+        expr("CAST(bit_count(mask) AS BIGINT)")
+          + col("bad_g").cast("long") + col("null_g"))
+    perOrder
+      .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        sum(when(col("o_orderkey").isNull, col("n")).otherwise(0L)).as("fk_o"),
+        (sum(col("n")) - sum(col("groups"))).as("dup"))
+  }
+
   val audit: Q = Q("dq_audit",
     """WITH lj AS (SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
       |    o.o_orderkey AS ok, p.p_partkey AS pk, s.s_suppkey AS sk
@@ -71,9 +115,6 @@ object DataQuality {
       |UNION ALL SELECT 'pk_dup_supplier',
       |  (SELECT count(*) FROM supplier) - (SELECT count(DISTINCT s_suppkey) FROM supplier)
       |ORDER BY "check"""".stripMargin) { (s, dir) =>
-    val okeys = t(s, dir, "orders").select(col("o_orderkey")).distinct()
-    val pkeys = t(s, dir, "part").select(col("p_partkey")).distinct()
-    val skeys = t(s, dir, "supplier").select(col("s_suppkey")).distinct()
     val nkeys = t(s, dir, "nation").select(col("n_nationkey")).distinct()
     val ckeys = t(s, dir, "customer").select(col("c_custkey")).distinct()
 
@@ -95,35 +136,7 @@ object DataQuality {
     //    Expand + second fact-wide exchange. dup = Σn − Σ per-order
     //    groups ≡ the former (okey, lineno) two-level rollup; the orphan
     //    probe then joins two order-grain frames.
-    val liDim = t(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-      .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left")
-      .join(broadcast(skeys), col("l_suppkey") === col("s_suppkey"), "left")
-      .agg(
-        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("fk_p"),
-        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("fk_s"),
-        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("dom"))
-    val perOrder = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"))
-      .groupBy(col("l_orderkey"))
-      .agg(
-        count(lit(1)).as("n"),
-        expr("bit_or(CASE WHEN l_linenumber BETWEEN 0 AND 63 THEN " +
-          "shiftleft(CAST(1 AS BIGINT), CAST(l_linenumber AS INT)) " +
-          "ELSE CAST(0 AS BIGINT) END)").as("mask"),
-        expr("size(collect_set(CASE WHEN l_linenumber IS NOT NULL AND " +
-          "(l_linenumber < 0 OR l_linenumber > 63) THEN l_linenumber END))")
-          .as("bad_g"),
-        max(when(col("l_linenumber").isNull, 1L).otherwise(0L)).as("null_g"))
-      .withColumn("groups",
-        expr("CAST(bit_count(mask) AS BIGINT)")
-          + col("bad_g").cast("long") + col("null_g"))
-    val liKey = perOrder
-      .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
-      .agg(
-        sum(when(col("o_orderkey").isNull, col("n")).otherwise(0L)).as("fk_o"),
-        (sum(col("n")) - sum(col("groups"))).as("dup"))
-    val liChecks = liKey.crossJoin(broadcast(liDim))
+    val liChecks = liKeyChecks(s, dir).crossJoin(broadcast(liDimChecks(s, dir)))
       .select(expr(
         """stack(5,
           |  'fk_lineitem_orders', fk_o,
