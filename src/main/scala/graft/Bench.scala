@@ -171,7 +171,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val selected = selectedNames()
     val childOut = sys.env.get("GRAFT_BENCH_CHILD_OUT")
-    val blockSize = Knobs.envInt("GRAFT_BENCH_BLOCK_SIZE", 16, 1, 10000)
+    // Isolation granularity is a measured trade (r18 A/B, all committed):
+    // a fresh child JVM taxes every query ~0.05–0.3 s while C2 re-warms
+    // Spark's core paths — a CONSTANT that dwarfs sub-second sf0.1
+    // queries (blocks-of-16 read +41 s over the single-JVM shape at
+    // quiet steal, bench_r18_sf01_multijvm3 vs _single1; quiet-window
+    // median tax halves again at 64, _block64) but vanishes against
+    // 5–30 s ×100 queries, where the intra-JVM aftermath the isolation
+    // kills (~30–60 s/session, BASELINE r17 bisect) is the dominant
+    // artifact. Default: 64 per block unscaled (3 JVMs, aftermath
+    // bounded per ~60 queries), 16 when GRAFT_BENCH_SCALE is set.
+    val blockSize = Knobs.envInt("GRAFT_BENCH_BLOCK_SIZE",
+      if (scaleFactor().isDefined) 16 else 64, 1, 10000)
     val singleJvm = sys.env.get("GRAFT_BENCH_SINGLE_JVM").contains("1")
     // focused probes (≤ one block) keep the single-session shape their
     // committed floor sidecars were measured in
