@@ -55,23 +55,54 @@ object DataQuality {
     * composite-PK dup count (bitmask distinct — see the inline note in
     * [[audit]]); the one fact exchange in the audit. Named for
     * [[graft.Decomp]] stage pricing. */
-  private[graft] def liKeyChecks(s: SparkSession, dir: String): DataFrame = {
-    val okeys = t(s, dir, "orders").select(col("o_orderkey")).distinct()
-    val perOrder = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"))
+  private[graft] def liKeyChecks(s: SparkSession, dir: String): DataFrame =
+    liKeyChecksOn(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+      t(s, dir, "orders").select(col("o_orderkey")).distinct())
+
+  /** [[liKeyChecks]] over any (l_orderkey, l_linenumber) frame + distinct
+    * parent-key frame — factored so the spec can drive the out-of-domain
+    * and NULL-key correction branches with constructed fixtures (the real
+    * corpus never exercises them: that is the point of the pruned-branch
+    * design). */
+  private[graft] def liKeyChecksOn(li: DataFrame, okeys: DataFrame): DataFrame = {
+    // Main rollup: count + bitmask + NULL flag are all DECLARATIVE
+    // aggregates, so the fact-wide partial aggregation runs inside
+    // whole-stage codegen. The former shape computed the out-of-domain
+    // distinct count here too, via collect_set — a TypedImperative
+    // aggregate that forces the ENTIRE rollup (all four functions, both
+    // partial and final) through interpreted ObjectHashAggregate; at ×100
+    // that non-codegen pass over 60M rows was the query's dominant stage
+    // (Decomp li_key_rollup 12.5 s of 18). The correction moved to the
+    // pruned branch below.
+    val perOrderMain = li
       .groupBy(col("l_orderkey"))
       .agg(
         count(lit(1)).as("n"),
         expr("bit_or(CASE WHEN l_linenumber BETWEEN 0 AND 63 THEN " +
           "shiftleft(CAST(1 AS BIGINT), CAST(l_linenumber AS INT)) " +
           "ELSE CAST(0 AS BIGINT) END)").as("mask"),
-        expr("size(collect_set(CASE WHEN l_linenumber IS NOT NULL AND " +
-          "(l_linenumber < 0 OR l_linenumber > 63) THEN l_linenumber END))")
-          .as("bad_g"),
         max(when(col("l_linenumber").isNull, 1L).otherwise(0L)).as("null_g"))
+    // Out-of-domain correction as its own FILTERED branch: the pushed
+    // predicate (l_linenumber < 0 OR > 63) misses every parquet row
+    // group's [min, max] on any sane corpus, so this second "scan" is
+    // metadata-only — and the distinct + count aggregates run over ~zero
+    // rows. Exactness is preserved on precisely the dirty keys the audit
+    // exists to find: any out-of-domain lineno lands here and is counted
+    // DISTINCT per order, identical to the former size(collect_set(...)).
+    // The join is null-safe (<=>) so a NULL-orderkey group keeps its
+    // correction, exactly as the single-aggregate shape grouped it.
+    val badPerOrder = li
+      .select(col("l_orderkey").as("bad_okey"), col("l_linenumber"))
+      .filter(col("l_linenumber").isNotNull &&
+        (col("l_linenumber") < 0 || col("l_linenumber") > 63))
+      .select(col("bad_okey"), col("l_linenumber")).distinct()
+      .groupBy(col("bad_okey")).agg(count(lit(1)).as("bad_g"))
+    val perOrder = perOrderMain
+      .join(badPerOrder, col("l_orderkey") <=> col("bad_okey"), "left")
       .withColumn("groups",
         expr("CAST(bit_count(mask) AS BIGINT)")
-          + col("bad_g").cast("long") + col("null_g"))
+          + coalesce(col("bad_g"), lit(0L)) + col("null_g"))
     perOrder
       .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
       .agg(

@@ -66,6 +66,34 @@ class DataQualitySpec extends SparkSpec {
       "testdata's (l_orderkey, l_linenumber) is non-unique — the dup " +
         "check must be nonzero or the audit is vacuous")
   }
+  test("dq_audit key rollup: out-of-domain and NULL-key corrections stay exact") {
+    // The round-18 codegen split moved the out-of-domain lineno distinct
+    // count out of the main aggregate (collect_set forced the whole
+    // fact rollup through interpreted ObjectHashAggregate) into a
+    // filtered branch joined back null-safely. The real corpus never
+    // exercises that branch — this constructed one does: out-of-domain
+    // linenos (negative, > 63, duplicated), NULL linenos, a NULL
+    // orderkey group carrying a bad lineno, and an orphan order.
+    val rows = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(1L)), (Some(1L), Some(1L)), // dup inside the bitmask domain
+      (Some(1L), Some(99L)), (Some(1L), Some(99L)),
+      (Some(1L), Some(-5L)),          // out-of-domain: 2 distinct values
+      (Some(2L), None), (Some(2L), None), // NULL linenos: one group, one dup
+      (None, Some(77L)), (None, Some(77L)), // NULL orderkey w/ bad lineno: dup
+      (Some(3L), Some(2L)))           // orphan order (not in okeys)
+    val li = rows.toDF("l_orderkey", "l_linenumber")
+    val okeys = Seq(1L, 2L).toDF("o_orderkey")
+    val got = DataQuality.liKeyChecksOn(li, okeys)
+      .as[(Long, Long)].collect().head
+    // scalar replay: fk_o = rows whose orderkey ∉ okeys (NULL never
+    // matches, like the oracle's LEFT JOIN); dup = n − distinct (okey,
+    // lineno) pairs with NULL grouping as its own key
+    val expFk = rows.count(r => !r._1.exists(Set(1L, 2L))).toLong
+    val expDup = (rows.size - rows.distinct.size).toLong
+    assert(got === (expFk, expDup),
+      s"liKeyChecksOn=(fk_o, dup) expected ($expFk, $expDup)")
+  }
+
   test("dq_audit plan: PK-dup counts aggregate two-level, no distinct-agg Expand") {
     val plan = DataQuality.audit.run(spark, dir).queryExecution.executedPlan.toString
     // the two-level dup aggregation must not regress to the distinct-agg
