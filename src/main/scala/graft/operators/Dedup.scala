@@ -197,13 +197,36 @@ object Dedup {
       explode(when(size(col("toks")) >= 3,
         expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
-      .distinct()
+    // NO .distinct() before the mins (round 18): min over a multiset
+    // equals min over its set, so per-doc shingle dedup cannot change any
+    // h_i — and the dedup was the signing pipeline's dominant cost, a
+    // corpus-wide exchange of (doc_id, full 3-word shingle STRING) rows.
+    // Dropping it makes the whole signature one map-side codegen pass
+    // (explode → md5 → conv → partial min) into a ~|docs|-row exchange.
+    // The oracle keeps its DISTINCT form as the independent replay; the
+    // hash gate proves value identity.
     val digests = (0 until NumHashes / 4).map(k =>
       md5(concat(lit(s"mh$k#"), col("sh"))).as(s"d$k"))
     val withDigests = shingled.select(col("doc_id") +: digests: _*)
+    // The 16 minima are taken over LONGS, not the hex substrings, and
+    // formatted back after the aggregate (round 18): a groupBy whose
+    // buffer holds 16 strings has no mutable-buffer HashAggregate form,
+    // so Spark fell back to Sort + SortAggregate — every signing pass
+    // paid a full sort of the exploded shingle-digest frame outside
+    // whole-stage codegen, and the partial-agg exchange shipped 16
+    // 8-char strings per row. On fixed-width lowercase hex,
+    // lexicographic and numeric order coincide, so min(conv(w, 16, 10))
+    // re-rendered as lower(lpad(hex(·), 8, '0')) is byte-identical to
+    // min(w) — same h_i strings, same band keys, same oracle — but the
+    // aggregate is 16 min(BIGINT)s: codegen'd hash aggregation, no sort,
+    // and an 8-byte-per-hash exchange payload.
+    val pieces = (0 until NumHashes).map(i =>
+      expr(s"CAST(conv(substring(d${i / 4}, ${(i % 4) * 8 + 1}, 8), 16, 10) " +
+        s"AS BIGINT)").as(s"p$i"))
+    val withPieces = withDigests.select(col("doc_id") +: pieces: _*)
     val minhashes = (0 until NumHashes).map(i =>
-      min(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
-    withDigests.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+      lower(lpad(expr(s"hex(min(p$i))"), 8, "0")).as(s"h$i"))
+    withPieces.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
   }
 
   /** DuckDB CTE chain replicating [[minhashSignatures]] + [[bandFrame]] —
