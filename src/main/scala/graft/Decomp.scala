@@ -47,6 +47,7 @@ object Decomp {
       case "racetime" => racetime(spark, sfDir)
       case "dedup_spans" => dedupSpans(spark, sfDir)
       case "dq_audit" => dqAudit(spark, sfDir)
+      case "dedup_incr_index" => incrIndex(spark, sfDir)
       case other => sys.error(s"unknown decomposition '$other'")
     }
     spark.stop()
@@ -87,6 +88,17 @@ object Decomp {
     timed("li_key_rollup")(operators.DataQuality.liKeyChecks(s, dir))
     timed("full")(operators.DataQuality.audit.run(s, dir))
   }
+
+  /** dedup_incr_index stage pricing (round 18): base index obtained
+    * first (the Bench serve posture), then delta_sign prices the
+    * signing pass over the post-midpoint half, base_scan the stored
+    * index read, bucket_agg the (band, bkey) count + C(sz,2) rollup over
+    * the stored entries alone, and full the registered query.
+    */
+  private def incrIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    operators.Dedup.incrDecompStages(s, dir).foreach {
+      case (label, df) => timed(label)(df())
+    }
 
   private def racetime(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     operators.Analytics.racetime // touch the registering object

@@ -1229,6 +1229,50 @@ object Dedup {
     bandFrame(sig).select(col("doc_id"), col("band"),
       expr("CAST(conv(substring(bkey, 1, 15), 16, 10) AS BIGINT)").as("bkey"))
 
+  /** [[graft.Decomp]] stage thunks for `dedup_incr_index` (round 18):
+    * the stored base index is obtained first (Bench's serve posture),
+    * then the stages price the delta-half signing pass, the stored-index
+    * scan, and the bucket arithmetic over the merged entries, against
+    * the registered query. */
+  private[graft] def incrDecompStages(s: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = {
+    baseIndexWrite(s, dir)
+    val root = graft.FixtureStore.peek("dedupbase", dir).get
+    val mid = s.read.parquet(s"$root/meta").collect()(0).getAs[Long]("mid")
+    // delta_sign_old: the pre-round-18 signing shape (shingle distinct +
+    // 16 min(string)s → Sort + SortAggregate), kept as a same-session A/B
+    // stage so the rewrite's effect is measurable with the host band
+    // cancelled out. NOT used by any registered query.
+    def oldSign(documents: DataFrame): DataFrame = {
+      val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val shingled = toks.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
+        .distinct()
+      val digests = (0 until NumHashes / 4).map(k =>
+        md5(concat(lit(s"mh$k#"), col("sh"))).as(s"d$k"))
+      val withDigests = shingled.select(col("doc_id") +: digests: _*)
+      val minhashes = (0 until NumHashes).map(i =>
+        min(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+      withDigests.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    }
+    Seq(
+      "delta_sign" -> (() =>
+        bandFrameLong(minhashSignatures(docs(s, dir)
+          .filter(col("doc_id") >= mid)))),
+      "delta_sign_old" -> (() =>
+        bandFrameLong(oldSign(docs(s, dir)
+          .filter(col("doc_id") >= mid)))),
+      "base_scan" -> (() => s.read.parquet(s"$root/baseidx")),
+      "bucket_agg" -> (() => s.read.parquet(s"$root/baseidx")
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") <= MaxBandBucket)
+        .groupBy(col("band"))
+        .agg(sum(expr("sz * (sz - 1L) div 2")).as("n_pairs"))),
+      "full" -> (() => incrIndex.run(s, dir)))
+  }
+
   val incrIndex: Q = Q("dedup_incr_index",
     s"""WITH $minhashBandsSql,
        |m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
