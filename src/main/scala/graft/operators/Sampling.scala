@@ -288,8 +288,10 @@ object Sampling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs(s, dir)
       .select(col("doc_id"), md5(col("text")).as("dig"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("tok"))
+        // native single-pass token count (round 18) — the regex engine
+        // was the scan's dominant per-row cost; parity property-asserted
+        // in TextKernelsSpec, oracle keeps the regex replay
+        call_function("bpe_token_count", col("text")).as("tok"))
       .withColumn("shard", substring(col("dig"), 1, PackShardChars))
       .withColumn("off", coalesce(sum(col("tok")).over(w), lit(0L)))
       // off ≥ 0, so truncating `div`/`%` equal floor semantics on both engines
@@ -945,8 +947,8 @@ object Sampling {
     // one corpus scan → domain-sized supply frame (map-side partials)
     val sup = Tables.load(s, dir, "documents")
       .select(col("lang"), col("source"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("t"))
+        // native single-pass token count (round 18, see pack_sequences)
+        call_function("bpe_token_count", col("text")).as("t"))
       .groupBy(col("lang"), col("source")).agg(sum(col("t")).as("supply"))
     val supP = graft.Scratch.track(sup)
     val tot = supP.agg(sum(col("supply")).as("total"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, IntegerType, TimestampType}
 
-import graft.functions.{BloomMightContainStr, CentroidSims, HyperplaneBuckets, PqAdc, PqCodes, PqDtab, ProbeBucket, RaceTimeFormat, RaceTimeSeconds, RaceTimeStr, RandomSignProject}
+import graft.functions.{BloomMightContainStr, BpeTokenCount, CentroidSims, HyperplaneBuckets, PqAdc, PqCodes, PqDtab, ProbeBucket, RaceTimeFormat, RaceTimeSeconds, RaceTimeStr, RandomSignProject}
 
 /** Catalyst optimizer rule: rewrite `year(col) <cmp> <int literal>` filters
   * into sargable range predicates on the underlying date/timestamp column.
@@ -100,6 +100,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("random_project", xs => RandomSignProject(xs.head)))
     e.injectFunction(fn("probe_bucket", xs => ProbeBucket(xs.head)))
     e.injectFunction(fn("might_contain_bloom", xs => BloomMightContainStr(xs(0), xs(1))))
+    e.injectFunction(fn("bpe_token_count", xs => BpeTokenCount(xs.head)))
     e.injectFunction(fn("pq_codes", xs => PqCodes(xs(0), xs(1))))
     e.injectFunction(fn("pq_dtab", xs => PqDtab(xs(0), xs(1))))
     e.injectFunction(fn("pq_adc", xs => PqAdc(xs(0), xs(1))))
